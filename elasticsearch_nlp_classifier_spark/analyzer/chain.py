@@ -1,0 +1,143 @@
+"""Analyzer chains: split -> [cleanTwitter] -> [lowercase] -> [stopwords]
+-> [stem], mirroring the reference's switchable pipeline
+(`utils/tokenize/NLPTokenizer.java:67-82`; default config :31-40 =
+twitter split + lowercase + stopwords + stemming).
+
+Three split modes:
+
+- ``twitter``  — TweetMotif twokenize (`twokenizer.py`)
+- ``simple``   — OpenNLP ``SimpleTokenizer`` semantics: maximal runs of
+  letters, maximal runs of digits, runs of one repeated "other" char
+  (`NLPTokenizer.java:84-95` non-twitter branch)
+- ``code``     — source-code analyzer for the corpus table: identifier /
+  number / operator-run tokens (ours; the corpus is code, not tweets)
+- ``simple_code`` — lowercase + ``[a-z0-9]+`` extraction; intentionally
+  expressible in both Spark SQL and DuckDB so driver oracle queries can
+  replicate it exactly.
+
+Everything is exposed (a) as plain-Python functions for tests/oracles and
+(b) as a vectorized pandas batch function for the Spark UDF wrapper in
+``spark_udfs.py``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .porter2 import stem_cached
+from .stopwords import remove_stopwords
+from .twokenizer import twokenize
+
+# OpenNLP SimpleTokenizer: tokens are maximal same-class runs where class
+# ∈ {letter, digit, other}; "other" runs only group the SAME character.
+_SIMPLE = re.compile(r"[^\W\d_]+|\d+|(\S)\1*")
+
+# Code tokens: identifiers (incl. underscore), numbers, repeated-op runs.
+_CODE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\d+|(\S)\1*")
+
+_SIMPLE_CODE = re.compile(r"[a-z0-9]+")
+
+_HANDLE = re.compile(r"^@")
+_URL = re.compile(r"^\w+://", re.UNICODE)
+
+
+def simple_split(text: str) -> list[str]:
+    return [m.group(0) for m in _SIMPLE.finditer(text)]
+
+
+def code_split(text: str) -> list[str]:
+    return [m.group(0) for m in _CODE.finditer(text)]
+
+
+def simple_code_split(text: str) -> list[str]:
+    return _SIMPLE_CODE.findall(text.lower())
+
+
+def tab_split(text: str) -> list[str]:
+    """`utils/tokenize/TabTokenizer.java:7-11`."""
+    return text.split("\t")
+
+
+def clean_twitter(tokens: list[str]) -> list[str]:
+    """Drop @handles and scheme:// URLs, strip one leading '#'
+    (`NLPTokenizer.java:97-105`)."""
+    return [
+        _HASH_SUB(t) for t in tokens
+        if not _HANDLE.match(t) and not _URL.match(t)
+    ]
+
+
+def _HASH_SUB(t: str) -> str:
+    return t[1:] if t.startswith("#") else t
+
+
+_SPLITTERS = {
+    "twitter": twokenize,
+    "simple": simple_split,
+    "code": code_split,
+    "simple_code": simple_code_split,
+    "tab": tab_split,
+}
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """A configured tokenizer chain. Immutable; safe to ship to executors."""
+
+    split: str = "twitter"
+    use_clean_twitter: bool = False
+    use_lowercase: bool = True
+    use_stopwords: bool = True
+    use_stemming: bool = True
+
+    def tokenize(self, text: str) -> list[str]:
+        if text is None:
+            return []
+        tokens = _SPLITTERS[self.split](text)
+        if self.use_clean_twitter:
+            tokens = clean_twitter(tokens)
+        if self.use_lowercase:
+            tokens = [t.lower() for t in tokens]
+        if self.use_stopwords:
+            tokens = remove_stopwords(tokens)
+        if self.use_stemming:
+            tokens = [stem_cached(t) for t in tokens]
+        return tokens
+
+    def tokenize_fields(self, *texts: str | None) -> list[str]:
+        """Multi-field tokenize+concat (`ATokenizer.java:36-43`)."""
+        out: list[str] = []
+        for t in texts:
+            if t:
+                out.extend(self.tokenize(t))
+        return out
+
+
+# The reference's default chain (`NLPTokenizer.java:31-40`).
+DEFAULT = Analyzer(split="twitter")
+# The cleanTwitter variant used in the reference's tokenizer golden test.
+CLEAN_TWITTER = Analyzer(split="twitter", use_clean_twitter=True)
+# Analyzer for the source-code corpus (index build default).
+CODE = Analyzer(split="code", use_stopwords=True, use_stemming=False)
+# Oracle-replicable analyzer (DuckDB-expressible; no stopwords/stem).
+SIMPLE_CODE = Analyzer(
+    split="simple_code", use_lowercase=False,
+    use_stopwords=False, use_stemming=False,
+)
+
+ANALYZERS: dict[str, Analyzer] = {
+    "default": DEFAULT,
+    "clean_twitter": CLEAN_TWITTER,
+    "code": CODE,
+    "simple_code": SIMPLE_CODE,
+    "simple": Analyzer(split="simple"),
+    "tab": Analyzer(
+        split="tab", use_lowercase=False,
+        use_stopwords=False, use_stemming=False,
+    ),
+}
+
+
+def get_analyzer(name: str) -> Analyzer:
+    return ANALYZERS[name]

@@ -1,0 +1,143 @@
+"""Analyzer parity goldens, ported from the reference's JUnit suites:
+
+- NLPTokenizerTest.java:27-43  (cleanTwitter+lower+stop+stem chain)
+- JsonDocumentStreamTest.java:50-78  (default chain, multi-field concat)
+- TabTokenizerTest semantics (tab split, no post-processing)
+- Stopwords.java:14-39 (punctuation-run + case-insensitive list)
+"""
+
+import pytest
+
+from elasticsearch_nlp_classifier_spark.analyzer import (
+    CLEAN_TWITTER,
+    DEFAULT,
+    STOPWORDS,
+    Analyzer,
+    get_analyzer,
+    remove_stopwords,
+    stem,
+    twokenize,
+)
+
+
+# --- NLPTokenizerTest.java:27-43 goldens (cleanTwitter variant) -----------
+@pytest.mark.parametrize(
+    "sentence,expected",
+    [
+        ("Hello World", ["hello", "world"]),
+        (
+            "Heard about #earthquakes is different cities, stay safe everyone.",
+            ["heard", "earthquak", "differ", "citi", "stay", "safe", "everyon"],
+        ),
+        (
+            "Burning Man Ablaze! by Turban Diva http://t.co/hodWosAmWS via @Etsy",
+            ["burn", "man", "ablaz", "turban", "diva", "via"],
+        ),
+    ],
+)
+def test_nlp_tokenizer_goldens(sentence, expected):
+    assert CLEAN_TWITTER.tokenize(sentence) == expected
+
+
+# --- JsonDocumentStreamTest.java:50-78 (default chain, 2 fields) ----------
+def test_multi_field_default_chain():
+    assert DEFAULT.tokenize_fields("hello world", "goodbye world") == [
+        "hello", "world", "goodby", "world",
+    ]
+    assert DEFAULT.tokenize_fields("pen pineapple", "apple pen") == [
+        "pen", "pineappl", "appl", "pen",
+    ]
+
+
+def test_multi_field_lowercase_only():
+    simple = Analyzer(split="twitter", use_stopwords=False, use_stemming=False)
+    assert simple.tokenize_fields("hello world", "goodbye world") == [
+        "hello", "world", "goodbye", "world",
+    ]
+    assert simple.tokenize_fields("pen pineapple", "apple pen") == [
+        "pen", "pineapple", "apple", "pen",
+    ]
+
+
+def test_tab_tokenizer():
+    assert get_analyzer("tab").tokenize("Pen\tPineapple\tApple\tPen") == [
+        "Pen", "Pineapple", "Apple", "Pen",
+    ]
+
+
+# --- Twokenizer protocol ---------------------------------------------------
+def test_twokenize_protects_urls_and_contractions():
+    toks = twokenize("I can't believe http://t.co/abc works :-)")
+    assert "ca" in toks and "n't" in toks
+    assert "http://t.co/abc" in toks
+    assert ":-)" in toks
+
+
+def test_twokenize_edge_punct():
+    assert twokenize('"quoted"') == ['"', "quoted", '"']
+    assert twokenize("well, done.") == ["well", ",", "done", "."]
+
+
+# --- Stopwords -------------------------------------------------------------
+def test_stopword_list_size():
+    assert len(STOPWORDS) == 127
+
+
+def test_remove_stopwords():
+    assert remove_stopwords(["The", "quick", "IS", "fox", "", "!!", "--"]) == [
+        "quick", "fox",
+    ]
+    # '--' is a run of '-'; '!?' is not a single-char run so it survives
+    assert remove_stopwords(["!?"]) == ["!?"]
+
+
+# --- Porter2 ---------------------------------------------------------------
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("earthquakes", "earthquak"),
+        ("different", "differ"),
+        ("cities", "citi"),
+        ("everyone", "everyon"),
+        ("burning", "burn"),
+        ("ablaze", "ablaz"),
+        ("goodbye", "goodby"),
+        ("pineapple", "pineappl"),
+        ("apple", "appl"),
+        ("heard", "heard"),
+        ("safe", "safe"),
+        ("stay", "stay"),
+        ("turban", "turban"),
+        ("via", "via"),
+        # published Snowball sample vocabulary spot-checks
+        ("consign", "consign"),
+        ("consigned", "consign"),
+        ("consigning", "consign"),
+        ("consolingly", "consol"),
+        ("generate", "generat"),
+        ("generically", "generic"),
+        ("agreed", "agre"),
+        ("skies", "sky"),
+        ("dying", "die"),
+        ("news", "news"),
+        ("proceed", "proceed"),
+        ("exceeding", "exceed"),
+        ("knitting", "knit"),
+        ("hopping", "hop"),
+        ("hoping", "hope"),
+        ("tied", "tie"),
+        ("ties", "tie"),
+        ("cries", "cri"),
+        ("by", "by"),
+        ("say", "say"),
+        ("national", "nation"),
+        ("rational", "ration"),
+        ("sensational", "sensat"),
+        ("conditional", "condit"),
+        ("sky", "sky"),
+        ("happiness", "happi"),
+        ("fortunately", "fortun"),
+    ],
+)
+def test_porter2(word, expected):
+    assert stem(word) == expected
