@@ -1,0 +1,142 @@
+"""Inverted-index build — the Lucene core the reference delegates to ES
+for (reference surface: `_mtermvectors` stats `TermVectorQuery.java:60-76`
+and match queries `ElasticsearchTest.java:109-150`), rebuilt as DataFrame
+aggregations.
+
+Stage 1 (this module) produces the *logical* index — exploded postings +
+stats tables; Stage 2 (`blocks.py`) lays postings out as docID-delta
+varbyte-compressed blocks with block-max metadata for WAND.
+
+Tables:
+
+- postings    (doc_id, term, tf, dl)  — dl denormalized like Lucene norms
+- term_stats  (term, df, ttf)         — A2/A3
+- corpus_stats single row (doc_count, sum_ttf, sum_doc_freq, avgdl) — A4
+
+Invariants (reference `ElasticsearchTest.java:140-149`, tested):
+ttf >= df >= 1, ttf >= tf >= 1, sum_ttf == Σ tf.
+
+Scale notes: the explode->groupBy(doc_id, term) is a map-side partial
+agg (doc_id is the natural partition key of the scan, so most combining
+happens before the shuffle); term_stats is a second partial agg over the
+postings shuffle keyed by term. Skewed terms ('the', 'import') are a
+query/layout concern, handled by salting in `blocks.py`, not here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analyzer.spark_udfs import analyze
+
+
+@dataclass
+class LogicalIndex:
+    postings: DataFrame      # (doc_id, term, tf, dl)
+    term_stats: DataFrame    # (term, df, ttf)
+    corpus_stats: dict       # doc_count, sum_ttf, sum_doc_freq, avgdl
+    doc_lengths: DataFrame   # (doc_id, dl)
+
+
+def tokenize_docs(
+    docs: DataFrame,
+    text_col: str = "content",
+    analyzer: str = "code",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, tokens, dl) — dl = token count of the analyzed field."""
+    return docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        analyze(text_col, analyzer).alias("tokens"),
+    ).withColumn("dl", F.size("tokens"))
+
+
+def build_logical_index(
+    docs: DataFrame,
+    text_col: str = "content",
+    analyzer: str = "code",
+    doc_id_col: str = "doc_id",
+) -> LogicalIndex:
+    tok = tokenize_docs(docs, text_col, analyzer, doc_id_col)
+
+    doc_lengths = tok.select("doc_id", "dl")
+
+    postings = (
+        tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("ttf"),
+    )
+
+    stats_row = (
+        postings.agg(
+            F.countDistinct("doc_id").alias("doc_count"),
+            F.sum("tf").alias("sum_ttf"),
+            F.count(F.lit(1)).alias("sum_doc_freq"),
+        ).collect()[0]
+    )
+    doc_count = stats_row["doc_count"] or 0
+    sum_ttf = stats_row["sum_ttf"] or 0
+    corpus_stats = {
+        "doc_count": doc_count,
+        "sum_ttf": int(sum_ttf),
+        "sum_doc_freq": stats_row["sum_doc_freq"],
+        "avgdl": (sum_ttf / doc_count) if doc_count else 0.0,
+    }
+    return LogicalIndex(postings, term_stats, corpus_stats, doc_lengths)
+
+
+def term_vectors(
+    index: LogicalIndex, doc_ids: list[int] | None = None
+) -> DataFrame:
+    """Per-doc term vectors — the `_mtermvectors` surface (S4): for each
+    doc a term-sorted list of (term, tf, df, ttf).  The id-set probe is a
+    broadcast semi-join, mirroring the reference's 100-ids-per-batch fetch
+    (`TermVectorIterator.java:31-130`) without the client-side batching."""
+    p = index.postings
+    if doc_ids is not None:
+        spark = p.sparkSession
+        ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
+        p = p.join(F.broadcast(ids_df), "doc_id")
+    enriched = p.join(index.term_stats, "term")
+    return (
+        enriched.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("term", "tf", "df", "ttf"))
+            ).alias("terms")
+        )
+    )
+
+
+def term_vector_tokens(index: LogicalIndex, distinct: bool = False) -> DataFrame:
+    """Token multiset re-inflation (S5/S6): each term repeated tf times in
+    sorted term order (`TermVectorTokens.java:38-68`), or distinct terms
+    (`TermVectorDocTokens.java:19-31`)."""
+    return (
+        index.postings.select("doc_id", "term", "tf")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("term", "tf"))),
+                    lambda s: (
+                        F.array(s["term"]) if distinct
+                        else F.array_repeat(s["term"], s["tf"].cast("int"))
+                    ),
+                )
+            ).alias("tokens")
+        )
+    )
+
+
+def vocabulary(index: LogicalIndex) -> DataFrame:
+    """Sorted distinct token set (A5, `Vocabulary.java:11-43`)."""
+    return index.term_stats.select("term").orderBy("term")

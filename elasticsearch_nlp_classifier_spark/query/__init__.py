@@ -1,0 +1,2 @@
+from .bm25 import analyze_queries, bm25_topk, match_filter  # noqa: F401
+from .oracle import bm25_oracle  # noqa: F401

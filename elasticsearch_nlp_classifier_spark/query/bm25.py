@@ -1,0 +1,116 @@
+"""BM25 top-k over the logical index — the match-query semantics the
+reference delegates to ES/Lucene (`matchQuery`, `ElasticsearchTest.java:57`;
+top-k from/size :60-61), re-expressed as one Catalyst plan.
+
+Engine scoring spec (documented here, implemented identically in the
+pandas oracle `oracle.py` and the WAND path `query/wand.py`):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))          # Lucene BM25
+    tf_hat(t,d) = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(q,d)  = Σ_{t ∈ unique(analyze(q)) ∩ d} idf(t) * tf_hat(t,d)
+
+k1 = 1.2, b = 0.75, float64 everywhere; duplicate query terms count once;
+ranking = (score DESC, doc_id ASC) — deterministic, rank-stable.
+
+Scale shape: query set is tiny → broadcast; postings never shuffle for
+the probe (broadcast hash join on term); the only shuffle is the
+groupBy(query_id, doc_id) partial/final agg, and the top-k window runs
+per query_id partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..analyzer.spark_udfs import analyze
+from ..index.build import LogicalIndex
+
+K1 = 1.2
+B = 0.75
+
+
+def idf_col(df_col, doc_count: int):
+    n = F.lit(float(doc_count))
+    return F.log(
+        F.lit(1.0) + (n - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def analyze_queries(queries: DataFrame, analyzer: str = "code") -> DataFrame:
+    """(query_id, term) — unique analyzed terms per query."""
+    return (
+        queries.select(
+            "query_id", F.explode(analyze("query_text", analyzer)).alias("term")
+        )
+        .distinct()
+    )
+
+
+def bm25_topk(
+    index: LogicalIndex,
+    queries: DataFrame,
+    k: int | None = None,
+    analyzer: str = "code",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) for the top-k docs per query.
+
+    ``k`` defaults to the per-query ``k`` column of ``queries`` when
+    present (FIXTURES F3), else 10.
+    """
+    stats = index.corpus_stats
+    qterms = analyze_queries(queries, analyzer)
+    qterms = qterms.join(index.term_stats, "term").withColumn(
+        "idf", idf_col(F.col("df"), stats["doc_count"])
+    )
+
+    avgdl = F.lit(float(stats["avgdl"]) or 1.0)
+    scored = (
+        index.postings.join(
+            F.broadcast(qterms.select("query_id", "term", "idf")), "term"
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / avgdl)
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+
+    if k is not None:
+        topk = ranked.where(F.col("rank") <= F.lit(int(k)))
+    elif "k" in queries.columns:
+        topk = ranked.join(
+            F.broadcast(queries.select("query_id", "k")), "query_id"
+        ).where(F.col("rank") <= F.col("k"))
+    else:
+        topk = ranked.where(F.col("rank") <= 10)
+
+    return topk.select("query_id", "rank", "doc_id", "score").orderBy(
+        "query_id", "rank"
+    )
+
+
+def match_filter(
+    index: LogicalIndex, query_text: str, analyzer: str = "code"
+) -> DataFrame:
+    """Unranked matchQuery-as-filter (P5): doc_ids containing ANY analyzed
+    query token."""
+    spark = index.postings.sparkSession
+    q = spark.createDataFrame([(0, query_text)], "query_id int, query_text string")
+    terms = analyze_queries(q, analyzer).select("term")
+    return (
+        index.postings.join(F.broadcast(terms), "term")
+        .select("doc_id").distinct()
+    )

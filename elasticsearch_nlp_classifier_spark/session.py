@@ -1,0 +1,44 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Tuned for correctness-at-scale defaults: AQE on (runtime coalesce +
+skew-join backstop), Arrow transfers on, sane shuffle partition count.
+On a real cluster these come from spark-submit conf; locally this is the
+single place tests/jobs get a session from.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "elasticsearch-nlp-classifier-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    cores = master[master.find("[") + 1: master.find("]")] if "[" in master else "32"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores == "*" else max(8, int(cores))
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,28 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from elasticsearch_nlp_classifier_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8,
+                      app_name="pytest")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus_sf_tiny(spark, tmp_path_factory):
+    """200-doc corpus (FIXTURES F1 sf-tiny) with doc_ids, written+reloaded
+    through parquet so tests exercise the real source path."""
+    from elasticsearch_nlp_classifier_spark.corpus import (
+        assign_doc_ids,
+        write_corpus,
+    )
+
+    path = str(tmp_path_factory.mktemp("corpus") / "sf_tiny")
+    write_corpus(spark, 200, path, partitions=8)
+    docs = spark.read.parquet(f"{path}/corpus_docs.parquet")
+    docs = assign_doc_ids(docs).cache()
+    docs.count()
+    return {"docs": docs, "path": path}
