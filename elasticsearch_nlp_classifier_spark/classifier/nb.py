@@ -1,0 +1,249 @@
+"""Multinomial Naive Bayes — the reference's classifier layer
+(`v1/classifier/OpenNLPClassifier.java:26-110`, NAIVEBAYES doccat), as
+pure DataFrame aggregations from the same term-frequency aggregates the
+index build uses (SURVEY §2.4 A8/A9).
+
+Engine spec (documented; the pandas oracle implements it identically):
+
+    prior(c)      = ln(docs_c / docs_total)
+    ll(c, t)      = ln((count(c,t) + α) / (total_c + α·V))      α = 1.0
+    default(c)    = ln(α / (total_c + α·V))                     # unseen-in-c
+    score(d, c)   = prior(c) + Σ_{t ∈ d ∩ V} tf(d,t) · ll*(c,t)
+    prediction(d) = argmax_c score(d,c), ties → class name ASC
+
+Tokens absent from the training vocabulary V are ignored.  The k-fold
+split is the reference's deterministic ``_id % k`` script query
+(`OpenNLPClassifierES.java:31-33`).
+
+Scale shape: the model is tiny (|V|·|classes| rows) → broadcast to the
+scoring join; scoring itself is one shuffle (groupBy doc_id, label) and
+one small argmax window.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..analyzer.spark_udfs import analyze_fields
+
+ALPHA = 1.0
+
+
+@dataclass
+class NBModel:
+    priors: DataFrame       # (label, log_prior, default_ll)
+    likelihood: DataFrame   # (label, term, ll)
+    vocab: DataFrame        # (term)
+    vocab_size: int
+    labels: list[str]
+
+
+def _doc_tokens(
+    docs: DataFrame,
+    text_cols: list[str],
+    analyzer: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, term, cnt) — multi-field tokenize+concat (T8) then tf."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(analyze_fields(text_cols, analyzer)).alias("term"),
+        )
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_nb(
+    docs: DataFrame,
+    text_cols: list[str],
+    label_col: str,
+    analyzer: str = "default",
+    id_col: str = "id",
+    alpha: float = ALPHA,
+) -> NBModel:
+    """Train on rows whose label is present and non-empty (P9,
+    `FilteredJsonDocumentStream.java:30-47`)."""
+    labeled = docs.where(
+        F.col(label_col).isNotNull() & (F.col(label_col) != "")
+    )
+    toks = _doc_tokens(labeled, text_cols, analyzer, id_col)
+    lab = labeled.select(F.col(id_col).alias("_id"),
+                         F.col(label_col).alias("label"))
+    term_counts = (
+        toks.join(lab, "_id")
+        .groupBy("label", "term")
+        .agg(F.sum("cnt").alias("count"))
+    ).cache()
+
+    vocab = term_counts.select("term").distinct().cache()
+    v = vocab.count()
+
+    class_totals = term_counts.groupBy("label").agg(
+        F.sum("count").alias("total")
+    )
+    doc_counts = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = labeled.count()
+
+    priors = (
+        doc_counts.join(class_totals, "label", "left")
+        .na.fill({"total": 0})
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.lit(float(n_total))).alias("log_prior"),
+            F.log(
+                F.lit(alpha)
+                / (F.col("total") + F.lit(alpha) * F.lit(float(v)))
+            ).alias("default_ll"),
+            "total",
+        )
+    ).cache()
+
+    likelihood = (
+        term_counts.join(priors.select("label", "total"), "label")
+        .select(
+            "label",
+            "term",
+            F.log(
+                (F.col("count") + F.lit(alpha))
+                / (F.col("total") + F.lit(alpha) * F.lit(float(v)))
+            ).alias("ll"),
+        )
+    ).cache()
+
+    labels = [r["label"] for r in priors.select("label").orderBy("label").collect()]
+    return NBModel(priors.drop("total"), likelihood, vocab, v, labels)
+
+
+def predict_nb(
+    model: NBModel,
+    docs: DataFrame,
+    text_cols: list[str],
+    analyzer: str = "default",
+    id_col: str = "id",
+    keep_scores: bool = False,
+) -> DataFrame:
+    """(id, prediction [, score]) — argmax_c of the documented score."""
+    toks = _doc_tokens(docs, text_cols, analyzer, id_col)
+    known = toks.join(F.broadcast(model.vocab), "term")
+    known_len = known.groupBy("_id").agg(F.sum("cnt").alias("known_cnt"))
+
+    # Σ cnt·(ll - default) for terms seen in class c, then add
+    # known_cnt·default(c) + prior(c); covers unseen-in-c terms exactly.
+    seen = (
+        known.join(F.broadcast(model.likelihood), "term")
+        .join(F.broadcast(model.priors.select("label", "default_ll")), "label")
+        .groupBy("_id", "label")
+        .agg(
+            F.sum(F.col("cnt") * (F.col("ll") - F.col("default_ll")))
+            .alias("seen_part")
+        )
+    )
+
+    all_ids = docs.select(F.col(id_col).alias("_id"))
+    base = (
+        all_ids.join(known_len, "_id", "left").na.fill({"known_cnt": 0})
+        .crossJoin(F.broadcast(model.priors))
+        .join(seen, ["_id", "label"], "left")
+        .na.fill({"seen_part": 0.0})
+        .withColumn(
+            "score",
+            F.col("log_prior")
+            + F.col("known_cnt") * F.col("default_ll")
+            + F.col("seen_part"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("label"))
+    out = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("label").alias("prediction"),
+            F.col("score"),
+        )
+    )
+    return out if keep_scores else out.drop("score")
+
+
+def accuracy(
+    docs: DataFrame, predictions: DataFrame, label_col: str, id_col: str = "id"
+) -> float:
+    """A6 (`OpenNLPClassifier.java:93-110`)."""
+    joined = docs.select(id_col, label_col).join(predictions, id_col)
+    row = joined.agg(
+        F.avg(
+            (F.col(label_col) == F.col("prediction")).cast("double")
+        ).alias("acc")
+    ).collect()[0]
+    return float(row["acc"]) if row["acc"] is not None else float("nan")
+
+
+def kfold_validation(
+    docs: DataFrame,
+    text_cols: list[str],
+    label_col: str,
+    k: int = 3,
+    analyzer: str = "default",
+    id_col: str = "id",
+) -> dict:
+    """X1/X3/A10: deterministic id%k folds, train on k-1, mean accuracy
+    (`OpenNLPClassifierES.java:20-58`)."""
+    labeled = docs.where(
+        F.col(label_col).isNotNull() & (F.col(label_col) != "")
+    ).cache()
+    accs = []
+    for fold in range(k):
+        train = labeled.where(F.pmod(F.col(id_col), F.lit(k)) != fold)
+        test = labeled.where(F.pmod(F.col(id_col), F.lit(k)) == fold)
+        model = train_nb(train, text_cols, label_col, analyzer, id_col)
+        preds = predict_nb(model, test, text_cols, analyzer, id_col)
+        accs.append(accuracy(test, preds, label_col, id_col))
+    return {"fold_accuracies": accs, "mean_accuracy": sum(accs) / k}
+
+
+def enrich(
+    docs: DataFrame,
+    predictions: DataFrame,
+    target_col: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """J2 + P11: left-join predictions, write only where changed
+    (null-safe, missing → ''), mirroring
+    `OpenNLPEnricher.java:96-112` / `OpenNLPMultiEnricher.java:142-168`.
+    Returns the update set (id, <target_col>) — the MERGE source."""
+    pred = predictions.withColumnRenamed("prediction", "_pred")
+    joined = docs.select(id_col, target_col).join(pred, id_col, "left")
+    changed = joined.where(
+        F.col("_pred").isNotNull()
+        & ~F.coalesce(F.col(target_col), F.lit("")).eqNullSafe(F.col("_pred"))
+    )
+    return changed.select(id_col, F.col("_pred").alias(target_col))
+
+
+def multi_enrich(
+    docs: DataFrame,
+    text_cols: list[str],
+    target_cols: list[str],
+    analyzer: str = "default",
+    id_col: str = "id",
+) -> DataFrame:
+    """J3: one model per target over a single cached scan
+    (`OpenNLPMultiEnricher.java:93-163`), predictions combined into one
+    per-doc update row; Spark DAG reuse replaces the reference's
+    MultiplexIterators."""
+    docs = docs.cache()
+    out = None
+    for target in target_cols:
+        model = train_nb(docs, text_cols, target, analyzer, id_col)
+        preds = predict_nb(model, docs, text_cols, analyzer, id_col)
+        upd = enrich(docs, preds, target, id_col).withColumnRenamed(
+            target, f"pred_{target}"
+        )
+        out = upd if out is None else out.join(upd, id_col, "full_outer")
+    return out

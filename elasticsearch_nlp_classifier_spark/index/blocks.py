@@ -1,0 +1,377 @@
+"""Physical index layout: per-term docID-sorted posting blocks,
+delta+varbyte compressed, with block-max metadata for WAND pruning —
+the Lucene segment/skip-list layout re-created as a columnar table
+(SURVEY §4.2; north rule: posting-list construction, merge, compression).
+
+Layout table ``blocks`` (parquet, hive-partitioned by ``tb`` = term
+bucket for partition pruning at query time):
+
+    term        string   analyzed term
+    salt        int      doc-range shard of a skewed term (0 for cold)
+    block_id    int      ordinal within (term, salt)
+    n           int      postings in block (<= block_size)
+    first_doc   bigint   min docID in block
+    last_doc    bigint   max docID in block
+    max_tfhat   double   max_t tf/(tf + k1(1-b+b·dl/avgdl)) in block
+    docs_vb     binary   varbyte(delta(docIDs))      (first absolute)
+    tfs_vb      binary   varbyte(tfs)
+    dls_vb      binary   varbyte(dls)
+
+**Skew handling** (north rule: 'the'/'import'-grade terms): terms with
+df > ``salt_threshold`` are split into ``n_salts`` *contiguous docID
+ranges* (salt = docID·S/(N+1)), so one reducer never owns a hot term's
+whole posting list.  Range (not hash) salting keeps each salt's blocks
+doc-disjoint and ordered, so the per-term global block sequence is just
+(salt ASC, block_id ASC) — the "merge" of salted runs is a metadata-only
+concatenation, never a posting re-sort (SURVEY §4.3).
+
+**Checkpoint/resume**: the build loops over term buckets; each bucket
+writes its parquet partition plus a JSON manifest (rows, postings,
+bytes, sha256 of the logical block content, wall time).  A re-run skips
+buckets whose manifest is already present — kill-and-rerun produces a
+byte-identical logical index (tested).  Lineage of every stage is
+appended to ``lineage.jsonl``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import LogicalIndex, build_logical_index
+from .codec import delta_encode, vb_encode
+
+K1 = 1.2
+B = 0.75
+
+BLOCK_SCHEMA = (
+    "term string, salt int, block_id int, n int, first_doc bigint, "
+    "last_doc bigint, max_tfhat double, docs_vb binary, tfs_vb binary, "
+    "dls_vb binary"
+)
+
+
+def _encode_group(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.DataFrame:
+    """Encode one (term, salt) posting run into blocks. Input columns:
+    term, salt, doc_id, tf, dl."""
+    pdf = pdf.sort_values("doc_id")
+    docs = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    dls = pdf["dl"].to_numpy(np.int64)
+    tfhat = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    term = pdf["term"].iloc[0]
+    salt = int(pdf["salt"].iloc[0])
+    rows = []
+    for b, s in enumerate(range(0, len(docs), block_size)):
+        e = min(s + block_size, len(docs))
+        d = docs[s:e]
+        rows.append(
+            {
+                "term": term,
+                "salt": salt,
+                "block_id": b,
+                "n": e - s,
+                "first_doc": int(d[0]),
+                "last_doc": int(d[-1]),
+                "max_tfhat": float(tfhat[s:e].max()),
+                "docs_vb": vb_encode(delta_encode(d).astype(np.uint64)),
+                "tfs_vb": vb_encode(tfs[s:e].astype(np.uint64)),
+                "dls_vb": vb_encode(dls[s:e].astype(np.uint64)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def encode_blocks(
+    postings: DataFrame,
+    avgdl: float,
+    doc_count: int,
+    block_size: int = 128,
+    n_salts: int = 16,
+    salt_threshold: int = 50_000,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """postings (doc_id, term, tf, dl) -> blocks DataFrame.
+
+    Hot terms (df > salt_threshold) get range-salted across ``n_salts``
+    reducers; the repartition(term, salt) is the build's only wide
+    dependency.  Encoding runs as ONE ``mapInPandas`` per shuffle
+    partition over (term, salt, doc_id)-sorted rows — groups are
+    contiguous, and a carry buffer stitches groups that straddle Arrow
+    batch boundaries, so there is no per-group Arrow round-trip (54k
+    tiny applyInPandas groups were the original build bottleneck)."""
+    df_per_term = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    hot = df_per_term.where(F.col("df") > salt_threshold).select("term")
+    p = postings.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), "term", "left")
+    p = p.withColumn(
+        "salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            ((F.col("doc_id") - 1) * n_salts / F.lit(doc_count + 1))
+            .cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+
+    n_shuffle = shuffle_partitions or postings.sparkSession.sparkContext.defaultParallelism
+    sorted_p = (
+        p.select("term", "salt", "doc_id", "tf", "dl")
+        .repartition(n_shuffle, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+    )
+
+    out_schema = BLOCK_SCHEMA
+
+    def encode_partition(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the (possibly incomplete) trailing group
+            last_term = pdf["term"].iloc[-1]
+            last_salt = pdf["salt"].iloc[-1]
+            tail_mask = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
+            carry = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            if len(head):
+                yield _encode_partition_groups(head, block_size, avgdl)
+        if carry is not None and len(carry):
+            yield _encode_partition_groups(carry, block_size, avgdl)
+
+    return sorted_p.mapInPandas(encode_partition, out_schema)
+
+
+def _encode_partition_groups(
+    pdf: pd.DataFrame, block_size: int, avgdl: float
+) -> pd.DataFrame:
+    """Encode all contiguous (term, salt) groups of a sorted chunk."""
+    outs = [
+        _encode_group(grp, block_size, avgdl)
+        for _, grp in pdf.groupby(["term", "salt"], sort=False)
+    ]
+    return pd.concat(outs, ignore_index=True)
+
+
+N_TERM_BUCKETS = 16
+
+
+def term_bucket(col, n_buckets: int = N_TERM_BUCKETS):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class PhysicalIndex:
+    path: str
+    spark: SparkSession
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/blocks")
+
+    @property
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/term_stats")
+
+    @property
+    def corpus_stats(self) -> dict:
+        with open(f"{self.path}/corpus_stats.json") as f:
+            return json.load(f)
+
+    def logical_postings(self) -> DataFrame:
+        """Decode every block back to (doc_id, term, tf, dl) — integrity
+        test surface (full-decode == pre-compression postings)."""
+        import pyarrow  # noqa: F401  (arrow batches)
+        from .codec import segmented_delta_decode, vb_decode
+
+        def decode(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                outs = []
+                for r in pdf.itertuples():
+                    docs = segmented_delta_decode(
+                        vb_decode(r.docs_vb).astype(np.int64), np.array([r.n])
+                    )
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": docs,
+                                "term": r.term,
+                                "tf": vb_decode(r.tfs_vb).astype(np.int64),
+                                "dl": vb_decode(r.dls_vb).astype(np.int64),
+                            }
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True)
+
+        return self.blocks.mapInPandas(
+            decode, "doc_id bigint, term string, tf bigint, dl bigint"
+        )
+
+
+def _lineage(path: str, stage: str, **metrics) -> None:
+    rec = {"stage": stage, **metrics}
+    with open(f"{path}/lineage.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def _manifest_agg(blocks: DataFrame, group_col: str | None) -> DataFrame:
+    """Distributed, order-independent logical checksum + size metrics.
+
+    Per-block sha256 over the logical content; bucket checksum = sum of
+    the first 15 hex digits (as decimal) — order-independent so it is
+    invariant to task scheduling, collision-negligible for integrity/
+    resume-identity purposes."""
+    h = F.sha2(
+        F.concat(
+            F.encode(
+                F.concat_ws(
+                    "|", "term", "salt", "block_id", "n",
+                    "first_doc", "last_doc",
+                ),
+                "utf-8",
+            ),
+            "docs_vb", "tfs_vb", "dls_vb",
+        ),
+        256,
+    )
+    enriched = blocks.withColumn("_h", F.conv(F.substring(h, 1, 15), 16, 10)
+                                 .cast("decimal(38,0)"))
+    aggs = [
+        F.count(F.lit(1)).alias("blocks"),
+        F.sum("n").alias("postings"),
+        F.sum(F.length("docs_vb") + F.length("tfs_vb") + F.length("dls_vb"))
+        .alias("payload_bytes"),
+        F.sum("_h").alias("hsum"),
+    ]
+    if group_col:
+        return enriched.groupBy(group_col).agg(*aggs)
+    return enriched.agg(*aggs)
+
+
+def _manifest_dict(row, bucket: int, wall_s: float) -> dict:
+    return {
+        "bucket": bucket,
+        "blocks": row["blocks"],
+        "postings": int(row["postings"] or 0),
+        "payload_bytes": int(row["payload_bytes"] or 0),
+        "checksum": str(row["hsum"] or 0),
+        "wall_s": round(wall_s, 2),
+    }
+
+
+def build_physical_index(
+    docs: DataFrame,
+    out_path: str,
+    text_col: str = "content",
+    analyzer: str = "code",
+    block_size: int = 128,
+    n_salts: int = 16,
+    salt_threshold: int = 50_000,
+    n_buckets: int = N_TERM_BUCKETS,
+    resume: bool = True,
+    incremental: bool = False,
+    fail_after_bucket: int | None = None,
+    logical: LogicalIndex | None = None,
+) -> PhysicalIndex:
+    """Checkpointed build: logical index -> block encode + per-bucket
+    manifests.
+
+    Two physical strategies, identical output:
+
+    - **one-shot** (default): a single partitionBy(tb) write of every
+      bucket, then one grouped pass computing all bucket manifests —
+      minimal job count, the throughput path.
+    - **incremental** (``incremental=True`` or a partially-built
+      ``out_path``): per-bucket encode+write+manifest loop; buckets with
+      an existing manifest are skipped, which is the resume path after a
+      mid-build failure.
+
+    ``fail_after_bucket`` injects a crash after N completed buckets
+    (resume tests only)."""
+    spark = docs.sparkSession
+    os.makedirs(out_path, exist_ok=True)
+    t0 = time.time()
+    manifest_dir = f"{out_path}/manifests"
+    os.makedirs(manifest_dir, exist_ok=True)
+    existing = {
+        int(f.split("_")[1].split(".")[0])
+        for f in os.listdir(manifest_dir)
+        if f.startswith("bucket_")
+    } if resume else set()
+    if existing:
+        incremental = True  # partial build present -> only fill the gaps
+
+    idx = logical or build_logical_index(docs, text_col, analyzer)
+    postings = idx.postings.withColumn("tb", term_bucket(F.col("term"), n_buckets))
+    postings = postings.cache()
+    n_postings = postings.count()
+    _lineage(out_path, "postings", rows=n_postings, wall_s=round(time.time() - t0, 2))
+
+    # global stats (small) — written once, idempotent
+    idx.term_stats.write.mode("overwrite").parquet(f"{out_path}/term_stats")
+    with open(f"{out_path}/corpus_stats.json", "w") as f:
+        json.dump(idx.corpus_stats, f)
+    _lineage(out_path, "stats", terms=idx.term_stats.count())
+
+    avgdl = idx.corpus_stats["avgdl"] or 1.0
+    doc_count = idx.corpus_stats["doc_count"]
+    enc_kw = dict(avgdl=avgdl, doc_count=doc_count, block_size=block_size,
+                  n_salts=n_salts, salt_threshold=salt_threshold)
+
+    if not incremental and fail_after_bucket is None:
+        tb0 = time.time()
+        blocks = encode_blocks(postings.drop("tb"), **enc_kw).withColumn(
+            "tb", term_bucket(F.col("term"), n_buckets)
+        )
+        blocks.write.mode("overwrite").partitionBy("tb").parquet(
+            f"{out_path}/blocks"
+        )
+        written = spark.read.parquet(f"{out_path}/blocks")
+        wall = time.time() - tb0
+        rows = _manifest_agg(written, "tb").collect()
+        for row in rows:
+            manifest = _manifest_dict(row, int(row["tb"]), wall)
+            with open(f"{manifest_dir}/bucket_{row['tb']}.json", "w") as f:
+                json.dump(manifest, f)
+            _lineage(out_path, "blocks_bucket", **manifest)
+        # buckets with zero blocks still need an (empty) manifest
+        seen = {int(r["tb"]) for r in rows}
+        for b in set(range(n_buckets)) - seen:
+            manifest = {"bucket": b, "blocks": 0, "postings": 0,
+                        "payload_bytes": 0, "checksum": "0", "wall_s": 0.0}
+            with open(f"{manifest_dir}/bucket_{b}.json", "w") as f:
+                json.dump(manifest, f)
+            _lineage(out_path, "blocks_bucket", **manifest)
+    else:
+        done = 0
+        for b in range(n_buckets):
+            if b in existing:
+                continue
+            tb0 = time.time()
+            bucket_blocks = encode_blocks(
+                postings.where(F.col("tb") == b).drop("tb"), **enc_kw
+            )
+            target = f"{out_path}/blocks/tb={b}"
+            bucket_blocks.write.mode("overwrite").parquet(target)
+            row = _manifest_agg(spark.read.parquet(target), None).collect()[0]
+            manifest = _manifest_dict(row, b, time.time() - tb0)
+            with open(f"{manifest_dir}/bucket_{b}.json", "w") as f:
+                json.dump(manifest, f)
+            _lineage(out_path, "blocks_bucket", **manifest)
+            done += 1
+            if fail_after_bucket is not None and done > fail_after_bucket:
+                raise RuntimeError(f"injected failure after bucket {b}")
+
+    _lineage(out_path, "build_done", wall_s=round(time.time() - t0, 2),
+             postings=n_postings)
+    postings.unpersist()
+    return PhysicalIndex(out_path, spark)

@@ -1,0 +1,169 @@
+"""Block-max pruned BM25 top-k over the compressed index.
+
+Variant of block-max WAND (Ding & Suel 2011 — public algorithm) adapted
+to a batch engine, exact by construction:
+
+1. **Candidate pruning at the scan**: query terms → term buckets →
+   parquet *partition pruning* on ``tb``, plus a broadcast join on
+   ``term`` — only the query terms' blocks are ever read.
+2. **Champion seeding**: the query term with the largest single-term
+   upper bound is decoded exactly; the k-th best single-term score is a
+   valid lower bound θ of the final k-th best total (every total ≥ its
+   own single-term contribution, so the final k-th best ≥ θ).
+3. **Block-max interval pruning**: sweep the docID axis; for each
+   elementary interval the sum of covering blocks' upper bounds
+   (ub = idf·max_tfhat) bounds any doc's total score there.  Blocks
+   whose entire span never reaches θ are skipped *without decoding* —
+   the block-max skip of BMW at block granularity.
+4. Surviving blocks: one concatenated varbyte decode (self-delimiting
+   streams), segmented delta-cumsum, vectorized BM25 contributions,
+   bincount aggregation, exact top-k with (score DESC, doc_id ASC).
+
+Exactness: a doc only in skipped regions has total ≤ interval UB < θ ≤
+final k-th score, so it cannot enter the top-k.  Scores of surviving
+docs are computed from *all* their postings (a surviving block is
+decoded in full), in term-sorted order — the same float64 summation
+order as the brute-force path and the pandas oracle.
+
+Scale shape: one task per query (queries parallelize across the set);
+per-query work is bounded by pruned-block decode, not by posting count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.blocks import N_TERM_BUCKETS, PhysicalIndex, term_bucket
+from ..index.codec import segmented_delta_decode, vb_decode
+from .bm25 import analyze_queries, idf_col
+
+RESULT_SCHEMA = "query_id bigint, rank int, doc_id bigint, score double"
+
+
+def _topk_one_query(pdf: pd.DataFrame) -> pd.DataFrame:
+    """pdf: candidate blocks of ONE query, columns: query_id, k, term,
+    idf, first_doc, last_doc, max_tfhat, n, docs_vb, tfs_vb, dls_vb."""
+    if not len(pdf):
+        return pd.DataFrame(
+            columns=["query_id", "rank", "doc_id", "score"]
+        ).astype({"query_id": "int64", "rank": "int32",
+                  "doc_id": "int64", "score": "float64"})
+    query_id = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    pdf = pdf.sort_values(["term", "first_doc"]).reset_index(drop=True)
+    ub = (pdf["idf"] * pdf["max_tfhat"]).to_numpy(np.float64)
+
+    # --- champion seeding: exact-decode the strongest term
+    theta = -np.inf
+    per_term_max = pdf.assign(_ub=ub).groupby("term")["_ub"].max()
+    if len(per_term_max) > 1:  # pruning pointless for single-term queries
+        champion = per_term_max.idxmax()
+        cmask = (pdf["term"] == champion).to_numpy()
+        cscores = _exact_scores(pdf[cmask])
+        if len(cscores) >= k:
+            theta = np.partition(cscores["score"].to_numpy(), -k)[-k]
+
+        # --- interval sweep: max covering-UB per block span
+        lo = pdf["first_doc"].to_numpy(np.int64)
+        hi = pdf["last_doc"].to_numpy(np.int64)
+        events = np.concatenate([lo, hi + 1])
+        deltas = np.concatenate([ub, -ub])
+        order = np.argsort(events, kind="stable")
+        pts, inv = np.unique(events[order], return_inverse=True)
+        cov = np.zeros(len(pts))
+        np.add.at(cov, inv, deltas[order])
+        cov = np.cumsum(cov)  # coverage on [pts[i], pts[i+1])
+        # running max of cov over [i1..i2] per block via prefix trick
+        i1 = np.searchsorted(pts, lo, side="right") - 1
+        i2 = np.searchsorted(pts, hi, side="right") - 1
+        keep = np.zeros(len(pdf), dtype=bool)
+        for j in range(len(pdf)):  # ≤ blocks-per-query, metadata only
+            keep[j] = cov[i1[j]: i2[j] + 1].max() >= theta
+        pdf = pdf[keep].reset_index(drop=True)
+
+    scores = _exact_scores(pdf)
+    if not len(scores):
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int32"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+    s = scores["score"].to_numpy()
+    d = scores["doc_id"].to_numpy()
+    cand = np.lexsort((d, -s))[:k]  # (score DESC, doc_id ASC)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(len(cand), query_id, dtype=np.int64),
+            "rank": np.arange(1, len(cand) + 1, dtype=np.int32),
+            "doc_id": d[cand],
+            "score": s[cand],
+        }
+    )
+
+
+def _exact_scores(blocks: pd.DataFrame) -> pd.DataFrame:
+    """Decode blocks (one concatenated varbyte pass) and aggregate exact
+    per-doc BM25 contributions, term-sorted accumulation order."""
+    if not len(blocks):
+        return pd.DataFrame({"doc_id": [], "score": []})
+    ns = blocks["n"].to_numpy(np.int64)
+    docs = segmented_delta_decode(
+        vb_decode(b"".join(blocks["docs_vb"])).astype(np.int64), ns
+    )
+    tfs = vb_decode(b"".join(blocks["tfs_vb"])).astype(np.float64)
+    dls = vb_decode(b"".join(blocks["dls_vb"])).astype(np.float64)
+    idf = np.repeat(blocks["idf"].to_numpy(np.float64), ns)
+    avgdl = np.repeat(blocks["avgdl"].to_numpy(np.float64), ns)
+    contrib = idf * tfs / (tfs + 1.2 * (0.25 + 0.75 * dls / avgdl))
+    uniq, inv = np.unique(docs, return_inverse=True)
+    sums = np.bincount(inv, weights=contrib)
+    return pd.DataFrame({"doc_id": uniq, "score": sums})
+
+
+def wand_topk(
+    index: PhysicalIndex,
+    queries: DataFrame,
+    k: int | None = None,
+    analyzer: str = "code",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — exact BM25 top-k via the
+    compressed index with block-max pruning."""
+    stats = index.corpus_stats
+    doc_count = stats["doc_count"]
+    avgdl = float(stats["avgdl"]) or 1.0
+
+    qterms = analyze_queries(queries, analyzer)
+    qterms = (
+        qterms.join(index.term_stats, "term")
+        .withColumn("idf", idf_col(F.col("df"), doc_count))
+        .withColumn("tb", term_bucket(F.col("term"), n_buckets))
+    )
+    if k is not None:
+        qk = queries.select("query_id", F.lit(int(k)).alias("k"))
+    elif "k" in queries.columns:
+        qk = queries.select("query_id", F.col("k").cast("int").alias("k"))
+    else:
+        qk = queries.select("query_id", F.lit(10).alias("k"))
+    qterms = qterms.join(F.broadcast(qk), "query_id")
+
+    # collect the (tiny) query-term set to push bucket pruning into the scan
+    q_pdf = qterms.select("query_id", "term", "idf", "tb", "k").toPandas()
+    if q_pdf.empty:
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    buckets = sorted(q_pdf["tb"].unique().tolist())
+
+    blocks = index.blocks.where(F.col("tb").isin(buckets)).drop("tb")
+    qdf = index.spark.createDataFrame(q_pdf.drop(columns=["tb"]))
+    cand = blocks.join(F.broadcast(qdf), "term").withColumn(
+        "avgdl", F.lit(avgdl)
+    )
+
+    out = cand.groupBy("query_id").applyInPandas(
+        lambda pdf: _topk_one_query(pdf), RESULT_SCHEMA
+    )
+    return out.orderBy("query_id", "rank")
