@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2 +
+training-data pipeline ops) over the driver testdata; ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for the value-hash correctness
+gate.  Text queries use the ``simple_code`` analyzer (lowercase +
+``[a-z0-9]+`` extraction) because it is exactly expressible in both
+engines; the full reference analyzer chain (twitter split + stopwords +
+Porter2) is parity-tested in ``tests/`` against the reference's own
+golden token arrays instead.
+
+Float-safety conventions for the hash compare: every float column is
+``round(x, 6)``; every ranking orders by ``round(score, 9) DESC, id``;
+NB scores are never emitted (argmax only).
 """
 
 from __future__ import annotations
@@ -12,27 +19,635 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# --- shared SQL fragments (DuckDB dialect) ---------------------------------
+
+_TOKS = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+)"""
+
+_TF = _TOKS + """,
+posts AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM posts GROUP BY 1, 2)"""
+
+_BM25_BASE = _TF + """,
+dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM toks WHERE len(w) > 0),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+corpus AS (SELECT count(*)::BIGINT AS n,
+                  sum(dl)::DOUBLE / count(*) AS avgdl FROM dl)"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _logical_index(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.index import build_logical_index
+
+    docs = _docs(spark, sf_dir)
+    return build_logical_index(
+        docs, text_col="text", analyzer="simple_code", doc_id_col="doc_id"
+    )
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents + 5 planted exact duplicates (ids +10000) — replicated
+    verbatim in the oracle SQL."""
+    docs = _docs(spark, sf_dir)
+    dups = docs.where(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    return docs.unionByName(dups)
+
+
+_DUPS_SQL = """
+docs_dup AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 5
+)"""
+
+
+# --- queries ----------------------------------------------------------------
+
+def q_a1_term_freq(spark, sf_dir):
+    idx = _logical_index(spark, sf_dir)
+    return idx.postings.select(
+        "doc_id", "term", F.col("tf").cast("bigint").alias("tf")
+    )
+
+
+def q_a2_a3_term_stats(spark, sf_dir):
+    idx = _logical_index(spark, sf_dir)
+    return idx.term_stats.select(
+        "term",
+        F.col("df").cast("bigint").alias("df"),
+        F.col("ttf").cast("bigint").alias("ttf"),
+    )
+
+
+def q_a4_field_stats(spark, sf_dir):
+    idx = _logical_index(spark, sf_dir)
+    return idx.postings.agg(
+        F.countDistinct("doc_id").alias("doc_count"),
+        F.sum("tf").cast("bigint").alias("sum_ttf"),
+        F.count(F.lit(1)).alias("sum_doc_freq"),
+        F.round(F.sum("tf") / F.countDistinct("doc_id"), 6).alias("avgdl"),
+    )
+
+
+def q_a5_vocabulary(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.index import vocabulary
+
+    return vocabulary(_logical_index(spark, sf_dir))
+
+
+def q_a7_bm25_topk(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.query import bm25_topk
+
+    idx = _logical_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(1, "data value table")], "query_id int, query_text string"
+    )
+    scored = bm25_topk(idx, q, k=10_000_000, analyzer="simple_code")
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score_r6"),
+        )
+    )
+
+
+def q_a7_bm25_skewed_term(spark, sf_dir):
+    """Single hottest-term query (max-df term in the corpus) — the skew
+    probe."""
+    from elasticsearch_nlp_classifier_spark.query import bm25_topk
+
+    idx = _logical_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(1, "the")], "query_id int, query_text string"
+    )
+    scored = bm25_topk(idx, q, k=10_000_000, analyzer="simple_code")
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score_r6"),
+        )
+    )
+
+
+def _nb_model(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.classifier import train_nb
+
+    docs = _docs(spark, sf_dir)
+    return train_nb(
+        docs, ["text"], "lang", analyzer="simple_code", id_col="doc_id"
+    ), docs
+
+
+def q_a8_nb_likelihood(spark, sf_dir):
+    model, _ = _nb_model(spark, sf_dir)
+    return model.likelihood.select(
+        "label", "term", F.round("ll", 6).alias("ll_r6")
+    )
+
+
+def q_a9_nb_predict(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.classifier import predict_nb
+
+    model, docs = _nb_model(spark, sf_dir)
+    return predict_nb(
+        model, docs, ["text"], analyzer="simple_code", id_col="doc_id",
+        tie_round=9,
+    ).select("doc_id", "prediction")
+
+
+def q_a6_accuracy(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.classifier import predict_nb
+
+    model, docs = _nb_model(spark, sf_dir)
+    preds = predict_nb(
+        model, docs, ["text"], analyzer="simple_code", id_col="doc_id",
+        tie_round=9,
+    )
+    joined = docs.select("doc_id", "lang").join(preds, "doc_id")
+    return joined.agg(
+        F.round(
+            F.avg((F.col("lang") == F.col("prediction")).cast("double")), 6
+        ).alias("accuracy")
+    )
+
+
+def q_x1_kfold_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("fold", F.pmod(F.col("doc_id"), F.lit(3)).cast("bigint"))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("fold")
+    )
+
+
+def q_p_filters(spark, sf_dir):
+    """P2/P3/P4/P9/P11-shaped predicate stack."""
+    from elasticsearch_nlp_classifier_spark.functions import (
+        exists,
+        must,
+        must_not,
+        non_empty_label,
+        term_query,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cond = must(
+        exists("lang"),
+        non_empty_label("lang"),
+        must_not(term_query("source", "src0")),
+        F.col("n_chars") > 200,
+    )
+    return docs.where(cond).select("doc_id", "lang", "source")
+
+
+def q_p7_query_string(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.functions import compile_query_string
+
+    docs = _docs(spark, sf_dir)
+    col = compile_query_string(
+        '(lang:en OR lang:de) AND NOT source:src3 AND n_chars:2*',
+        default_field="text",
+    )
+    return docs.where(col).select("doc_id")
+
+
+def q_o1_topk(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_s4_term_vectors(spark, sf_dir):
+    """_mtermvectors surface: per-term stats for a probe doc set."""
+    idx = _logical_index(spark, sf_dir)
+    probe = idx.postings.where(F.col("doc_id") < 3)
+    return probe.join(idx.term_stats, "term").select(
+        "doc_id", "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.col("ttf").cast("bigint").alias("ttf"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.operators import exact_dup_groups
+
+    d = _docs_with_dups(spark, sf_dir)
+    return exact_dup_groups(d, "text", "doc_id").select(
+        "sha", F.col("n_dups").cast("bigint").alias("n_dups"), "keep_id"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.operators import ngram_jaccard_pairs
+
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (hash family not SQL-expressible —
+    rows-only check; exact-jaccard verification inside)."""
+    from elasticsearch_nlp_classifier_spark.operators import minhash_lsh_pairs
+
+    d = _docs_with_dups(spark, sf_dir)
+    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only check)."""
+    from elasticsearch_nlp_classifier_spark.operators import simhash_near_dup_pairs
+
+    d = _docs_with_dups(spark, sf_dir)
+    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.operators import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb, queries, k=5)
+    # re-rank on rounded score for cross-engine float safety
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc("vec_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            F.round("cos", 6).alias("cos_r6"),
+        )
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (random hyperplanes — rows-only check)."""
+    from elasticsearch_nlp_classifier_spark.operators import lsh_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_cosine_topk(emb, queries, dim=64, k=5, n_bits=32, bands=8)
+    return out.select(
+        "query_id", F.col("rank").cast("bigint").alias("rank"), "vec_id",
+        F.round("cos", 6).alias("cos_r6"),
+    )
+
+
+def q_text_token_counts(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.operators.textstats import token_count
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.operators.textstats import quality_stats
+
+    docs = _docs(spark, sf_dir)
+    q = quality_stats(docs, "text")
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("punct_ratio", 6).alias("punct_ratio_r6"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio_r6"),
+        F.round("quality_score", 6).alias("quality_r6"),
+    )
+
+
+def q_text_fingerprints(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("sha256"))
+
+
+def q_j2_enrich_updates(spark, sf_dir):
+    """Update-if-changed (J2+P11): NB lang prediction vs existing lang."""
+    from elasticsearch_nlp_classifier_spark.classifier import enrich, predict_nb
+
+    model, docs = _nb_model(spark, sf_dir)
+    preds = predict_nb(
+        model, docs, ["text"], analyzer="simple_code", id_col="doc_id",
+        tie_round=9,
+    )
+    return enrich(docs, preds, "lang", id_col="doc_id").select(
+        "doc_id", F.col("lang").alias("new_lang")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over the sf0.001 documents table."""
+    return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "a1_term_freq": q_a1_term_freq,
+        "a2_a3_term_stats": q_a2_a3_term_stats,
+        "a4_field_stats": q_a4_field_stats,
+        "a5_vocabulary": q_a5_vocabulary,
+        "a7_bm25_topk": q_a7_bm25_topk,
+        "a7_bm25_skewed_term": q_a7_bm25_skewed_term,
+        "a8_nb_likelihood": q_a8_nb_likelihood,
+        "a9_nb_predict": q_a9_nb_predict,
+        "a6_accuracy": q_a6_accuracy,
+        "x1_kfold_counts": q_x1_kfold_counts,
+        "p_filters": q_p_filters,
+        "p7_query_string": q_p7_query_string,
+        "o1_topk": q_o1_topk,
+        "s4_term_vectors": q_s4_term_vectors,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_fingerprints": q_text_fingerprints,
+        "j2_enrich_updates": q_j2_enrich_updates,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- DuckDB oracles ----------------------------------------------------------
+
+_NB_SQL_BASE = _TF + """,
+labeled AS (SELECT doc_id, lang AS label FROM documents
+            WHERE lang IS NOT NULL AND lang <> ''),
+term_counts AS (
+  SELECT l.label, tf.term, sum(tf.tf)::BIGINT AS cnt
+  FROM tf JOIN labeled l USING (doc_id) GROUP BY 1, 2
+),
+vocab AS (SELECT DISTINCT term FROM term_counts),
+v AS (SELECT count(*)::BIGINT AS v FROM vocab),
+class_totals AS (SELECT label, sum(cnt)::BIGINT AS total
+                 FROM term_counts GROUP BY 1),
+doc_counts AS (SELECT label, count(*)::BIGINT AS n_docs FROM labeled GROUP BY 1),
+n_total AS (SELECT count(*)::BIGINT AS n FROM labeled),
+priors AS (
+  SELECT d.label,
+         ln(d.n_docs / (SELECT n FROM n_total)::DOUBLE) AS log_prior,
+         ln(1.0 / (ct.total + (SELECT v FROM v))) AS default_ll,
+         ct.total AS total
+  FROM doc_counts d JOIN class_totals ct USING (label)
+),
+likelihood AS (
+  SELECT tc.label, tc.term,
+         ln((tc.cnt + 1.0) / (p.total + (SELECT v FROM v))) AS ll
+  FROM term_counts tc JOIN priors p USING (label)
+)"""
+
+_NB_PREDICT_SQL = _NB_SQL_BASE + """,
+known AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf
+          JOIN vocab USING (term)),
+known_len AS (SELECT doc_id, sum(tf)::BIGINT AS known_cnt
+              FROM known GROUP BY 1),
+all_docs AS (SELECT doc_id FROM documents),
+seen AS (
+  SELECT k.doc_id, l.label,
+         sum(k.tf * (l.ll - p.default_ll)) AS seen_part
+  FROM known k JOIN likelihood l USING (term)
+  JOIN priors p ON p.label = l.label
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT a.doc_id, p.label,
+         p.log_prior
+         + coalesce(kl.known_cnt, 0) * p.default_ll
+         + coalesce(s.seen_part, 0.0) AS score
+  FROM all_docs a
+  CROSS JOIN priors p
+  LEFT JOIN known_len kl ON kl.doc_id = a.doc_id
+  LEFT JOIN seen s ON s.doc_id = a.doc_id AND s.label = p.label
+),
+pred AS (
+  SELECT doc_id, label AS prediction,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 9) DESC, label ASC) AS rn
+  FROM scores
+)"""
+
+_BM25_SQL = _BM25_BASE + """,
+qt AS (SELECT DISTINCT unnest(list_filter(
+         string_split_regex(lower('{QUERY}'), '[^a-z0-9]+'),
+         x -> x <> '')) AS term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM corpus) - s.df + 0.5) / (s.df + 0.5))
+           * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM corpus)))
+           AS c
+  FROM tf
+  JOIN qt USING (term)
+  JOIN stats s USING (term)
+  JOIN dl USING (doc_id)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY 1),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS rank,
+         round(score, 6) AS score_r6
+  FROM scores
+)
+SELECT rank::BIGINT AS rank, doc_id, score_r6 FROM ranked WHERE rank <= 10"""
+
+_SHINGLES_SQL = """
+toks_d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+  FROM docs_dup
+),
+sh0 AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+         THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+         ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks_d
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_term_freq": f"WITH {_TF} SELECT doc_id, term, tf FROM tf",
+        "a2_a3_term_stats": f"""
+            WITH {_TF}
+            SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+            FROM tf GROUP BY term""",
+        "a4_field_stats": f"""
+            WITH {_TF}
+            SELECT count(DISTINCT doc_id)::BIGINT AS doc_count,
+                   sum(tf)::BIGINT AS sum_ttf,
+                   count(*)::BIGINT AS sum_doc_freq,
+                   round(sum(tf)::DOUBLE / count(DISTINCT doc_id), 6) AS avgdl
+            FROM tf""",
+        "a5_vocabulary": f"""
+            WITH {_TF} SELECT DISTINCT term FROM tf ORDER BY term""",
+        "a7_bm25_topk": "WITH " + _BM25_SQL.replace("{QUERY}", "data value table"),
+        "a7_bm25_skewed_term": "WITH " + _BM25_SQL.replace("{QUERY}", "the"),
+        "a8_nb_likelihood": f"""
+            WITH {_NB_SQL_BASE}
+            SELECT label, term, round(ll, 6) AS ll_r6 FROM likelihood""",
+        "a9_nb_predict": f"""
+            WITH {_NB_PREDICT_SQL}
+            SELECT doc_id, prediction FROM pred WHERE rn = 1""",
+        "a6_accuracy": f"""
+            WITH {_NB_PREDICT_SQL}
+            SELECT round(avg(CASE WHEN p.prediction = d.lang
+                                  THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+            FROM pred p JOIN documents d USING (doc_id) WHERE p.rn = 1""",
+        "x1_kfold_counts": """
+            SELECT (doc_id % 3)::BIGINT AS fold, count(*)::BIGINT AS n
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "p_filters": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE lang IS NOT NULL AND lang <> ''
+              AND NOT source = 'src0' AND n_chars > 200""",
+        "p7_query_string": """
+            SELECT doc_id FROM documents
+            WHERE (lang = 'en' OR lang = 'de')
+              AND NOT source = 'src3'
+              AND CAST(n_chars AS VARCHAR) LIKE '2%'""",
+        "o1_topk": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 10""",
+        "s4_term_vectors": f"""
+            WITH {_TF},
+            stats AS (SELECT term, count(*)::BIGINT AS df,
+                             sum(tf)::BIGINT AS ttf
+                      FROM tf GROUP BY 1)
+            SELECT tf.doc_id, tf.term, tf.tf, s.df, s.ttf
+            FROM tf JOIN stats s USING (term) WHERE tf.doc_id < 3""",
+        "dedup_exact": f"""
+            WITH {_DUPS_SQL}
+            SELECT sha256(text) AS sha, count(*)::BIGINT AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM docs_dup GROUP BY 1 HAVING count(*) > 1""",
+        "dedup_ngram_jaccard": f"""
+            WITH {_DUPS_SQL}, {_SHINGLES_SQL}
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard_r6
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""",
+        # dedup_minhash_lsh / dedup_simhash / ann_lsh: hash families not
+        # SQL-expressible -> rows-only checks (intentionally omitted)
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos, 9) DESC, vec_id ASC) AS rank,
+                     round(cos, 6) AS cos_r6
+              FROM scored
+            )
+            SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
+            FROM ranked WHERE rank <= 5""",
+        "text_token_counts": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> ''))::BIGINT AS n_tokens
+            FROM documents""",
+        "text_quality": _QUALITY_SQL,
+        "text_fingerprints": """
+            SELECT doc_id, sha256(text) AS sha256 FROM documents""",
+        "j2_enrich_updates": f"""
+            WITH {_NB_PREDICT_SQL}
+            SELECT d.doc_id, p.prediction AS new_lang
+            FROM pred p JOIN documents d USING (doc_id)
+            WHERE p.rn = 1
+              AND NOT coalesce(d.lang, '') = p.prediction""",
+    }
+
+
+_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tok,
+         length(text)::BIGINT AS n_char,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+         len(list_intersect(
+           list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '')),
+           ['the','and','of','to','is','in','that','it','for','with']
+         ))::BIGINT AS stop_hits
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_char > 0 THEN n_punct / n_char::DOUBLE ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_char > 0 THEN n_alpha / n_char::DOUBLE ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_tok > 0 THEN stop_hits / least(n_tok, 10)::DOUBLE ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM base
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round(punct_ratio, 6) AS punct_ratio_r6,
+       round(alpha_ratio, 6) AS alpha_ratio_r6,
+       round(0.25 * len_ok
+             + 0.25 * (1.0 - least(punct_ratio * 4, 1.0))
+             + 0.25 * least(alpha_ratio * 1.5, 1.0)
+             + 0.25 * least(stop_ratio, 1.0), 6) AS quality_r6
+FROM ratios"""

@@ -127,8 +127,13 @@ def predict_nb(
     analyzer: str = "default",
     id_col: str = "id",
     keep_scores: bool = False,
+    tie_round: int | None = None,
 ) -> DataFrame:
-    """(id, prediction [, score]) — argmax_c of the documented score."""
+    """(id, prediction [, score]) — argmax_c of the documented score.
+
+    ``tie_round``: round scores to N decimals before the argmax —
+    cross-engine determinism knob for oracle comparisons (float64 sums
+    accumulate in engine-specific order)."""
     toks = _doc_tokens(docs, text_cols, analyzer, id_col)
     known = toks.join(F.broadcast(model.vocab), "term")
     known_len = known.groupBy("_id").agg(F.sum("cnt").alias("known_cnt"))
@@ -158,7 +163,11 @@ def predict_nb(
             + F.col("seen_part"),
         )
     )
-    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("label"))
+    rank_score = (
+        F.round(F.col("score"), tie_round) if tie_round is not None
+        else F.col("score")
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc(rank_score), F.asc("label"))
     out = (
         base.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

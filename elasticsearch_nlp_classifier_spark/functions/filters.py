@@ -1,0 +1,74 @@
+"""Predicate surface P1–P12 (SURVEY §2.2) — the ES Query-DSL predicates
+the reference pushes server-side, as DataFrame filter helpers.
+
+These are deliberately thin: each returns a Column (or DataFrame for
+projection), keeping everything inside Catalyst/codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def project(df: DataFrame, fields: list[str]) -> DataFrame:
+    """P1 — `_source` field filtering -> column pruning."""
+    return df.select(*fields)
+
+
+def must(*conds: Column) -> Column:
+    """P2 — bool.must (conjunction)."""
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def must_not(cond: Column) -> Column:
+    """P2 — bool.mustNot."""
+    return ~cond
+
+
+def exists(field: str) -> Column:
+    """P3 — existsQuery."""
+    return F.col(field).isNotNull()
+
+
+def term_query(field: str, value) -> Column:
+    """P4 — exact value match on an unanalyzed field."""
+    return F.col(field) == F.lit(value)
+
+
+def term_query_analyzed(tokens_col, value: str) -> Column:
+    """P4 (content form) — term present in the analyzed token array."""
+    return F.array_contains(tokens_col, value)
+
+
+def match_any(tokens_col, query_tokens: list[str]) -> Column:
+    """P5 — unranked matchQuery: any analyzed query token present."""
+    return F.arrays_overlap(
+        tokens_col, F.array(*[F.lit(t) for t in query_tokens])
+    )
+
+
+def kfold_filter(id_col: str, k: int, fold: int, train: bool = True) -> Column:
+    """P6/X1 — deterministic `_id % k` fold split
+    (`OpenNLPClassifierES.java:31-33`)."""
+    cond = F.pmod(F.col(id_col), F.lit(k)) == F.lit(fold)
+    return ~cond if train else cond
+
+
+def match_all() -> Column:
+    """P8."""
+    return F.lit(True)
+
+
+def non_empty_label(field: str) -> Column:
+    """P9 — drop missing/'' labels before training."""
+    return F.col(field).isNotNull() & (F.col(field) != "")
+
+
+def changed_value(existing: str, new: str) -> Column:
+    """P11 — update-if-changed, null-safe missing->''
+    (`OpenNLPEnricher.java:109-112`)."""
+    return ~F.coalesce(F.col(existing), F.lit("")).eqNullSafe(F.col(new))

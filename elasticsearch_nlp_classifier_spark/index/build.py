@@ -47,10 +47,20 @@ def tokenize_docs(
     analyzer: str = "code",
     doc_id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, tokens, dl) — dl = token count of the analyzed field."""
+    """(doc_id, tokens, dl) — dl = token count of the analyzed field.
+
+    ``simple_code`` runs as pure built-in expressions (whole-stage
+    codegen, no Python) — it is the DuckDB-replicable oracle analyzer;
+    all other analyzers go through the vectorized pandas UDF chain."""
+    if analyzer == "simple_code":
+        from ..analyzer.spark_udfs import simple_code_tokens
+
+        tokens = simple_code_tokens(text_col)
+    else:
+        tokens = analyze(text_col, analyzer)
     return docs.select(
         F.col(doc_id_col).alias("doc_id"),
-        analyze(text_col, analyzer).alias("tokens"),
+        tokens.alias("tokens"),
     ).withColumn("dl", F.size("tokens"))
 
 

@@ -1,0 +1,23 @@
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+from .multimodal import extract_features, frame_sample_plan, synthetic_media  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_cosine_dup_pairs,
+    lsh_cosine_topk,
+)
+from .textstats import (  # noqa: F401
+    bpe_ish_token_count,
+    document_fingerprints,
+    lang_id,
+    quality_stats,
+    token_count,
+)

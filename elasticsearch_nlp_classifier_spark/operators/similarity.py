@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``      — exact brute-force baseline: broadcast the query
+  vectors, score every corpus vector with built-in higher-order
+  functions (zip_with + aggregate — JVM-side, no Python), window top-k.
+  This is the correctness oracle and stays SQL-expressible for DuckDB.
+- ``lsh_cosine_topk``  — the scale path: random-hyperplane signatures
+  (deterministic seed), multi-table band blocking, exact re-rank within
+  candidate buckets.  Probe cost ~ bucket sizes, not corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    # compute in float64 even for float32 embeddings (cross-engine
+    # reproducibility: float32 products differ from DuckDB's path)
+    a64 = F.transform(a, lambda x: x.cast("double"))
+    b64 = F.transform(b, lambda x: x.cast("double"))
+    return _dot(a64, b64) / (_norm(a64) * _norm(b64))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cos) exact top-k; excludes self-matches
+    when query_id equals a corpus vec_id."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            cosine(F.col(vec_col), F.col("qv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_bits))
+
+
+def lsh_signatures(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Adds array<int> 'bands_sig': per-band integers from sign bits of
+    random hyperplane projections (one matmul per Arrow batch)."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits_per_band = n_bits // bands
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes) > 0  # (batch, n_bits)
+        out = []
+        weights = (1 << np.arange(bits_per_band))[None, :]
+        for row in bits:
+            bs = [
+                int((row[b * bits_per_band:(b + 1) * bits_per_band] * weights[0]).sum())
+                for b in range(bands)
+            ]
+            out.append(bs)
+        return pd.Series(out)
+
+    return df.withColumn("bands_sig", sig(F.col(vec_col)))
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing >=1 LSH
+    band with the query, re-ranked exactly."""
+    e = lsh_signatures(embeddings, vec_col, dim, n_bits, bands, seed)
+    q = lsh_signatures(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        ),
+        "qv", dim, n_bits, bands, seed,
+    )
+    eb = e.select(
+        id_col, vec_col,
+        F.posexplode("bands_sig").alias("band", "bucket"),
+    )
+    qb = q.select(
+        "query_id", "qv", F.posexplode("bands_sig").alias("band", "bucket")
+    )
+    cands = (
+        eb.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "qv", id_col, vec_col)
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col(vec_col), F.col("qv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine (brute pairwise;
+    LSH-bucketed variant: run lsh_signatures and join on bands first)."""
+    l = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    r = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -40,12 +40,15 @@ def idf_col(df_col, doc_count: int):
 
 def analyze_queries(queries: DataFrame, analyzer: str = "code") -> DataFrame:
     """(query_id, term) — unique analyzed terms per query."""
-    return (
-        queries.select(
-            "query_id", F.explode(analyze("query_text", analyzer)).alias("term")
-        )
-        .distinct()
-    )
+    if analyzer == "simple_code":
+        from ..analyzer.spark_udfs import simple_code_tokens
+
+        tokens = simple_code_tokens("query_text")
+    else:
+        tokens = analyze("query_text", analyzer)
+    return queries.select(
+        "query_id", F.explode(tokens).alias("term")
+    ).distinct()
 
 
 def bm25_topk(

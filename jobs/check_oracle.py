@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry at a given SF dir and compare against oracle_sql() via DuckDB
+(row count + column names + order-insensitive values).
+
+Usage: python jobs/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(got.columns) != sorted(want.columns):
+        problems.append(f"columns: spark={sorted(got.columns)} duck={sorted(want.columns)}")
+        return problems
+    if len(got) != len(want):
+        problems.append(f"rows: spark={len(got)} duck={len(want)}")
+    g, w = canon(got), canon(want)
+    if len(g) == len(w):
+        for c in g.columns:
+            gv, wv = g[c].to_numpy(), w[c].to_numpy()
+            if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(wv.dtype, np.floating):
+                bad = ~np.isclose(gv.astype(float), wv.astype(float),
+                                  rtol=0, atol=0, equal_nan=True)
+            else:
+                bad = gv != wv
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
+                problems.append(
+                    f"col {c}: {int(bad.sum())} mismatches, first at row {i}: "
+                    f"spark={gv[i]!r} duck={wv[i]!r}"
+                )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from elasticsearch_nlp_classifier_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8,
+                      app_name="check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_ok = n_bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error {type(ex).__name__}: {str(ex)[:300]}")
+            n_bad += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            n_ok += 1
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error {str(ex)[:300]}")
+            n_bad += 1
+            continue
+        problems = compare(name, got, want)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_bad += 1
+        else:
+            print(f"ok   {name}: {len(got)} rows match")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} fail")
+    spark.stop()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

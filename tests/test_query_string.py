@@ -1,0 +1,66 @@
+"""P7 query-string compiler goldens (grammar: field:value, AND/OR/NOT,
+phrases, prefix wildcard, parens, bare default-field terms)."""
+
+import pytest
+
+from elasticsearch_nlp_classifier_spark.functions import (
+    QueryStringError,
+    compile_query_string,
+)
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    return spark.createDataFrame(
+        [
+            (1, "python", "the quick brown fox", "org1/repoA"),
+            (2, "java", "lazy dogs sleep", "org1/repoB"),
+            (3, "python", "quick quick slow", "org2/repoA"),
+            (4, "go", "hello world", "org2/repoC"),
+            (5, None, "null lang row", "org3/repoD"),
+        ],
+        "id int, lang string, content string, repo string",
+    ).cache()
+
+
+def ids(tbl, qs, default_field="content"):
+    col = compile_query_string(qs, default_field)
+    return sorted(r.id for r in tbl.where(col).select("id").collect())
+
+
+def test_field_term(tbl):
+    assert ids(tbl, "lang:python") == [1, 3]
+
+
+def test_and_or_not(tbl):
+    assert ids(tbl, "lang:python AND quick") == [1, 3]
+    assert ids(tbl, "lang:java OR lang:go") == [2, 4]
+    assert ids(tbl, "NOT lang:python") == [2, 4]  # null lang -> filtered
+    assert ids(tbl, "lang:python quick") == [1, 3]  # implicit AND
+
+
+def test_parens(tbl):
+    assert ids(tbl, "(lang:java OR lang:go) AND NOT hello") == [2]
+
+
+def test_phrase_and_prefix(tbl):
+    assert ids(tbl, 'content:"hello world"') == [4]
+    assert ids(tbl, "repo:org2*") == [3, 4]
+
+
+def test_bare_term_contains(tbl):
+    assert ids(tbl, "quick") == [1, 3]
+
+
+def test_match_all_empty():
+    from pyspark.sql import functions as F
+
+    col = compile_query_string("")
+    assert str(col) == str(F.lit(True))
+
+
+def test_errors():
+    with pytest.raises(QueryStringError):
+        compile_query_string("(unclosed AND x")
+    with pytest.raises(QueryStringError):
+        compile_query_string("a ) b")
