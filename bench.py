@@ -1,0 +1,265 @@
+#!/usr/bin/env python
+"""Benchmark harness for the PySpark fulltext engine.
+
+Default mode (what the driver runs per round): times the headline
+queries at ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``)
+on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec_index": ...,
+     "p95_bm25_ms": ...}
+
+``--scaling`` mode evidences the north rule's two-cluster-size
+criterion in-sandbox: the identical index-build + query job runs at
+``local[8]`` and ``local[32]`` on the same synthetic source-code corpus
+(deterministic seed, FIXTURES.md schema), and the results table is
+written to ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
+    """Run every headline query once (index build first), return
+    {name: seconds} plus derived throughput metrics."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_nlp_classifier_spark.classifier import (
+        predict_nb, train_nb,
+    )
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        PhysicalIndex, build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from elasticsearch_nlp_classifier_spark.query.wand import wand_topk
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    # --- q1: physical index build (tokenize -> postings -> varbyte blocks)
+    idx_path = os.path.join(work_dir, "index")
+    shutil.rmtree(idx_path, ignore_errors=True)
+    t, index = _timed(lambda: build_physical_index(
+        docs, idx_path, text_col="text", analyzer="simple_code",
+    ))
+    timings["q1_index_build"] = t
+    extras["docs_per_sec_index"] = round(n_docs / t, 1)
+
+    index = PhysicalIndex(idx_path, spark)
+    # force-materialize block + stats reads so query timing is warm-cache
+    index.blocks.cache().count()
+    index.term_stats.cache().count()
+
+    # --- q2: BM25 top-10 via block-max WAND, p95 over repetitions
+    qset = [
+        "error handling return code",
+        "import tokenize stream",
+        "public static void main",
+        "the index of the document",
+        "varbyte compression block",
+        "naive bayes classifier accuracy",
+        "select from where group",
+        "http request retry backoff",
+    ]
+    qpdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qset)], ["query_id", "query_text"]
+    )
+    lat = []
+    reps = 5
+    for _ in range(reps):
+        t, _n = _timed(lambda: wand_topk(index, qpdf, k=10,
+                                         analyzer="simple_code").count())
+        lat.append(t)
+    lat.sort()
+    timings["q2_bm25_wand_topk"] = sum(lat) / len(lat)
+    p95 = lat[min(len(lat) - 1, int(round(0.95 * len(lat))) )]
+    extras["p95_bm25_batch_ms"] = round(p95 * 1000, 1)
+    extras["p95_bm25_per_query_ms"] = round(p95 * 1000 / len(qset), 1)
+
+    # --- q3: NB classifier train + predict + accuracy
+    def nb_job():
+        labeled = docs.withColumn("label", F.col("lang"))
+        train = labeled.where(F.pmod("doc_id", F.lit(3)) != 0)
+        test = labeled.where(F.pmod("doc_id", F.lit(3)) == 0)
+        model = train_nb(train, text_cols=["text"], label_col="label",
+                         analyzer="simple_code", id_col="doc_id")
+        pred = predict_nb(model, test, text_cols=["text"],
+                          analyzer="simple_code", id_col="doc_id")
+        return pred.join(test.select("doc_id", "label"), "doc_id").select(
+            F.avg((F.col("prediction") == F.col("label")).cast("double"))
+        ).collect()[0][0]
+
+    t, acc = _timed(nb_job)
+    timings["q3_nb_train_predict"] = t
+    extras["nb_accuracy"] = round(float(acc), 4)
+
+    # --- q4: MinHash-LSH near-dup over documents
+    t, _n = _timed(lambda: minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id").count())
+    timings["q4_dedup_minhash_lsh"] = t
+
+    # --- q5: brute-force cosine top-k ANN over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    t, _n = _timed(lambda: cosine_topk(emb, probes, k=10).count())
+    timings["q5_ann_cosine_topk"] = t
+
+    return {"timings": timings, "extras": extras, "n_docs": n_docs}
+
+
+def scaling_run(n_docs: int, masters: tuple[str, str] = ("local[8]", "local[32]")):
+    """Same job, same input, two parallelism levels -> BENCH/BASELINE.md."""
+    from elasticsearch_nlp_classifier_spark.session import get_spark
+
+    results = {}
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"bench_corpus_{n_docs}")
+    for master in masters:
+        cores = int(master[master.find("[") + 1:-1])
+        spark = get_spark(master=master, app_name=f"bench-scaling-{cores}",
+                          shuffle_partitions=max(8, cores))
+        try:
+            from elasticsearch_nlp_classifier_spark.corpus import write_corpus
+            from elasticsearch_nlp_classifier_spark.index.blocks import (
+                PhysicalIndex, build_physical_index,
+            )
+            from elasticsearch_nlp_classifier_spark.query.wand import wand_topk
+            from elasticsearch_nlp_classifier_spark.corpus.fixtures import (
+                queries_pdf,
+            )
+
+            if not os.path.exists(corpus_dir):
+                write_corpus(spark, n_docs, corpus_dir, partitions=32)
+            docs = spark.read.parquet(corpus_dir)
+
+            idx_path = os.path.join(tempfile.gettempdir(),
+                                    f"bench_idx_{cores}")
+            shutil.rmtree(idx_path, ignore_errors=True)
+            t_build, _ = _timed(lambda: build_physical_index(
+                docs, idx_path, text_col="content", analyzer="code"))
+            index = PhysicalIndex(idx_path, spark)
+            index.blocks.cache().count()
+            index.term_stats.cache().count()
+
+            qpdf = spark.createDataFrame(queries_pdf())
+            lats = []
+            for _ in range(5):
+                t, _n = _timed(lambda: wand_topk(index, qpdf, k=10).count())
+                lats.append(t)
+            lats.sort()
+            results[cores] = {
+                "build_s": round(t_build, 2),
+                "docs_per_sec": round(n_docs / t_build, 1),
+                "query_batch_p95_s": round(lats[-1], 3),
+                "query_batch_best_s": round(lats[0], 3),
+            }
+            shutil.rmtree(idx_path, ignore_errors=True)
+        finally:
+            spark.stop()
+
+    c_small, c_big = sorted(results)
+    ratio = results[c_big]["docs_per_sec"] / results[c_small]["docs_per_sec"]
+    eff = ratio / (c_big / c_small)
+    report = {
+        "n_docs": n_docs, "levels": results,
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — two-parallelism scaling evidence\n\n"
+            "Protocol (BASELINE.md §3): the identical index-build + BM25\n"
+            "query job runs on the same deterministic synthetic source-code\n"
+            f"corpus ({n_docs:,} docs, FIXTURES.md schema, fixed seed) at\n"
+            f"`local[{c_small}]` and `local[{c_big}]`. Efficiency =\n"
+            "`(throughput@big / throughput@small) / (big/small)`.\n\n"
+            "| cores | build s | docs/sec indexed | query batch best s | query batch p95 s |\n"
+            "|---|---|---|---|---|\n"
+            + "".join(
+                f"| {c} | {r['build_s']} | {r['docs_per_sec']} | "
+                f"{r['query_batch_best_s']} | {r['query_batch_p95_s']} |\n"
+                for c, r in sorted(results.items())
+            )
+            + f"\n- speedup {c_small}→{c_big} cores: **{report['speedup']}×**\n"
+            f"- scaling efficiency: **{report['scaling_efficiency']}** "
+            "(target ≥ 0.8)\n"
+        )
+    print(json.dumps(report))
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="two-parallelism run -> BENCH/BASELINE.md")
+    ap.add_argument("--n-docs", type=int, default=60_000,
+                    help="synthetic corpus size for --scaling")
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    if args.scaling:
+        scaling_run(args.n_docs)
+        return
+
+    from elasticsearch_nlp_classifier_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench")
+    work_dir = tempfile.mkdtemp(prefix="bench_")
+    try:
+        res = run_headline(spark, args.sf_dir, work_dir)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+        spark.stop()
+
+    timings = {k: round(v, 3) for k, v in res["timings"].items()}
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    out = {
+        "metric": "headline query wall time (index build + BM25 WAND "
+                  "+ NB classify + dedup + ANN)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": res["n_docs"],
+        **res["extras"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
