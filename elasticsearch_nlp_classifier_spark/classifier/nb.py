@@ -72,13 +72,19 @@ def train_nb(
     labeled = docs.where(
         F.col(label_col).isNotNull() & (F.col(label_col) != "")
     )
-    toks = _doc_tokens(labeled, text_cols, analyzer, id_col)
     lab = labeled.select(F.col(id_col).alias("_id"),
                          F.col(label_col).alias("label"))
+    # Tokenize with the label carried through — Σ_d tf(d,t) grouped by
+    # class is the same count as grouping the raw token stream by
+    # (label, term), without a per-doc agg or an id join (one shuffle,
+    # map-side combined, instead of two shuffles + a join).
     term_counts = (
-        toks.join(lab, "_id")
+        labeled.select(
+            F.col(label_col).alias("label"),
+            F.explode(analyze_fields(text_cols, analyzer)).alias("term"),
+        )
         .groupBy("label", "term")
-        .agg(F.sum("cnt").alias("count"))
+        .agg(F.count(F.lit(1)).alias("count"))
     ).cache()
 
     vocab = term_counts.select("term").distinct().cache()

@@ -97,6 +97,7 @@ def encode_blocks(
     n_salts: int = 16,
     salt_threshold: int = 50_000,
     shuffle_partitions: int | None = None,
+    hot_terms: list[str] | None = None,
 ) -> DataFrame:
     """postings (doc_id, term, tf, dl) -> blocks DataFrame.
 
@@ -106,18 +107,30 @@ def encode_blocks(
     partition over (term, salt, doc_id)-sorted rows — groups are
     contiguous, and a carry buffer stitches groups that straddle Arrow
     batch boundaries, so there is no per-group Arrow round-trip (54k
-    tiny applyInPandas groups were the original build bottleneck)."""
-    df_per_term = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    hot = df_per_term.where(F.col("df") > salt_threshold).select("term")
-    p = postings.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), "term", "left")
-    p = p.withColumn(
-        "salt",
-        F.when(
-            F.col("_hot").isNotNull(),
-            ((F.col("doc_id") - 1) * n_salts / F.lit(doc_count + 1))
-            .cast("int"),
-        ).otherwise(F.lit(0)),
-    ).drop("_hot")
+    tiny applyInPandas groups were the original build bottleneck).
+
+    ``hot_terms``: precollected df>threshold term list (tiny — Zipf
+    head only); pass it when term_stats already exists to avoid an
+    extra aggregation job, else it is computed here."""
+    if hot_terms is None:
+        hot_terms = [
+            r[0]
+            for r in postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > salt_threshold)
+            .select("term")
+            .collect()
+        ]
+    range_salt = (
+        (F.col("doc_id") - 1) * n_salts / F.lit(doc_count + 1)
+    ).cast("int")
+    if hot_terms:
+        salt = F.when(F.col("term").isin(hot_terms), range_salt).otherwise(
+            F.lit(0)
+        )
+    else:
+        salt = F.lit(0)
+    p = postings.withColumn("salt", salt)
 
     n_shuffle = shuffle_partitions or postings.sparkSession.sparkContext.defaultParallelism
     sorted_p = (
@@ -311,21 +324,34 @@ def build_physical_index(
         incremental = True  # partial build present -> only fill the gaps
 
     idx = logical or build_logical_index(docs, text_col, analyzer)
-    postings = idx.postings.withColumn("tb", term_bucket(F.col("term"), n_buckets))
-    postings = postings.cache()
-    n_postings = postings.count()
-    _lineage(out_path, "postings", rows=n_postings, wall_s=round(time.time() - t0, 2))
+    idx.postings = idx.postings.cache()
+    stats = idx.corpus_stats  # ONE job: materializes the cache + A4 agg
+    n_postings = int(stats["sum_doc_freq"] or 0)
+    _lineage(out_path, "postings", rows=n_postings,
+             wall_s=round(time.time() - t0, 2))
+    postings = idx.postings.withColumn(
+        "tb", term_bucket(F.col("term"), n_buckets)
+    )
 
-    # global stats (small) — written once, idempotent
-    idx.term_stats.write.mode("overwrite").parquet(f"{out_path}/term_stats")
+    # global stats (small) — written once, idempotent; term_stats is
+    # cached so the write, the hot-term collect, and the count are all
+    # cheap re-reads of one shuffle.
+    ts = idx.term_stats.cache()
+    ts.write.mode("overwrite").parquet(f"{out_path}/term_stats")
     with open(f"{out_path}/corpus_stats.json", "w") as f:
-        json.dump(idx.corpus_stats, f)
-    _lineage(out_path, "stats", terms=idx.term_stats.count())
+        json.dump(stats, f)
+    hot_terms = [
+        r[0]
+        for r in ts.where(F.col("df") > salt_threshold)
+        .select("term").collect()
+    ]
+    _lineage(out_path, "stats", terms=ts.count(), hot_terms=len(hot_terms))
 
-    avgdl = idx.corpus_stats["avgdl"] or 1.0
-    doc_count = idx.corpus_stats["doc_count"]
+    avgdl = stats["avgdl"] or 1.0
+    doc_count = stats["doc_count"]
     enc_kw = dict(avgdl=avgdl, doc_count=doc_count, block_size=block_size,
-                  n_salts=n_salts, salt_threshold=salt_threshold)
+                  n_salts=n_salts, salt_threshold=salt_threshold,
+                  hot_terms=hot_terms)
 
     if not incremental and fail_after_bucket is None:
         tb0 = time.time()
@@ -373,5 +399,6 @@ def build_physical_index(
 
     _lineage(out_path, "build_done", wall_s=round(time.time() - t0, 2),
              postings=n_postings)
-    postings.unpersist()
+    idx.postings.unpersist()
+    ts.unpersist()
     return PhysicalIndex(out_path, spark)

@@ -25,7 +25,7 @@ query/layout concern, handled by salting in `blocks.py`, not here.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,8 +37,29 @@ from ..analyzer.spark_udfs import analyze
 class LogicalIndex:
     postings: DataFrame      # (doc_id, term, tf, dl)
     term_stats: DataFrame    # (term, df, ttf)
-    corpus_stats: dict       # doc_count, sum_ttf, sum_doc_freq, avgdl
     doc_lengths: DataFrame   # (doc_id, dl)
+    _corpus_stats: dict | None = field(default=None, repr=False)
+
+    @property
+    def corpus_stats(self) -> dict:
+        """A4 row (doc_count, sum_ttf, sum_doc_freq, avgdl) — computed
+        lazily in ONE job over the (cached) postings so index builds
+        that never ask for it don't pay the aggregation."""
+        if self._corpus_stats is None:
+            row = self.postings.agg(
+                F.countDistinct("doc_id").alias("doc_count"),
+                F.sum("tf").alias("sum_ttf"),
+                F.count(F.lit(1)).alias("sum_doc_freq"),
+            ).collect()[0]
+            doc_count = row["doc_count"] or 0
+            sum_ttf = row["sum_ttf"] or 0
+            self._corpus_stats = {
+                "doc_count": doc_count,
+                "sum_ttf": int(sum_ttf),
+                "sum_doc_freq": row["sum_doc_freq"],
+                "avgdl": (sum_ttf / doc_count) if doc_count else 0.0,
+            }
+        return self._corpus_stats
 
 
 def tokenize_docs(
@@ -85,22 +106,7 @@ def build_logical_index(
         F.sum("tf").alias("ttf"),
     )
 
-    stats_row = (
-        postings.agg(
-            F.countDistinct("doc_id").alias("doc_count"),
-            F.sum("tf").alias("sum_ttf"),
-            F.count(F.lit(1)).alias("sum_doc_freq"),
-        ).collect()[0]
-    )
-    doc_count = stats_row["doc_count"] or 0
-    sum_ttf = stats_row["sum_ttf"] or 0
-    corpus_stats = {
-        "doc_count": doc_count,
-        "sum_ttf": int(sum_ttf),
-        "sum_doc_freq": stats_row["sum_doc_freq"],
-        "avgdl": (sum_ttf / doc_count) if doc_count else 0.0,
-    }
-    return LogicalIndex(postings, term_stats, corpus_stats, doc_lengths)
+    return LogicalIndex(postings, term_stats, doc_lengths)
 
 
 def term_vectors(

@@ -72,6 +72,15 @@ def _base_hashes(shingles: list[str]) -> np.ndarray:
     )
 
 
+def _base_hashes_vec(shingles: pd.Series) -> np.ndarray:
+    """Vectorized deterministic 64-bit hash for a shingle batch
+    (pandas' cython siphash with a fixed key — stable across runs
+    and processes)."""
+    return pd.util.hash_pandas_object(
+        shingles, index=False, hash_key="0123456789abcdef"
+    ).to_numpy(np.uint64)
+
+
 def _minhash_params(n_hashes: int, seed: int = 42):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
@@ -92,16 +101,28 @@ def minhash_signatures(
 
     @pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
+        # Whole-batch vectorization: every shingle of the batch is
+        # hashed once (cython, not per-row Python), the permutation
+        # matrix M[u, i] = (a_i·h_u + b_i) mod p is computed once per
+        # *unique* shingle, and each row's signature is a fancy-index
+        # + min over its own shingle codes.
+        row_shingles = [_word_shingles(t or "", shingle_k) for t in texts]
+        flat = [s for sh in row_shingles for s in sh]
+        if not flat:
+            return pd.Series([[0] * n_hashes for _ in row_shingles])
+        codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+        h = _base_hashes_vec(pd.Series(uniques))  # (n_unique,)
+        m = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
         out = []
-        for t in texts:
-            sh = _word_shingles(t or "", shingle_k)
+        pos = 0
+        empty = [0] * n_hashes
+        for sh in row_shingles:
             if not sh:
-                out.append([0] * n_hashes)
+                out.append(empty)
                 continue
-            h = _base_hashes(sh)  # (n_shingles,)
-            # h_i(x) = (a_i * x + b_i) mod p  — outer product, min per i
-            m = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-            out.append(m.min(axis=0).astype(np.int64).tolist())
+            c = codes[pos: pos + len(sh)]
+            pos += len(sh)
+            out.append(m[c].min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("signature"))

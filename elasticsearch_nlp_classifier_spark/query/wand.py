@@ -126,39 +126,79 @@ def _exact_scores(blocks: pd.DataFrame) -> pd.DataFrame:
 
 def wand_topk(
     index: PhysicalIndex,
-    queries: DataFrame,
+    queries: "DataFrame | pd.DataFrame",
     k: int | None = None,
     analyzer: str = "code",
     n_buckets: int = N_TERM_BUCKETS,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — exact BM25 top-k via the
-    compressed index with block-max pruning."""
+    compressed index with block-max pruning.
+
+    Query latency shape: the query *batch* is tiny, so its analysis
+    runs driver-side with the identical ``Analyzer`` chain the index
+    UDFs wrap (parity-tested), and term stats come from ONE pushed-down
+    ``isin`` probe of the (small) term_stats table.  The only other
+    Spark job is the pruned block scan + per-query scoring — two jobs
+    total per batch, regardless of query count.
+    """
+    import math
+
+    from ..analyzer.chain import get_analyzer
+
     stats = index.corpus_stats
     doc_count = stats["doc_count"]
     avgdl = float(stats["avgdl"]) or 1.0
 
-    qterms = analyze_queries(queries, analyzer)
-    qterms = (
-        qterms.join(index.term_stats, "term")
-        .withColumn("idf", idf_col(F.col("df"), doc_count))
-        .withColumn("tb", term_bucket(F.col("term"), n_buckets))
-    )
+    qp = queries.toPandas() if isinstance(queries, DataFrame) else queries
+    an = get_analyzer(analyzer)
     if k is not None:
-        qk = queries.select("query_id", F.lit(int(k)).alias("k"))
-    elif "k" in queries.columns:
-        qk = queries.select("query_id", F.col("k").cast("int").alias("k"))
+        ks = {int(q): int(k) for q in qp["query_id"]}
+    elif "k" in qp.columns:
+        ks = dict(zip((int(q) for q in qp["query_id"]),
+                      (int(x) for x in qp["k"])))
     else:
-        qk = queries.select("query_id", F.lit(10).alias("k"))
-    qterms = qterms.join(F.broadcast(qk), "query_id")
-
-    # collect the (tiny) query-term set to push bucket pruning into the scan
-    q_pdf = qterms.select("query_id", "term", "idf", "tb", "k").toPandas()
-    if q_pdf.empty:
+        ks = {int(q): 10 for q in qp["query_id"]}
+    pairs = sorted({
+        (int(qid), t)
+        for qid, text in zip(qp["query_id"], qp["query_text"])
+        for t in an.tokenize(text)
+    })
+    if not pairs:
         return index.spark.createDataFrame([], RESULT_SCHEMA)
-    buckets = sorted(q_pdf["tb"].unique().tolist())
+    terms = sorted({t for _, t in pairs})
 
+    # job 1: tiny probe — df + term bucket for just the query terms
+    # (isin pushes into the parquet scan; JVM computes the bucket hash)
+    stats_pdf = (
+        index.term_stats.where(F.col("term").isin(terms))
+        .select("term", "df", term_bucket(F.col("term"), n_buckets).alias("tb"))
+        .toPandas()
+    )
+    df_by_term = dict(zip(stats_pdf["term"], stats_pdf["df"]))
+    tb_by_term = dict(zip(stats_pdf["term"], stats_pdf["tb"]))
+
+    q_rows = [
+        {
+            "query_id": qid,
+            "term": t,
+            "idf": math.log(
+                1.0 + (doc_count - df_by_term[t] + 0.5)
+                / (df_by_term[t] + 0.5)
+            ),
+            "k": ks[qid],
+        }
+        for qid, t in pairs
+        if t in df_by_term
+    ]
+    if not q_rows:
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    buckets = sorted({int(tb_by_term[r["term"]]) for r in q_rows})
+
+    # job 2: pruned block scan (partition pruning on tb) + scoring
     blocks = index.blocks.where(F.col("tb").isin(buckets)).drop("tb")
-    qdf = index.spark.createDataFrame(q_pdf.drop(columns=["tb"]))
+    qdf = index.spark.createDataFrame(
+        pd.DataFrame(q_rows, columns=["query_id", "term", "idf", "k"])
+    )
     cand = blocks.join(F.broadcast(qdf), "term").withColumn(
         "avgdl", F.lit(avgdl)
     )

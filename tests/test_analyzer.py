@@ -141,3 +141,31 @@ def test_remove_stopwords():
 )
 def test_porter2(word, expected):
     assert stem(word) == expected
+
+
+# --- JVM expr vs Python chain parity for simple_code ------------------------
+# wand_topk analyzes queries driver-side with SIMPLE_CODE.tokenize while
+# the index is built with the pure-builtin simple_code_tokens expression;
+# both must produce identical tokens for any input.
+def test_simple_code_jvm_python_parity(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_nlp_classifier_spark.analyzer.chain import SIMPLE_CODE
+    from elasticsearch_nlp_classifier_spark.analyzer.spark_udfs import (
+        simple_code_tokens,
+    )
+
+    samples = [
+        "def main(argv): return 0  # TODO fix",
+        "Error: HTTP/1.1 404 NOT FOUND!!",
+        "CamelCase snake_case kebab-case x509 v2.0.1",
+        "   ",
+        "",
+        "日本語 mixed ascii123",
+        "a\tb\nc\r\nd",
+        "UPPER lower 0042 0x1F",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    jvm = [r[0] for r in df.select(simple_code_tokens("text")).collect()]
+    py = [SIMPLE_CODE.tokenize(s) for s in samples]
+    assert jvm == py
