@@ -378,6 +378,120 @@ def q_j2_enrich_updates(spark, sf_dir):
     )
 
 
+def q_a7_bm25_wand(spark, sf_dir):
+    """The flagship physical path: varbyte block index + block-max WAND,
+    checked against the SAME brute-force SQL oracle as a7_bm25_topk —
+    the compressed/pruned path is exact by construction."""
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query.wand import wand_topk
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="wand_ix_") + "/idx"
+    index = build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code"
+    )
+    import pandas as pd
+
+    q = pd.DataFrame({"query_id": [1], "query_text": ["data value table"]})
+    scored = wand_topk(index, q, k=50, analyzer="simple_code")
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank2", F.row_number().over(w))
+        .where(F.col("rank2") <= 10)
+        .select(
+            F.col("rank2").cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score_r6"),
+        )
+    )
+
+
+def q_s5_term_vector_multiset(spark, sf_dir):
+    """S5: re-inflate per-doc token multiset — each term repeated tf
+    times (`TermVectorTokens.java:38-68`)."""
+    idx = _logical_index(spark, sf_dir)
+    probe = idx.postings.where(F.col("doc_id") < 3)
+    return probe.select(
+        "doc_id", "term",
+        F.explode(F.sequence(F.lit(1).cast("bigint"),
+                             F.col("tf").cast("bigint"))).alias("copy_i"),
+    )
+
+
+def q_s6_term_vector_distinct(spark, sf_dir):
+    """S6: distinct per-doc terms (`TermVectorDocTokens.java:19-31`)."""
+    idx = _logical_index(spark, sf_dir)
+    return idx.postings.where(F.col("doc_id") < 3).select("doc_id", "term")
+
+
+def q_x2_kfold_shuffle(spark, sf_dir):
+    """X2: shuffle-based k-fold as a deterministic multiplicative hash
+    (`OpenNLPClassifierTweet.java:59-80`'s Collections.shuffle, made
+    reproducible — SURVEY §2.6)."""
+    docs = _docs(spark, sf_dir)
+    fold = F.pmod(
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296),
+        F.lit(3),
+    ).cast("bigint")
+    return (
+        docs.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("fold")
+    )
+
+
+def q_a10_kfold_accuracy(spark, sf_dir):
+    """A10/X1/X3: per-fold NB accuracy, deterministic id%k folds
+    (`OpenNLPClassifierES.java:20-58`)."""
+    from elasticsearch_nlp_classifier_spark.classifier import (
+        accuracy, predict_nb, train_nb,
+    )
+
+    docs = _docs(spark, sf_dir).where(
+        F.col("lang").isNotNull() & (F.col("lang") != "")
+    )
+    rows = []
+    for fold in range(3):
+        train = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) != fold)
+        test = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == fold)
+        model = train_nb(train, ["text"], "lang",
+                         analyzer="simple_code", id_col="doc_id")
+        preds = predict_nb(model, test, ["text"], analyzer="simple_code",
+                           id_col="doc_id", tie_round=9)
+        rows.append((fold, round(accuracy(test, preds, "lang", "doc_id"), 6)))
+    return spark.createDataFrame(rows, "fold bigint, acc_r6 double")
+
+
+def q_text_lang_id(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.operators.textstats import lang_id
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_mm_feature_extract(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads -> fixed-dim feature
+    vectors via mapInPandas (deterministic fake decoder — codec libs
+    absent; Spark-side schema/batching/partitioning is real).
+    Rows-only check."""
+    from elasticsearch_nlp_classifier_spark.operators.multimodal import (
+        extract_features, synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64)
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id", "kind",
+        F.size("features").cast("bigint").alias("dim"),
+        F.round(F.element_at("features", 1), 6).alias("f0_r6"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -409,6 +523,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprints": q_text_fingerprints,
         "j2_enrich_updates": q_j2_enrich_updates,
+        "a7_bm25_wand": q_a7_bm25_wand,
+        "s5_term_vector_multiset": q_s5_term_vector_multiset,
+        "s6_term_vector_distinct": q_s6_term_vector_distinct,
+        "x2_kfold_shuffle": q_x2_kfold_shuffle,
+        "a10_kfold_accuracy": q_a10_kfold_accuracy,
+        "text_lang_id": q_text_lang_id,
+        "mm_feature_extract": q_mm_feature_extract,
     }
 
 
@@ -515,6 +636,109 @@ inter AS (
 )"""
 
 
+def _nb_fold_acc_sql(fold: int) -> str:
+    """Per-fold NB train/test/accuracy — the _NB_SQL_BASE machinery
+    parameterized by the reference's deterministic id%k fold split."""
+    return f"""(WITH {_TF},
+labeled AS (SELECT doc_id, lang AS label FROM documents
+            WHERE lang IS NOT NULL AND lang <> ''),
+train AS (SELECT * FROM labeled WHERE doc_id % 3 <> {fold}),
+test  AS (SELECT * FROM labeled WHERE doc_id % 3 = {fold}),
+term_counts AS (
+  SELECT t.label, tf.term, sum(tf.tf)::BIGINT AS cnt
+  FROM tf JOIN train t USING (doc_id) GROUP BY 1, 2
+),
+vocab AS (SELECT DISTINCT term FROM term_counts),
+v AS (SELECT count(*)::BIGINT AS v FROM vocab),
+class_totals AS (SELECT label, sum(cnt)::BIGINT AS total
+                 FROM term_counts GROUP BY 1),
+doc_counts AS (SELECT label, count(*)::BIGINT AS n_docs FROM train GROUP BY 1),
+n_total AS (SELECT count(*)::BIGINT AS n FROM train),
+priors AS (
+  SELECT d.label,
+         ln(d.n_docs / (SELECT n FROM n_total)::DOUBLE) AS log_prior,
+         ln(1.0 / (ct.total + (SELECT v FROM v))) AS default_ll,
+         ct.total AS total
+  FROM doc_counts d JOIN class_totals ct USING (label)
+),
+likelihood AS (
+  SELECT tc.label, tc.term,
+         ln((tc.cnt + 1.0) / (p.total + (SELECT v FROM v))) AS ll
+  FROM term_counts tc JOIN priors p USING (label)
+),
+known AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf
+          JOIN vocab USING (term) JOIN test USING (doc_id)),
+known_len AS (SELECT doc_id, sum(tf)::BIGINT AS known_cnt
+              FROM known GROUP BY 1),
+seen AS (
+  SELECT k.doc_id, l.label,
+         sum(k.tf * (l.ll - p.default_ll)) AS seen_part
+  FROM known k JOIN likelihood l USING (term)
+  JOIN priors p ON p.label = l.label
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT a.doc_id, p.label,
+         p.log_prior
+         + coalesce(kl.known_cnt, 0) * p.default_ll
+         + coalesce(s.seen_part, 0.0) AS score
+  FROM test a
+  CROSS JOIN priors p
+  LEFT JOIN known_len kl ON kl.doc_id = a.doc_id
+  LEFT JOIN seen s ON s.doc_id = a.doc_id AND s.label = p.label
+),
+pred AS (
+  SELECT doc_id, label AS prediction,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 9) DESC, label ASC) AS rn
+  FROM scores
+)
+SELECT {fold}::BIGINT AS fold,
+       round(avg(CASE WHEN p.prediction = d.label
+                      THEN 1.0 ELSE 0.0 END), 6) AS acc_r6
+FROM pred p JOIN test d USING (doc_id) WHERE p.rn = 1)"""
+
+
+def _lang_id_sql() -> str:
+    """Marker-word argmax language ID — generated from the SAME
+    LANG_MARKERS table the Spark operator uses (single source of
+    truth; ties break by language code ASC)."""
+    from elasticsearch_nlp_classifier_spark.operators.textstats import (
+        LANG_MARKERS,
+    )
+
+    codes = sorted(LANG_MARKERS)
+    hit_cols = ",\n         ".join(
+        "len(list_intersect(w, [{}]))::BIGINT AS {}".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[c]), c
+        )
+        for c in codes
+    )
+    mx = "greatest({})".format(", ".join(codes))
+    tie_chain = "\n       ".join(
+        f"WHEN {c} = {mx} THEN '{c}'" for c in codes
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, text,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS w
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, text,
+         {hit_cols}
+  FROM words
+)
+SELECT doc_id,
+       CASE
+       WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+       WHEN {mx} = 0 THEN 'und'
+       {tie_chain}
+       END AS lang_pred
+FROM hits"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "a1_term_freq": f"WITH {_TF} SELECT doc_id, term, tf FROM tf",
@@ -617,6 +841,27 @@ def oracle_sql() -> dict[str, str]:
             FROM pred p JOIN documents d USING (doc_id)
             WHERE p.rn = 1
               AND NOT coalesce(d.lang, '') = p.prediction""",
+        # the compressed/WAND path is exact -> same oracle as brute force
+        "a7_bm25_wand": "WITH "
+        + _BM25_SQL.replace("{QUERY}", "data value table"),
+        "s5_term_vector_multiset": f"""
+            WITH {_TF}
+            SELECT doc_id, term,
+                   unnest(generate_series(1, tf)) AS copy_i
+            FROM tf WHERE doc_id < 3""",
+        "s6_term_vector_distinct": f"""
+            WITH {_TF}
+            SELECT DISTINCT doc_id, term FROM tf WHERE doc_id < 3""",
+        "x2_kfold_shuffle": """
+            SELECT ((doc_id * 2654435761) % 4294967296) % 3 AS fold,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "a10_kfold_accuracy": " UNION ALL ".join(
+            _nb_fold_acc_sql(f) for f in range(3)
+        ),
+        "text_lang_id": _lang_id_sql(),
+        # mm_feature_extract: synthetic binary payloads + fake decoder —
+        # not SQL-expressible -> rows-only check (intentionally omitted)
     }
 
 

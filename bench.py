@@ -167,9 +167,14 @@ def scaling_run(n_docs: int, masters: tuple[str, str] = ("local[8]", "local[32]"
                 queries_pdf,
             )
 
-            if not os.path.exists(corpus_dir):
+            from elasticsearch_nlp_classifier_spark.corpus.doc_ids import (
+                assign_doc_ids,
+            )
+
+            docs_path = f"{corpus_dir}/corpus_docs.parquet"
+            if not os.path.exists(docs_path):
                 write_corpus(spark, n_docs, corpus_dir, partitions=32)
-            docs = spark.read.parquet(corpus_dir)
+            docs = assign_doc_ids(spark.read.parquet(docs_path))
 
             idx_path = os.path.join(tempfile.gettempdir(),
                                     f"bench_idx_{cores}")

@@ -1,0 +1,7 @@
+from .corpus_source import read_corpus  # noqa: F401
+from .csv_io import (  # noqa: F401
+    TWEETS_SCHEMA,
+    read_tweets_csv,
+    write_submission_csv,
+)
+from .model_io import load_model, save_model  # noqa: F401

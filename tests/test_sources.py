@@ -1,0 +1,93 @@
+"""S1/S7 CSV source/sink, S11 model persistence, corpus source."""
+
+import os
+
+import pytest
+
+from elasticsearch_nlp_classifier_spark.classifier import (
+    predict_nb,
+    train_nb,
+)
+from elasticsearch_nlp_classifier_spark.sources import (
+    load_model,
+    read_corpus,
+    read_tweets_csv,
+    save_model,
+    write_submission_csv,
+)
+
+CSV = (
+    "id,keyword,location,text,target\n"
+    '1,quake,,"line one\nline two",1\n'
+    '2,,"SF, CA","He said ""hi"" — with, commas",0\n'
+    "3,fire,London,plain text no quotes,\n"
+)
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "train.csv"
+    p.write_text(CSV)
+    return str(p)
+
+
+def test_read_tweets_csv_rfc4180(spark, csv_path):
+    """S1 parity: embedded newline, quoted comma, doubled-quote escape,
+    missing values -> '' (`Tweets.java:27-49`, `Tweet.java:12-26`)."""
+    rows = {r["id"]: r for r in read_tweets_csv(spark, csv_path).collect()}
+    assert len(rows) == 3
+    assert rows[1]["text"] == "line one\nline two"
+    assert rows[1]["location"] == ""          # missing -> ""
+    assert rows[2]["location"] == "SF, CA"    # quoted comma
+    assert rows[2]["text"] == 'He said "hi" — with, commas'
+    assert rows[3]["target"] == ""            # empty label preserved as ""
+
+
+def test_submission_csv_roundtrip(spark, tmp_path, csv_path):
+    """S7: (id, target) with header (`Tweets.java:51-68`)."""
+    df = read_tweets_csv(spark, csv_path).selectExpr(
+        "id", "coalesce(nullif(target, ''), '0') AS target"
+    )
+    out = str(tmp_path / "submission")
+    write_submission_csv(df, out)
+    back = spark.read.csv(out, header=True)
+    assert back.columns == ["id", "target"]
+    assert back.count() == 3
+
+
+def test_model_save_load_same_predictions(spark, tmp_path):
+    """S11: saved+loaded model predicts identically
+    (`OpenNLPClassifier.java:42-54`)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "earthquake fire disaster flood", "1"),
+            (2, "sunny happy picnic park", "0"),
+            (3, "storm surge flood warning", "1"),
+            (4, "birthday cake party fun", "0"),
+            (5, "fire flood panic", None),
+        ],
+        "id int, text string, target string",
+    )
+    model = train_nb(docs, ["text"], "target", analyzer="simple_code")
+    path = str(tmp_path / "model")
+    save_model(model, path)
+    loaded = load_model(spark, path)
+    assert loaded.vocab_size == model.vocab_size
+    assert loaded.labels == model.labels
+
+    want = predict_nb(model, docs, ["text"], analyzer="simple_code")
+    got = predict_nb(loaded, docs, ["text"], analyzer="simple_code")
+    assert sorted(map(tuple, want.collect())) == sorted(
+        map(tuple, got.collect())
+    )
+
+
+def test_read_corpus_parquet_path(spark, tmp_path):
+    src = spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "import os")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    p = str(tmp_path / "corpus.parquet")
+    src.write.parquet(p)
+    assert read_corpus(spark, p).count() == 1
+    assert os.sep in p
