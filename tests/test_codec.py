@@ -69,3 +69,51 @@ def test_compression_ratio_dense_ids():
     enc = vb_encode(delta_encode(ids).astype(np.uint64))
     # dense gaps ≈ 1 byte/posting (first absolute value takes 3)
     assert len(enc) <= 100_000 + 4
+
+
+def test_vb_encode_segmented_matches_per_block():
+    from elasticsearch_nlp_classifier_spark.index.codec import (
+        vb_encode, vb_encode_segmented,
+    )
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 40, size=1000, dtype=np.int64).astype(np.uint64)
+    starts = np.sort(rng.choice(np.arange(1, 1000), 37, replace=False))
+    starts = np.concatenate(([0], starts))
+    buf, off = vb_encode_segmented(vals, starts)
+    ends = np.concatenate((starts[1:], [len(vals)]))
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        assert buf[off[i]: off[i + 1]] == vb_encode(vals[s:e])
+
+
+def test_vectorized_partition_encode_matches_naive():
+    import pandas as pd
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        _encode_group, _encode_partition_groups,
+    )
+    rng = np.random.default_rng(11)
+    rows = []
+    for t in ["alpha", "beta", "gamma", "delta"]:
+        for salt in ([0] if t != "beta" else [0, 1, 2]):
+            n = int(rng.integers(1, 60))
+            ids = np.sort(rng.choice(np.arange(1, 500), n, replace=False))
+            for d in ids:
+                rows.append((t, salt, int(d), int(rng.integers(1, 9)),
+                             int(rng.integers(5, 200))))
+    pdf = pd.DataFrame(rows, columns=["term", "salt", "doc_id", "tf", "dl"])
+    pdf = pdf.sort_values(["term", "salt", "doc_id"]).reset_index(drop=True)
+
+    got = _encode_partition_groups(pdf, block_size=16, avgdl=42.5)
+    naive = pd.concat(
+        [_encode_group(g, 16, 42.5)
+         for _, g in pdf.groupby(["term", "salt"], sort=False)],
+        ignore_index=True,
+    )
+    key = ["term", "salt", "block_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    naive = naive.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(naive)
+    for col in ["term", "salt", "block_id", "n", "first_doc", "last_doc",
+                "docs_vb", "tfs_vb", "dls_vb"]:
+        assert list(got[col]) == list(naive[col]), col
+    assert np.allclose(got["max_tfhat"], naive["max_tfhat"], atol=1e-12)
