@@ -150,7 +150,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
 def scaling_run(
     n_docs: int,
     masters: tuple[str, str] = ("local[8]", "local[32]"),
-    build_reps: int = 2,
+    build_reps: int = 3,
 ):
     """Same job, same input, two parallelism levels -> BENCH/BASELINE.md.
 

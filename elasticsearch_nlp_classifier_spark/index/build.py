@@ -90,21 +90,87 @@ def tokenize_docs(
     ).withColumn("dl", F.size("tokens"))
 
 
+def tokenize_postings(
+    docs: DataFrame,
+    text_col: str = "content",
+    analyzer: str = "code",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, tf, dl) in ONE narrow ``mapInPandas`` pass —
+    tokenize and per-doc tf fused, so postings are born doc-partitioned
+    and already aggregated.  The alternative (token explode →
+    ``groupBy(doc_id, term)``) shuffles every token occurrence (~1.6×
+    the posting count in rows) through a hash agg; fusing removes that
+    shuffle entirely, leaving ``repartition(term, salt)`` in the block
+    encoder as the build's only wide dependency.
+
+    Counting is whole-batch vectorized: factorize the batch's token
+    stream once, then ``np.unique`` over combined (row, code) keys."""
+    import numpy as np
+    import pandas as pd
+
+    from ..analyzer.chain import get_analyzer
+
+    an = get_analyzer(analyzer)
+    out_schema = "doc_id bigint, term string, tf bigint, dl bigint"
+
+    def run(batches):
+        tok = an.tokenize
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = [
+                tok(s) if s is not None else []
+                for s in pdf[text_col]
+            ]
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            if not lens.sum():
+                continue
+            doc_ids = pdf[doc_id_col].to_numpy(np.int64)
+            flat = [t for ts in toks for t in ts]
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            rows = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+            key = rows * np.int64(len(uniq)) + codes
+            uk, counts = np.unique(key, return_counts=True)
+            row_of = (uk // len(uniq)).astype(np.int64)
+            code_of = (uk % len(uniq)).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[row_of],
+                    "term": np.asarray(uniq, dtype=object)[code_of],
+                    "tf": counts.astype(np.int64),
+                    "dl": lens[row_of],
+                }
+            )
+
+    return docs.select(doc_id_col, text_col).mapInPandas(run, out_schema)
+
+
 def build_logical_index(
     docs: DataFrame,
     text_col: str = "content",
     analyzer: str = "code",
     doc_id_col: str = "doc_id",
+    fused: bool = True,
 ) -> LogicalIndex:
-    tok = tokenize_docs(docs, text_col, analyzer, doc_id_col)
-
-    doc_lengths = tok.select("doc_id", "dl")
-
-    postings = (
-        tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    """``fused=True`` (default): postings via `tokenize_postings` — no
+    shuffle before the term repartition.  ``fused=False`` keeps the
+    explode→groupBy plan (pure built-in exprs for ``simple_code``,
+    useful as a plan-level cross-check; token parity between the two
+    paths is pinned by tests)."""
+    doc_lengths = tokenize_docs(docs, text_col, analyzer, doc_id_col).select(
+        "doc_id", "dl"
     )
+
+    if fused:
+        postings = tokenize_postings(docs, text_col, analyzer, doc_id_col)
+    else:
+        tok = tokenize_docs(docs, text_col, analyzer, doc_id_col)
+        postings = (
+            tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        )
 
     term_stats = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),

@@ -113,3 +113,23 @@ def test_bm25_vs_duckdb(index, spark):
     got = bm25_topk(index, q).toPandas()
     assert got.doc_id.tolist() == want.doc_id.tolist()
     np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(), atol=1e-9)
+
+
+def test_fused_postings_match_explode_groupby(spark, corpus_tiny_docs=None):
+    """The fused mapInPandas postings path must equal the
+    explode+groupBy plan row-for-row, for both a pandas analyzer and
+    the JVM simple_code expressions."""
+    from elasticsearch_nlp_classifier_spark.corpus import gen_corpus_pdf
+    from elasticsearch_nlp_classifier_spark.corpus.doc_ids import (
+        assign_doc_ids,
+    )
+    from elasticsearch_nlp_classifier_spark.index import build_logical_index
+
+    docs = assign_doc_ids(spark.createDataFrame(gen_corpus_pdf(80)))
+    for analyzer in ("code", "simple_code"):
+        a = build_logical_index(docs, "content", analyzer, fused=True)
+        b = build_logical_index(docs, "content", analyzer, fused=False)
+        ga = sorted(map(tuple, a.postings.collect()))
+        gb = sorted(map(tuple, b.postings.select(
+            "doc_id", "term", "tf", "dl").collect()))
+        assert ga == gb, analyzer

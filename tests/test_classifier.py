@@ -89,3 +89,33 @@ def test_accuracy_metric(spark, tweets):
     preds = predict_nb(model, labeled, TEXT_COLS)
     acc = accuracy(labeled, preds, "target")
     assert 0.8 <= acc <= 1.0  # training-set accuracy on separable data
+
+
+def test_multi_enrich_combines_targets(spark):
+    """J3 (`OpenNLPMultiEnricher.java:93-163`): one model per target,
+    single update row per doc, only-changed semantics per column."""
+    from elasticsearch_nlp_classifier_spark.classifier import multi_enrich
+
+    docs = spark.createDataFrame(
+        [
+            (1, "earthquake flood disaster", "1", "quake"),
+            (2, "sunny picnic park", "0", "none"),
+            (3, "flood warning storm", "1", "flood"),
+            (4, "cake party balloons", "0", "none"),
+            # doc 5: target empty -> excluded from training, gets
+            # predictions; keyword already correct -> maybe no update
+            (5, "flood earthquake disaster", "", "quake"),
+        ],
+        "id int, text string, target string, keyword string",
+    )
+    upd = multi_enrich(
+        docs, ["text"], ["target", "keyword"], analyzer="simple_code"
+    )
+    rows = {r["id"]: r for r in upd.collect()}
+    assert set(upd.columns) == {"id", "pred_target", "pred_keyword"}
+    # doc 5's empty target must be filled with the disaster class
+    assert rows[5]["pred_target"] == "1"
+    # docs whose stored values already match predictions emit no row or
+    # nulls for that column (update-if-changed)
+    for r in rows.values():
+        assert r["pred_target"] is not None or r["pred_keyword"] is not None
