@@ -337,11 +337,42 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_text_token_counts(spark, sf_dir):
-    from elasticsearch_nlp_classifier_spark.operators.textstats import token_count
+    from elasticsearch_nlp_classifier_spark.operators.textstats import (
+        bpe_ish_token_count, token_count,
+    )
 
     docs = _docs(spark, sf_dir)
     return docs.select(
-        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe"),
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact brute method (the SQL
+    oracle); the LSH scale path is recall-tested in pytest."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_near_dup_pairs(emb, threshold=0.4, method="brute")
+    return pairs.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_r6")
+    )
+
+
+def q_text_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint (pandas UDF — hash fold
+    not SQL-expressible; rows-only check)."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        document_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return document_fingerprints(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "rolling_fp"
     )
 
 
@@ -530,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_kfold_accuracy": q_a10_kfold_accuracy,
         "text_lang_id": q_text_lang_id,
         "mm_feature_extract": q_mm_feature_extract,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "text_rolling_fingerprint": q_text_rolling_fingerprint,
     }
 
 
@@ -830,7 +863,10 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": """
             SELECT doc_id,
                    len(list_filter(string_split_regex(lower(text), '\\s+'),
-                                   x -> x <> ''))::BIGINT AS n_tokens
+                                   x -> x <> ''))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+)',
+                       1))::BIGINT AS n_bpe
             FROM documents""",
         "text_quality": _QUALITY_SQL,
         "text_fingerprints": """
@@ -860,8 +896,18 @@ def oracle_sql() -> dict[str, str]:
             _nb_fold_acc_sql(f) for f in range(3)
         ),
         "text_lang_id": _lang_id_sql(),
-        # mm_feature_extract: synthetic binary payloads + fake decoder —
-        # not SQL-expressible -> rows-only check (intentionally omitted)
+        "dedup_embedding_cosine": """
+            WITH pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos, 6) AS cos_r6
+            FROM pairs WHERE cos >= 0.4""",
+        # mm_feature_extract / text_rolling_fingerprint: fake decoder /
+        # hash fold not SQL-expressible -> rows-only checks
     }
 
 

@@ -396,12 +396,15 @@ def build_physical_index(
              wall_s=round(time.time() - t0, 2))
     with open(f"{out_path}/corpus_stats.json", "w") as f:
         json.dump(stats, f)
-    hot_terms = [
-        r[0]
-        for r in ts.where(F.col("df") > salt_threshold)
-        .select("term").collect()
-    ]
-    _lineage(out_path, "stats", terms=ts.count(), hot_terms=len(hot_terms))
+    srow = ts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.collect_list(
+            F.when(F.col("df") > salt_threshold, F.col("term"))
+        ).alias("hot"),
+    ).collect()[0]
+    hot_terms = list(srow["hot"])
+    _lineage(out_path, "stats", terms=srow["n_terms"],
+             hot_terms=len(hot_terms))
 
     avgdl = stats["avgdl"] or 1.0
     doc_count = stats["doc_count"]
@@ -413,13 +416,15 @@ def build_physical_index(
         tb0 = time.time()
         blocks = encode_blocks(postings.drop("tb"), **enc_kw).withColumn(
             "tb", term_bucket(F.col("term"), n_buckets)
-        )
+        ).cache()
         blocks.write.mode("overwrite").partitionBy("tb").parquet(
             f"{out_path}/blocks"
         )
-        written = spark.read.parquet(f"{out_path}/blocks")
+        # manifests from the cache the write just materialized — no
+        # disk re-read of the freshly written index
         wall = time.time() - tb0
-        rows = _manifest_agg(written, "tb").collect()
+        rows = _manifest_agg(blocks, "tb").collect()
+        blocks.unpersist()
         for row in rows:
             manifest = _manifest_dict(row, int(row["tb"]), wall)
             with open(f"{manifest_dir}/bucket_{row['tb']}.json", "w") as f:

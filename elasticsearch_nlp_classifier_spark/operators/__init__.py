@@ -10,6 +10,7 @@ from .dedup import (  # noqa: F401
 )
 from .multimodal import extract_features, frame_sample_plan, synthetic_media  # noqa: F401
 from .similarity import (  # noqa: F401
+    cosine_near_dup_pairs,
     cosine_topk,
     embedding_cosine_dup_pairs,
     lsh_cosine_topk,

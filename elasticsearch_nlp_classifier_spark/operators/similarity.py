@@ -173,3 +173,59 @@ def embedding_cosine_dup_pairs(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    dim: int | None = None,
+    n_bits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    id_a < id_b and cos >= threshold.
+
+    ``method='lsh'`` (the scale path): candidates = pairs sharing >=1
+    random-hyperplane band, then exact cosine verify — work bounded by
+    bucket collisions, never n².  ``method='brute'`` is the exact
+    all-pairs reference (JVM ``zip_with`` dot products), fine at test
+    SF and the oracle for the LSH variant's recall tests."""
+    if method == "brute":
+        return embedding_cosine_dup_pairs(
+            embeddings, threshold, id_col, vec_col
+        )
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    sigs = lsh_signatures(embeddings, vec_col, dim, n_bits, bands, seed)
+    banded = sigs.select(
+        id_col, F.posexplode("bands_sig").alias("band", "bucket")
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    scored = pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    return scored.where(F.col("cos") >= threshold).select(
+        "id_a", "id_b", "cos"
+    )

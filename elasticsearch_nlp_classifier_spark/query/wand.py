@@ -194,8 +194,16 @@ def wand_topk(
         return index.spark.createDataFrame([], RESULT_SCHEMA)
     buckets = sorted({int(tb_by_term[r["term"]]) for r in q_rows})
 
-    # job 2: pruned block scan (partition pruning on tb) + scoring
-    blocks = index.blocks.where(F.col("tb").isin(buckets)).drop("tb")
+    # job 2: pruned block scan + scoring.  Two pruning layers reach the
+    # parquet reader: hive partition pruning on tb, and an `isin` on
+    # term — blocks are term-sorted within each bucket file, so parquet
+    # row-group min/max stats skip nearly all non-candidate groups.
+    q_terms = sorted({r["term"] for r in q_rows})
+    blocks = (
+        index.blocks.where(F.col("tb").isin(buckets))
+        .where(F.col("term").isin(q_terms))
+        .drop("tb")
+    )
     qdf = index.spark.createDataFrame(
         pd.DataFrame(q_rows, columns=["query_id", "term", "idf", "k"])
     )

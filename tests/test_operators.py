@@ -217,3 +217,36 @@ def test_multimodal_plumbing(spark):
     # executor-side NotImplementedError surfaces as a PythonException
     with pytest.raises(Exception, match="no image/audio codec libraries"):
         extract_features(media, decode_with=real_decode).count()
+
+
+def test_cosine_near_dup_lsh_recall_vs_brute(spark):
+    """LSH near-dup path must recover (nearly) all brute-force pairs at
+    the working threshold; every returned pair is exact-verified."""
+    import numpy as np
+
+    from elasticsearch_nlp_classifier_spark.operators import (
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    # plant 10 near-dups: tiny perturbations of the first 10 vectors
+    near = base[:10] + 0.02 * rng.standard_normal((10, 16)).astype(np.float32)
+    vecs = np.vstack([base, near])
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, 0.95, method="brute").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            emb, 0.95, method="lsh", dim=16, n_bits=32, bands=16
+        ).collect()
+    }
+    assert lsh <= brute            # no false positives (exact verify)
+    assert len(brute) >= 10
+    assert len(lsh) / len(brute) >= 0.9   # recall
