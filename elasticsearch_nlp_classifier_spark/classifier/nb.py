@@ -15,9 +15,10 @@ Tokens absent from the training vocabulary V are ignored.  The k-fold
 split is the reference's deterministic ``_id % k`` script query
 (`OpenNLPClassifierES.java:31-33`).
 
-Scale shape: the model is tiny (|V|·|classes| rows) → broadcast to the
-scoring join; scoring itself is one shuffle (groupBy doc_id, label) and
-one small argmax window.
+Scale shape: the model is tiny (|V|·|classes| rows) → pivoted to a
+per-term class-weight array and broadcast; scoring is ONE shuffle
+(groupBy doc) producing per-class partial sums as columns, and the
+argmax is array arithmetic — no per-class row expansion, no window.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
 
 from ..analyzer.spark_udfs import analyze_fields
 
@@ -140,48 +141,72 @@ def predict_nb(
     ``tie_round``: round scores to N decimals before the argmax —
     cross-engine determinism knob for oracle comparisons (float64 sums
     accumulate in engine-specific order)."""
-    toks = _doc_tokens(docs, text_cols, analyzer, id_col)
-    known = toks.join(F.broadcast(model.vocab), "term")
-    known_len = known.groupBy("_id").agg(F.sum("cnt").alias("known_cnt"))
+    # Scale shape: ONE shuffle (groupBy doc), no window, no per-class
+    # row expansion.  Per-term class weights are pivoted into an array
+    # in label order and broadcast; per-doc scores are an element-wise
+    # array aggregation; argmax = array_position of array_max (first
+    # match → smallest label, the reference's tie-break).
+    labels = model.labels
+    k = len(labels)
+    pr = {
+        r["label"]: (float(r["log_prior"]), float(r["default_ll"]))
+        for r in model.priors.collect()
+    }
 
-    # Σ cnt·(ll - default) for terms seen in class c, then add
-    # known_cnt·default(c) + prior(c); covers unseen-in-c terms exactly.
-    seen = (
-        known.join(F.broadcast(model.likelihood), "term")
-        .join(F.broadcast(model.priors.select("label", "default_ll")), "label")
-        .groupBy("_id", "label")
+    deltas = (
+        model.likelihood
+        .join(model.priors.select("label", "default_ll"), "label")
+        .withColumn("delta", F.col("ll") - F.col("default_ll"))
+        .groupBy("term")
         .agg(
-            F.sum(F.col("cnt") * (F.col("ll") - F.col("default_ll")))
-            .alias("seen_part")
+            F.map_from_entries(
+                F.collect_list(F.struct("label", "delta"))
+            ).alias("m")
+        )
+        .select(
+            "term",
+            F.array(*[
+                F.coalesce(F.col("m")[F.lit(c)], F.lit(0.0)) for c in labels
+            ]).alias("dvec"),
+        )
+    )
+
+    toks = _doc_tokens(docs, text_cols, analyzer, id_col)
+    per_doc = (
+        toks.join(F.broadcast(deltas), "term")  # vocab filter included
+        .groupBy("_id")
+        .agg(
+            F.sum("cnt").alias("known_cnt"),
+            *[
+                F.sum(F.col("cnt") * F.col("dvec")[i]).alias(f"_s{i}")
+                for i in range(k)
+            ],
         )
     )
 
     all_ids = docs.select(F.col(id_col).alias("_id"))
-    base = (
-        all_ids.join(known_len, "_id", "left").na.fill({"known_cnt": 0})
-        .crossJoin(F.broadcast(model.priors))
-        .join(seen, ["_id", "label"], "left")
-        .na.fill({"seen_part": 0.0})
-        .withColumn(
-            "score",
-            F.col("log_prior")
-            + F.col("known_cnt") * F.col("default_ll")
-            + F.col("seen_part"),
-        )
+    base = all_ids.join(per_doc, "_id", "left").na.fill(
+        {"known_cnt": 0, **{f"_s{i}": 0.0 for i in range(k)}}
     )
-    rank_score = (
-        F.round(F.col("score"), tie_round) if tie_round is not None
-        else F.col("score")
+    scores = F.array(*[
+        F.lit(pr[c][0])
+        + F.col("known_cnt") * F.lit(pr[c][1])
+        + F.col(f"_s{i}")
+        for i, c in enumerate(labels)
+    ])
+    rank_scores = (
+        F.transform(scores, lambda s: F.round(s, tie_round))
+        if tie_round is not None else scores
     )
-    w = Window.partitionBy("_id").orderBy(F.desc(rank_score), F.asc("label"))
-    out = (
-        base.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("label").alias("prediction"),
-            F.col("score"),
-        )
+    base = base.withColumn("_scores", scores).withColumn(
+        "_best", F.array_position(rank_scores, F.array_max(rank_scores))
+    )
+    out = base.select(
+        F.col("_id").alias(id_col),
+        F.element_at(
+            F.array(*[F.lit(c) for c in labels]), F.col("_best").cast("int")
+        ).alias("prediction"),
+        F.element_at("_scores", F.col("_best").cast("int")).alias("score"),
     )
     return out if keep_scores else out.drop("score")
 
