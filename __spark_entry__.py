@@ -238,6 +238,15 @@ def q_p7_query_string(spark, sf_dir):
     return docs.where(col).select("doc_id")
 
 
+def q_p5_match_filter(spark, sf_dir):
+    """P5 matchQuery-as-filter: docs containing ANY analyzed query
+    token (`ElasticsearchTest.java:57`)."""
+    from elasticsearch_nlp_classifier_spark.query import match_filter
+
+    idx = _logical_index(spark, sf_dir)
+    return match_filter(idx, "data value zzz_absent", analyzer="simple_code")
+
+
 def q_o1_topk(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return (
@@ -542,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_kfold_counts": q_x1_kfold_counts,
         "p_filters": q_p_filters,
         "p7_query_string": q_p7_query_string,
+        "p5_match_filter": q_p5_match_filter,
         "o1_topk": q_o1_topk,
         "s4_term_vectors": q_s4_term_vectors,
         "dedup_exact": q_dedup_exact,
@@ -813,6 +823,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE (lang = 'en' OR lang = 'de')
               AND NOT source = 'src3'
               AND CAST(n_chars AS VARCHAR) LIKE '2%'""",
+        "p5_match_filter": f"""
+            WITH {_TF}
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('data', 'value', 'zzz_absent')""",
         "o1_topk": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 10""",
