@@ -225,8 +225,22 @@ def ngram_jaccard_pairs(
 def ngram_jaccard_for_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """Exact jaccard for given candidate (id_a, id_b) pairs."""
-    sh = shingle_table(df, text_col, id_col, k)
+    """Exact jaccard for given candidate (id_a, id_b) pairs.
+
+    The candidate set is LSH-small; shingles are computed ONCE for just
+    the candidate docs (broadcast semi-join on the id set), cached, and
+    reused for both join sides and the size table — never three full
+    corpus re-tokenizations."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        shingle_table(df, text_col, id_col, k)
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        .cache()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("id", "id_a")
     b = sh.withColumnRenamed("id", "id_b")
