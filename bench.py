@@ -370,13 +370,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
                     help="two-parallelism run -> BENCH/BASELINE.md")
+    ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--n-docs", type=int, default=60_000,
                     help="synthetic corpus size for --scaling")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
     if args.scaling:
-        scaling_run(args.n_docs)
+        scaling_run(args.n_docs, rounds=args.rounds)
         return
 
     from elasticsearch_nlp_classifier_spark.session import get_spark
