@@ -41,8 +41,19 @@ def analyze_udf(name: str = "default"):
 
 
 def analyze(col: Column | str, analyzer: str = "default") -> Column:
-    """``analyze(col)`` → tokens column via the named analyzer chain."""
-    return analyze_udf(analyzer)(F.col(col) if isinstance(col, str) else col)
+    """``analyze(col)`` → tokens column via the named analyzer chain.
+
+    Analyzers with a pure-built-in expression equivalent (``code``,
+    ``simple_code``) compile to JVM expressions inside whole-stage
+    codegen — no Python worker in the plan at all; the rest run as the
+    vectorized pandas UDF.  Expression/chain parity is pinned by
+    ``test_code_jvm_python_parity`` / ``test_simple_code_jvm_python_
+    parity`` over the synthetic corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    jvm = JVM_TOKEN_EXPRS.get(analyzer)
+    if jvm is not None:
+        return jvm(c)
+    return analyze_udf(analyzer)(c)
 
 
 def analyze_fields(cols: list[Column | str], analyzer: str = "default") -> Column:
@@ -63,3 +74,43 @@ def simple_code_tokens(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != "")
+
+
+# Java regex equivalents of the CODE chain (`chain.py`): identifier /
+# number / same-char operator-run split, then lowercase, then stopword +
+# punctuation-run removal.  Java and Python regex agree on these
+# patterns for ASCII text (the corpus is source code); `\d`/`\S` differ
+# only on non-ASCII digits/whitespace, outside the parity-tested domain.
+_CODE_SPLIT_RE = r"[A-Za-z_][A-Za-z0-9_]*|\d+|(\S)\1*"
+_PUNCT_RUN_RE = r"^([!\"#$%&'()*+,./:;<=>?@\[\]^_`{|}~-])\1*$"
+
+
+def code_tokens(col: Column | str) -> Column:
+    """The source-code analyzer (``code`` chain: split → lowercase →
+    stopwords/punct-runs, no stemming) as pure built-in expressions.
+
+    The whole chain stays inside whole-stage codegen: one
+    ``regexp_extract_all`` split, a ``transform(lower)``, and a
+    ``filter`` whose stopword test compiles to an ``InSet`` hash probe.
+    This is the index build's hot path — the pandas-UDF chain spends
+    most of its time building per-row Python token lists, which is both
+    ~5× slower per core and memory-bandwidth-bound at high parallelism
+    (32 workers of object churn stop scaling long before the CPUs do).
+    """
+    from .stopwords import STOPWORDS
+
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(_CODE_SPLIT_RE), 0)
+    lowered = F.transform(toks, F.lower)
+    stop = sorted(STOPWORDS)
+    return F.filter(
+        lowered,
+        lambda t: (~t.isin(stop)) & (~t.rlike(_PUNCT_RUN_RE)),
+    )
+
+
+# Analyzers whose full chain is expressible as built-in JVM expressions.
+JVM_TOKEN_EXPRS = {
+    "simple_code": simple_code_tokens,
+    "code": code_tokens,
+}

@@ -30,7 +30,13 @@ def assign_doc_ids(
 ) -> DataFrame:
     """Return ``df`` + dense ``doc_id`` (int64, 1-based, ordered by key)."""
     keys = [F.col(c) for c in key_cols]
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # 4 waves per core by default: range boundaries are sampled, so
+    # individual partitions are uneven — many small partitions let the
+    # scheduler balance the tail instead of waiting on the largest
+    # single partition (matters most when partitions == cores).
+    n = num_partitions or (
+        df.sparkSession.sparkContext.defaultParallelism * 4
+    )
     parted = (
         df.repartitionByRange(n, *keys)
         .sortWithinPartitions(*keys)

@@ -132,7 +132,12 @@ def encode_blocks(
         salt = F.lit(0)
     p = postings.withColumn("salt", salt)
 
-    n_shuffle = shuffle_partitions or postings.sparkSession.sparkContext.defaultParallelism
+    # 2 waves per core: the (term, salt) hash distribution is even in
+    # expectation but not per-partition; twice as many partitions halves
+    # the straggler tail at a negligible task-overhead cost.
+    n_shuffle = shuffle_partitions or (
+        postings.sparkSession.sparkContext.defaultParallelism * 2
+    )
     sorted_p = (
         p.select("term", "salt", "doc_id", "tf", "dl")
         .repartition(n_shuffle, "term", "salt")
@@ -387,7 +392,8 @@ def build_physical_index(
 
     # global stats (small) — written once, idempotent.  The term_stats
     # write is the job that materializes both caches; corpus_stats then
-    # costs one tokenize-only pass + a ms-scale agg on the cached ts.
+    # costs one per-doc agg over the cached postings + a ms-scale agg
+    # on the cached ts (no second tokenize pass).
     ts = idx.term_stats = idx.term_stats.cache()
     ts.write.mode("overwrite").parquet(f"{out_path}/term_stats")
     stats = idx.corpus_stats

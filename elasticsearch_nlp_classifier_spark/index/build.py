@@ -43,16 +43,23 @@ class LogicalIndex:
     @property
     def corpus_stats(self) -> dict:
         """A4 row (doc_count, sum_ttf, sum_doc_freq, avgdl) — computed
-        lazily from the narrow plans: doc_count/sum_ttf aggregate the
-        per-doc lengths (one tokenize pass, NO shuffle) and
-        sum_doc_freq aggregates term_stats — never a
-        countDistinct-expand over the full postings relation (which at
-        6.6M+ postings was the dominant cost of the old single job)."""
+        lazily from the postings relation: one per-doc partial agg
+        (postings are born doc-contiguous in the fused build, so the
+        map side collapses to ~doc_count rows before the shuffle) and
+        a ms-scale agg over term_stats.  Never re-tokenizes the corpus
+        (the previous doc_lengths pass re-ran the analyzer over every
+        document — ~20% of total build wall) and never
+        countDistinct-expands the full postings relation."""
         if self._corpus_stats is None:
-            row = self.doc_lengths.where(F.col("dl") > 0).agg(
-                F.count(F.lit(1)).alias("doc_count"),
-                F.sum("dl").alias("sum_ttf"),
-            ).collect()[0]
+            row = (
+                self.postings.groupBy("doc_id")
+                .agg(F.first("dl").alias("dl"))
+                .agg(
+                    F.count(F.lit(1)).alias("doc_count"),
+                    F.sum("dl").alias("sum_ttf"),
+                )
+                .collect()[0]
+            )
             doc_count = row["doc_count"] or 0
             sum_ttf = row["sum_ttf"] or 0
             sdf = self.term_stats.agg(
@@ -75,15 +82,10 @@ def tokenize_docs(
 ) -> DataFrame:
     """(doc_id, tokens, dl) — dl = token count of the analyzed field.
 
-    ``simple_code`` runs as pure built-in expressions (whole-stage
-    codegen, no Python) — it is the DuckDB-replicable oracle analyzer;
-    all other analyzers go through the vectorized pandas UDF chain."""
-    if analyzer == "simple_code":
-        from ..analyzer.spark_udfs import simple_code_tokens
-
-        tokens = simple_code_tokens(text_col)
-    else:
-        tokens = analyze(text_col, analyzer)
+    ``analyze`` routes JVM-expressible chains (``code``,
+    ``simple_code``) to pure built-in expressions (whole-stage codegen,
+    no Python); the rest go through the vectorized pandas UDF chain."""
+    tokens = analyze(text_col, analyzer)
     return docs.select(
         F.col(doc_id_col).alias("doc_id"),
         tokens.alias("tokens"),
@@ -153,16 +155,23 @@ def build_logical_index(
     doc_id_col: str = "doc_id",
     fused: bool = True,
 ) -> LogicalIndex:
-    """``fused=True`` (default): postings via `tokenize_postings` — no
-    shuffle before the term repartition.  ``fused=False`` keeps the
-    explode→groupBy plan (pure built-in exprs for ``simple_code``,
-    useful as a plan-level cross-check; token parity between the two
-    paths is pinned by tests)."""
+    """JVM-expressible analyzers (``code``, ``simple_code``) always use
+    the explode→groupBy plan: tokenize + explode + partial hash agg all
+    run inside whole-stage codegen, and the (doc_id, term) shuffle
+    carries only ~postings-count compact rows (each doc lives in one
+    scan partition, so the map side already holds the exact counts).
+    Python-chain analyzers default to the fused ``tokenize_postings``
+    ``mapInPandas`` pass (``fused=True``) so token occurrences never
+    cross an Arrow boundary unaggregated; ``fused=False`` keeps the
+    explode→groupBy plan as a plan-level cross-check (token parity
+    between the paths is pinned by tests)."""
+    from ..analyzer.spark_udfs import JVM_TOKEN_EXPRS
+
     doc_lengths = tokenize_docs(docs, text_col, analyzer, doc_id_col).select(
         "doc_id", "dl"
     )
 
-    if fused:
+    if fused and analyzer not in JVM_TOKEN_EXPRS:
         postings = tokenize_postings(docs, text_col, analyzer, doc_id_col)
     else:
         tok = tokenize_docs(docs, text_col, analyzer, doc_id_col)

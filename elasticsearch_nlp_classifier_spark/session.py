@@ -25,6 +25,16 @@ def get_spark(
     cores = master[master.find("[") + 1: master.find("]")] if "[" in master else "32"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores == "*" else max(8, int(cores))
+    # Shuffle/spill scratch: executors on a real cluster own fast local
+    # NVMe; this sandbox's virtual disk throttles in bursts (hundreds of
+    # MB/s for a while, then near-zero — task threads end up blocked in
+    # shuffle-file writes for minutes).  Use the RAM-backed /dev/shm for
+    # spark.local.dir when present so shuffle I/O reflects the engine,
+    # not the hypervisor's burst-credit state.  Override with
+    # SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -37,6 +47,8 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
@@ -61,6 +73,6 @@ def warm_python_workers(spark: SparkSession) -> None:
         spark.range(cores * 8)
         .repartition(cores * 2)
         .withColumn("t", F.lit("warm up the import of pandas"))
-        .select(analyze("t", "code"))
+        .select(analyze("t", "default"))  # pandas-UDF chain → forks workers
         .count()
     )

@@ -169,3 +169,35 @@ def test_simple_code_jvm_python_parity(spark):
     jvm = [r[0] for r in df.select(simple_code_tokens("text")).collect()]
     py = [SIMPLE_CODE.tokenize(s) for s in samples]
     assert jvm == py
+
+
+def test_code_jvm_python_parity(spark):
+    """The index build's hot path is the pure-builtin ``code_tokens``
+    expression; the driver-side query analyzer and the pandas-UDF
+    fallback use ``CODE.tokenize``.  Pin them equal on adversarial
+    samples AND on a slice of the real synthetic corpus (ASCII source
+    text — the parity domain; Java/Python regex classes differ only on
+    non-ASCII digits/whitespace)."""
+    from elasticsearch_nlp_classifier_spark.analyzer.chain import CODE
+    from elasticsearch_nlp_classifier_spark.analyzer.spark_udfs import (
+        code_tokens,
+    )
+    from elasticsearch_nlp_classifier_spark.corpus.generator import (
+        gen_corpus_pdf,
+    )
+
+    samples = [
+        "def main(argv): return 0  # TODO fix",
+        "x += 1;;; y <<= 2 ==== !!!",
+        "The THE the And aNd",          # stopwords, case-insensitive
+        "self.value = self._private__",
+        "... --- ,,, .,.",              # punct runs (mixed run survives)
+        "for i in range(10): print(i)",
+        "",
+        "   ",
+        "a-b a_b a.b 0x1F 42 _lead",
+    ] + list(gen_corpus_pdf(50)["content"])
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    jvm = [r[0] for r in df.select(code_tokens("text")).collect()]
+    py = [CODE.tokenize(s) for s in samples]
+    assert jvm == py
