@@ -186,34 +186,37 @@ def _bw_probe() -> float:
 
 def _cpu_envelope(worker_counts: list[int]) -> dict:
     """Hardware calibration: throughput of an embarrassingly-parallel
-    pure-CPU job at each parallelism level on THIS host, with the worker
-    pool CPU-affinity-bound to exactly that many cores (the same binding
+    pure-CPU job at each parallelism level on THIS host, with the
+    workers taskset-bound to exactly that many cores (the same binding
     the engine levels run under).  No engine can exceed this wall-clock
-    scaling (turbo frequency drop and hypervisor steal land here); the
-    report shows engine efficiency both raw and relative to this
-    envelope."""
-    from concurrent.futures import ProcessPoolExecutor
+    scaling (turbo frequency drop and hypervisor steal land here).
+    Plain pinned subprocesses — no multiprocessing pool (a
+    ProcessPoolExecutor livelocked in kernel spin under this VM's
+    scheduler)."""
+    import subprocess
 
-    ncpu = os.cpu_count() or max(worker_counts)
+    total_iters = 192_000_000  # fixed total work across levels
     out = {}
     for w in worker_counts:
+        burn_src = (
+            "s=0\n"
+            f"for i in range({total_iters // w}): s += i*i%7\n"
+            "print(s)\n"
+        )
         best = None
-        try:
-            os.sched_setaffinity(0, set(range(w)))
-        except (AttributeError, OSError):
-            pass
-        try:
-            with ProcessPoolExecutor(w) as ex:
-                for _rep in range(2):
-                    t0 = time.time()
-                    list(ex.map(_burn, [3_000_000] * 64))
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-        finally:
-            try:
-                os.sched_setaffinity(0, set(range(ncpu)))
-            except (AttributeError, OSError):
-                pass
+        for _rep in range(2):
+            t0 = time.time()
+            procs = [
+                subprocess.Popen(
+                    ["taskset", "-c", f"0-{w - 1}", sys.executable,
+                     "-c", burn_src],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                for _ in range(w)
+            ]
+            for p in procs:
+                p.wait(timeout=300)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
         out[w] = best
     return out
 
@@ -246,7 +249,7 @@ def _one_level_subprocess(cores: int, corpus_dir: str, n_docs: int):
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             d = json.loads(line)
-            return d["build_s"], d["query_lats"]
+            return d["build_s"], d["query_lats"], d.get("phases", {})
         except (json.JSONDecodeError, KeyError):
             continue
     raise RuntimeError(
@@ -270,9 +273,14 @@ def _one_level_run(master: str, cores: int, corpus_dir: str, n_docs: int):
         get_spark, warm_python_workers,
     )
 
+    # Fixed moderate heap at BOTH levels (identical memory budget is
+    # still symmetric).  Scaling the heap with cores (48g at 32) sent
+    # G1 into an allocation-stall death spiral under 32 concurrent
+    # tasks' humongous sort/pointer arrays — ~8 GB live inside a 38 GB
+    # RSS, every task thread blocked in ByteBuffer.allocate.  A 16g
+    # heap keeps GC compact; spill goes to the RAM-backed local dir.
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = (
-        os.environ.get("SPARK_GRAFT_SCALING_MEM")
-        or f"{max(8, int(cores * 1.5))}g"
+        os.environ.get("SPARK_GRAFT_SCALING_MEM") or "16g"
     )
     spark = get_spark(master=master, app_name=f"bench-scaling-{cores}",
                       shuffle_partitions=max(8, cores))
@@ -286,6 +294,24 @@ def _one_level_run(master: str, cores: int, corpus_dir: str, n_docs: int):
         shutil.rmtree(idx_path, ignore_errors=True)
         t_build, _ = _timed(lambda: build_physical_index(
             docs, idx_path, text_col="content", analyzer="code"))
+        phases = {}
+        try:
+            with open(f"{idx_path}/lineage.jsonl") as f:
+                prev = 0.0
+                for line in f:
+                    rec = json.loads(line)
+                    if rec["stage"] == "postings":
+                        phases["postings_s"] = rec["wall_s"]
+                        prev = rec["wall_s"]
+                    elif rec["stage"] == "blocks_bucket":
+                        phases["encode_s"] = rec.get("wall_s", 0)
+                    elif rec["stage"] == "build_done":
+                        phases["total_s"] = rec["wall_s"]
+                        phases["other_s"] = round(
+                            rec["wall_s"] - prev
+                            - phases.get("encode_s", 0), 2)
+        except OSError:
+            pass
 
         index = PhysicalIndex(idx_path, spark)
         index.blocks.cache().count()
@@ -297,7 +323,7 @@ def _one_level_run(master: str, cores: int, corpus_dir: str, n_docs: int):
             t, _n = _timed(lambda: wand_topk(index, qpdf, k=10).count())
             lats.append(t)
         shutil.rmtree(idx_path, ignore_errors=True)
-        return t_build, sorted(lats)
+        return t_build, sorted(lats), phases
     finally:
         spark.stop()
 
@@ -334,18 +360,29 @@ def scaling_run(
         write_corpus(spark, n_docs, corpus_dir, partitions=32)
         spark.stop()
 
+    # The hypervisor grants burst credits: sustained full-core usage
+    # degrades the VM for the NEXT minutes.  Running small-level +
+    # envelope back-to-back therefore systematically starved whichever
+    # level ran last (probes read 0.6-0.9 GB/s right before it vs ~7
+    # after recovery).  Countermeasures: envelope once per run (not per
+    # round), a cooldown before each level, and ALTERNATING level order
+    # per round so any residual credit asymmetry cancels across rounds.
+    env = _cpu_envelope([c_small, c_big])
+    cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN_S", "45"))
     rounds_out = []
     valid_rounds = []
     max_attempts = max(rounds * 4, 8)
     for r in range(max_attempts):
-        p0 = _bw_probe()
-        t_small, q_small = _one_level_subprocess(c_small, corpus_dir, n_docs)
-        p1 = _bw_probe()
-        env = _cpu_envelope([c_small, c_big])
-        p2 = _bw_probe()
-        t_big, q_big = _one_level_subprocess(c_big, corpus_dir, n_docs)
-        p3 = _bw_probe()
-        probes = [p0, p1, p2, p3]
+        order = (c_small, c_big) if r % 2 == 0 else (c_big, c_small)
+        res = {}
+        probes = []
+        for cores in order:
+            time.sleep(cooldown)
+            probes.append(_bw_probe())
+            res[cores] = _one_level_subprocess(cores, corpus_dir, n_docs)
+        probes.append(_bw_probe())
+        t_small, q_small, ph_small = res[c_small]
+        t_big, q_big, ph_big = res[c_big]
         stability = round(min(probes) / max(probes), 3)
         speedup = t_small / t_big
         env_speedup = env[c_small] / env[c_big]
@@ -361,9 +398,11 @@ def scaling_run(
             "speedup": round(speedup, 3),
             "hw_envelope_speedup": round(env_speedup, 3),
             "engine_vs_envelope": round(speedup / env_speedup, 3),
+            "order": list(order),
             "bw_probes_gbps": probes,
             "stability": stability,
             "valid": stability >= 0.7,
+            "phases": {c_small: ph_small, c_big: ph_big},
         }
         rounds_out.append(rec)
         print(json.dumps(rec), file=sys.stderr, flush=True)
@@ -409,14 +448,17 @@ def scaling_run(
             "Python UDF workers all share that budget, the sandbox\n"
             "equivalent of the cpuset an N-core executor owns (unpinned,\n"
             "a local[8] session's JVM+Python processes spread over ~2N\n"
-            "cores and bias the ratio low); JVM heap scales with cores\n"
-            "(1.5 GiB/core — a 4N cluster has 4N memory); Python workers\n"
+            "cores and bias the ratio low); both levels run an identical\n"
+            "16 GiB heap (scaling the heap with cores drove G1 into an\n"
+            "allocation-stall spiral at 32 tasks); Python workers\n"
             "are import-warmed before timing (executor bootstrap, paid\n"
-            "once per cluster, not per job); levels run INTERLEAVED per\n"
-            "round with an affinity-bound pure-CPU envelope calibration\n"
-            "between them (this VM throttles in minutes-long windows —\n"
-            "only within-round ratios are comparable); headline = best\n"
-            "round.\n\n"
+            "once per cluster, not per job); levels run back-to-back per\n"
+            "round in ALTERNATING order with a cooldown before each (the\n"
+            "hypervisor grants burst credits — whichever level runs after\n"
+            "heavy usage starts starved, so order must not be fixed);\n"
+            "memory-bandwidth probes bracket each level and a round only\n"
+            "counts when all probes agree (stable window); headline =\n"
+            "best valid round.\n\n"
             f"Best round ({report['best_round']}):\n\n"
             "| cores | build s | docs/sec indexed | "
             "query batch best s | query batch p95 s |\n"
@@ -481,9 +523,10 @@ def main() -> None:
 
     if args.one_level:
         c = args.one_level
-        t_build, lats = _one_level_run(
+        t_build, lats, phases = _one_level_run(
             f"local[{c}]", c, args.corpus_dir, args.n_docs)
-        print(json.dumps({"build_s": t_build, "query_lats": lats}))
+        print(json.dumps({"build_s": t_build, "query_lats": lats,
+                          "phases": phases}))
         return
 
     if args.scaling:

@@ -395,7 +395,10 @@ def build_physical_index(
     # costs one per-doc agg over the cached postings + a ms-scale agg
     # on the cached ts (no second tokenize pass).
     ts = idx.term_stats = idx.term_stats.cache()
-    ts.write.mode("overwrite").parquet(f"{out_path}/term_stats")
+    # few large part files: every local file create forks the JVM when
+    # native Hadoop libs are absent (see session.get_spark), and a
+    # 2.4M-row stats table doesn't need 64 shards anyway
+    ts.coalesce(4).write.mode("overwrite").parquet(f"{out_path}/term_stats")
     stats = idx.corpus_stats
     n_postings = int(stats["sum_doc_freq"] or 0)
     _lineage(out_path, "postings", rows=n_postings,
@@ -423,9 +426,14 @@ def build_physical_index(
         blocks = encode_blocks(postings.drop("tb"), **enc_kw).withColumn(
             "tb", term_bucket(F.col("term"), n_buckets)
         ).cache()
-        blocks.write.mode("overwrite").partitionBy("tb").parquet(
-            f"{out_path}/blocks"
-        )
+        # one part file per bucket dir: the encode keeps its full
+        # parallelism (the repartition reads the cache the write job
+        # materializes), but the hive-partitioned write collapses from
+        # tasks×buckets files to n_buckets — local file creates fork
+        # the JVM here (no native Hadoop), so file count is the wall.
+        blocks.repartition(n_buckets, "tb").write.mode(
+            "overwrite"
+        ).partitionBy("tb").parquet(f"{out_path}/blocks")
         # manifests from the cache the write just materialized — no
         # disk re-read of the freshly written index
         wall = time.time() - tb0
@@ -454,7 +462,7 @@ def build_physical_index(
                 postings.where(F.col("tb") == b).drop("tb"), **enc_kw
             )
             target = f"{out_path}/blocks/tb={b}"
-            bucket_blocks.write.mode("overwrite").parquet(target)
+            bucket_blocks.coalesce(2).write.mode("overwrite").parquet(target)
             row = _manifest_agg(spark.read.parquet(target), None).collect()[0]
             manifest = _manifest_dict(row, b, time.time() - tb0)
             with open(f"{manifest_dir}/bucket_{b}.json", "w") as f:

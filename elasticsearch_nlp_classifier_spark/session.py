@@ -49,6 +49,14 @@ def get_spark(
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
+    # No native Hadoop libs in this environment, so ChecksumFileSystem/
+    # RawLocalFileSystem fall back to SHELLING OUT (fork+exec of chmod/ls)
+    # for permission ops on every file create — forking a multi-GB JVM
+    # from 32 task threads convoys on the kernel and dominated the write
+    # stages.  Bypassing the checksum wrapper halves file creations
+    # (no .crc siblings); real clusters (HDFS/S3A) never hit this path.
+    b = b.config("spark.hadoop.fs.file.impl",
+                 "org.apache.hadoop.fs.RawLocalFileSystem")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
