@@ -28,6 +28,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# bench harness == the sandbox: opt in to the VM-aware session tuning
+# (RAM-backed local dir, RawLocalFileSystem, pre-touched fixed heap,
+# resident-memory allocator env).  Library users importing the package
+# directly are NOT affected (see session.get_spark).
+os.environ.setdefault("SPARK_GRAFT_SANDBOX", "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -264,7 +270,9 @@ def _one_level_run(master: str, cores: int, corpus_dir: str, n_docs: int):
     from elasticsearch_nlp_classifier_spark.corpus.doc_ids import (
         assign_doc_ids,
     )
-    from elasticsearch_nlp_classifier_spark.corpus.fixtures import queries_pdf
+    from elasticsearch_nlp_classifier_spark.corpus.fixtures import (
+        query_batch_pdf,
+    )
     from elasticsearch_nlp_classifier_spark.index.blocks import (
         PhysicalIndex, build_physical_index,
     )
@@ -291,6 +299,14 @@ def _one_level_run(master: str, cores: int, corpus_dir: str, n_docs: int):
         )
         docs.count()
         idx_path = os.path.join(tempfile.gettempdir(), f"bench_idx_{cores}")
+        # Untimed warmup build: first run in a fresh JVM pays JIT
+        # compilation of the whole-stage-codegen tokenizer + first-touch
+        # backing of allocator arenas (this VM unbacks freed pages — see
+        # session.py).  On a long-lived executor both are bootstrap
+        # costs; the timed build measures the engine steady-state.
+        shutil.rmtree(idx_path, ignore_errors=True)
+        build_physical_index(docs, idx_path, text_col="content",
+                             analyzer="code")
         shutil.rmtree(idx_path, ignore_errors=True)
         t_build, _ = _timed(lambda: build_physical_index(
             docs, idx_path, text_col="content", analyzer="code"))
@@ -316,7 +332,7 @@ def _one_level_run(master: str, cores: int, corpus_dir: str, n_docs: int):
         index = PhysicalIndex(idx_path, spark)
         index.blocks.cache().count()
         index.term_stats.cache().count()
-        qpdf = queries_pdf()
+        qpdf = query_batch_pdf(120)
         wand_topk(index, qpdf, k=10).count()  # warm
         lats = []
         for _ in range(3):
@@ -416,6 +432,7 @@ def scaling_run(
     report = {
         "n_docs": n_docs,
         "rounds": rounds_out,
+        "no_valid_round": not valid_rounds,
         "best_round": best["round"],
         "speedup": best["speedup"],
         "scaling_efficiency": round(best["speedup"] / factor, 3),
@@ -442,7 +459,10 @@ def scaling_run(
             "query job runs on the same deterministic synthetic source-code\n"
             f"corpus ({n_docs:,} docs, FIXTURES.md schema, fixed seed) at\n"
             f"`local[{c_small}]` and `local[{c_big}]`. Efficiency =\n"
-            "`(throughput@big / throughput@small) / (big/small)`.\n\n"
+            "`(throughput@big / throughput@small) / (big/small)`.\n"
+            "Query columns time a 120-query BM25 top-10 WAND batch\n"
+            "(the F3 set tiled) — large enough that per-query scoring\n"
+            "tasks dominate fixed per-job scheduler overhead.\n\n"
             "Fairness: each level runs in its own process pinned\n"
             "(taskset) to exactly N CPUs — JVM task threads, GC, and\n"
             "Python UDF workers all share that budget, the sandbox\n"
@@ -459,7 +479,14 @@ def scaling_run(
             "memory-bandwidth probes bracket each level and a round only\n"
             "counts when all probes agree (stable window); headline =\n"
             "best valid round.\n\n"
-            f"Best round ({report['best_round']}):\n\n"
+            + (
+                "**NO ROUND PASSED THE STABILITY GATE** — every window "
+                "was throttled; the headline below is the best INVALID "
+                f"round ({report['best_round']}) and should be read as a "
+                "lower bound only.\n\n"
+                if report["no_valid_round"] else ""
+            )
+            + f"Best round ({report['best_round']}):\n\n"
             "| cores | build s | docs/sec indexed | "
             "query batch best s | query batch p95 s |\n"
             "|---|---|---|---|---|\n"

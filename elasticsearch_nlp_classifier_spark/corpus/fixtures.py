@@ -84,3 +84,18 @@ QUERIES: list[dict] = [
 
 def queries_pdf() -> pd.DataFrame:
     return pd.DataFrame(QUERIES)
+
+
+def query_batch_pdf(n: int = 120) -> pd.DataFrame:
+    """Deterministic n-query batch: the F3 set tiled with fresh ids.
+
+    Throughput-scaling measurements need the batch large enough that
+    per-query scoring work (one task per query) dominates the fixed
+    per-job driver/scheduler overhead — a 15-query batch finishes in
+    one task wave at any parallelism and measures JVM constants, not
+    the engine."""
+    base = pd.DataFrame(QUERIES)
+    reps = (n + len(base) - 1) // len(base)
+    out = pd.concat([base] * reps, ignore_index=True).iloc[:n].copy()
+    out["query_id"] = range(1, n + 1)
+    return out

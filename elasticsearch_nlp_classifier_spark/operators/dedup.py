@@ -19,7 +19,6 @@ closure is a separate iterative job; pairs are the stable primitive).
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -54,31 +53,7 @@ def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _word_shingles(text: str, k: int) -> list[str]:
-    toks = text.split()
-    if len(toks) < k:
-        return [" ".join(toks)] if toks else []
-    return [" ".join(toks[i: i + k]) for i in range(len(toks) - k + 1)]
 
-
-def _base_hashes(shingles: list[str]) -> np.ndarray:
-    """Deterministic 64-bit base hash per shingle (md5 prefix)."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-            for s in shingles
-        ],
-        dtype=np.uint64,
-    )
-
-
-def _base_hashes_vec(shingles: pd.Series) -> np.ndarray:
-    """Vectorized deterministic 64-bit hash for a shingle batch
-    (pandas' cython siphash with a fixed key — stable across runs
-    and processes)."""
-    return pd.util.hash_pandas_object(
-        shingles, index=False, hash_key="0123456789abcdef"
-    ).to_numpy(np.uint64)
 
 
 def _minhash_params(n_hashes: int, seed: int = 42):
@@ -86,6 +61,35 @@ def _minhash_params(n_hashes: int, seed: int = 42):
     a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
     return a, b
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, hs array<bigint>) — per-doc array of distinct 64-bit word-k-
+    shingle hashes, computed ENTIRELY by JVM built-ins (split → slice →
+    concat_ws → xxhash64 → array_distinct).  No Python string work: the
+    only thing that crosses the Arrow boundary downstream is int64
+    arrays.  Same shingling contract as ``shingle_table`` (tested)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(shingles, lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    )
 
 
 def minhash_signatures(
@@ -96,36 +100,47 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, signature array<bigint>) — vectorized per Arrow batch."""
+    """(id, signature array<bigint>) — shingle+hash in JVM codegen,
+    permutation min-reduce vectorized per Arrow batch.
+
+    The pandas UDF sees only int64 hash arrays.  Per batch: one
+    factorize over the flattened hash stream, then the permutation
+    table is applied in CHUNKS of 16 hash functions with a
+    ``minimum.reduceat`` per chunk — peak transient is
+    ``n_shingles × 16 × 8B`` instead of the old ``n_unique × 64 × 8B``
+    matrix (hundreds of MB per batch, which churned freshly-mapped
+    pages — the round-1 bottleneck) and there is no per-row Python
+    loop."""
     a, b = _minhash_params(n_hashes, seed)
+    mersenne = np.uint64(_MERSENNE)
 
     @pandas_udf(ArrayType(LongType()))
-    def sig(texts: pd.Series) -> pd.Series:
-        # Whole-batch vectorization: every shingle of the batch is
-        # hashed once (cython, not per-row Python), the permutation
-        # matrix M[u, i] = (a_i·h_u + b_i) mod p is computed once per
-        # *unique* shingle, and each row's signature is a fancy-index
-        # + min over its own shingle codes.
-        row_shingles = [_word_shingles(t or "", shingle_k) for t in texts]
-        flat = [s for sh in row_shingles for s in sh]
-        if not flat:
-            return pd.Series([[0] * n_hashes for _ in row_shingles])
-        codes, uniques = pd.factorize(pd.Series(flat), sort=False)
-        h = _base_hashes_vec(pd.Series(uniques))  # (n_unique,)
-        m = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-        out = []
-        pos = 0
-        empty = [0] * n_hashes
-        for sh in row_shingles:
-            if not sh:
-                out.append(empty)
-                continue
-            c = codes[pos: pos + len(sh)]
-            pos += len(sh)
-            out.append(m[c].min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
+    def sig(hs: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64,
+                           count=len(hs))
+        total = int(lens.sum())
+        out = np.zeros((len(hs), n_hashes), dtype=np.int64)
+        if total:
+            flat = np.concatenate([np.asarray(x, dtype=np.int64)
+                                   for x in hs if len(x)])
+            uniq, codes = np.unique(flat.astype(np.uint64),
+                                    return_inverse=True)
+            nz = lens > 0
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            sig_nz = np.empty((int(nz.sum()), n_hashes), dtype=np.int64)
+            for c0 in range(0, n_hashes, 16):
+                c1 = min(c0 + 16, n_hashes)
+                m = (uniq[:, None] * a[None, c0:c1] + b[None, c0:c1]) \
+                    % mersenne
+                sig_nz[:, c0:c1] = np.minimum.reduceat(
+                    m[codes], starts, axis=0
+                ).astype(np.int64)
+            out[nz] = sig_nz
+        return pd.Series(list(out))
 
-    return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("signature"))
+    return shingle_hashes(df, text_col, id_col, shingle_k).select(
+        "id", sig(F.col("hs")).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -143,6 +158,8 @@ def minhash_lsh_pairs(
     jaccard >= threshold."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
+    # cache: the self-join reads ``banded`` twice — uncached, the whole
+    # signature UDF would run once per join side
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -154,7 +171,7 @@ def minhash_lsh_pairs(
                 lambda band: F.xxhash64(F.concat_ws(",", F.transform(band, lambda x: x.cast("string")))),
             )
         ).alias("band", "bucket"),
-    )
+    ).cache()
     cands = (
         banded.alias("l")
         .join(
@@ -266,27 +283,46 @@ def ngram_jaccard_for_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 64
 ) -> DataFrame:
-    """(id, simhash bigint) — weighted token-hash bit voting."""
+    """(id, simhash bigint) — weighted token-hash bit voting.
+
+    Tokenize + per-token hash run as JVM built-ins (split → xxhash64);
+    the pandas UDF receives int64 hash arrays only and computes the
+    whole batch's bit votes with one ``add.reduceat`` — no per-row
+    Python loop (round-1 finding)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
+    )
 
     @pandas_udf(LongType())
-    def sim(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            uniq, counts = np.unique(np.array(toks), return_counts=True)
-            h = _base_hashes(uniq.tolist())
-            bitmat = ((h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
-                      & np.uint64(1)).astype(np.int64)
-            votes = ((bitmat * 2 - 1) * counts[:, None]).sum(axis=0)
-            sig = np.uint64(0)
-            for bpos in np.flatnonzero(votes > 0):
-                sig |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sig.astype(np.int64))
+    def sim(hs: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64,
+                           count=len(hs))
+        out = np.zeros(len(hs), dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate([
+                np.asarray(x, dtype=np.int64) for x in hs if len(x)
+            ]).astype(np.uint64)
+            uniq, codes = np.unique(flat, return_inverse=True)
+            # ±1 contribution per bit per unique hash, int16 is plenty
+            bitmat = (
+                ((uniq[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
+                 & np.uint64(1)).astype(np.int16) * 2 - 1
+            )
+            nz = lens > 0
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            votes = np.add.reduceat(
+                bitmat[codes].astype(np.int64), starts, axis=0
+            )
+            sig = (
+                (votes > 0).astype(np.uint64)
+                << np.arange(bits, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            out[nz] = sig.astype(np.int64)
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("simhash"))
+    return hashed.select("id", sim(F.col("hs")).alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -4,6 +4,11 @@ Tuned for correctness-at-scale defaults: AQE on (runtime coalesce +
 skew-join backstop), Arrow transfers on, sane shuffle partition count.
 On a real cluster these come from spark-submit conf; locally this is the
 single place tests/jobs get a session from.
+
+Sandbox-specific knobs (RAM-backed spark.local.dir, RawLocalFileSystem,
+page-backing pre-touch) are OPT-IN via ``SPARK_GRAFT_SANDBOX=1`` — the
+bench harness and test suite set it; a plain library user gets stock
+Spark behavior (disk local dir, checksummed local writes).
 """
 
 from __future__ import annotations
@@ -11,6 +16,26 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+
+#: glibc/Arrow allocator settings that keep worker memory RESIDENT.
+#: This VM (Firecracker, `page_reporting_order=11`) unbacks freed guest
+#: pages >=8 MB: any allocator that returns memory to the OS makes the
+#: next touch fault through to the host, which stalls memory-bound work
+#: by 10-50x in bursts.  Pinning glibc to never trim and to satisfy
+#: large allocations from the (reused, already-backed) heap — and Arrow
+#: to the system allocator so it obeys — keeps steady-state allocation
+#: on backed pages.  On a real cluster these are harmless and match
+#: long-lived-executor practice (allocators that cache pages).
+WORKER_ALLOC_ENV = {
+    "MALLOC_TRIM_THRESHOLD_": "-1",          # never return heap to OS
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",  # big allocs from heap, not mmap
+    "MALLOC_ARENA_MAX": "2",
+    "ARROW_DEFAULT_MEMORY_POOL": "system",   # obey glibc settings above
+}
+
+
+def _sandbox() -> bool:
+    return os.environ.get("SPARK_GRAFT_SANDBOX", "") == "1"
 
 
 def get_spark(
@@ -25,16 +50,7 @@ def get_spark(
     cores = master[master.find("[") + 1: master.find("]")] if "[" in master else "32"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores == "*" else max(8, int(cores))
-    # Shuffle/spill scratch: executors on a real cluster own fast local
-    # NVMe; this sandbox's virtual disk throttles in bursts (hundreds of
-    # MB/s for a while, then near-zero — task threads end up blocked in
-    # shuffle-file writes for minutes).  Use the RAM-backed /dev/shm for
-    # spark.local.dir when present so shuffle I/O reflects the engine,
-    # not the hypervisor's burst-credit state.  Override with
-    # SPARK_GRAFT_LOCAL_DIR.
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -43,20 +59,46 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
     )
-    if local_dir:
-        b = b.config("spark.local.dir", local_dir)
-    # No native Hadoop libs in this environment, so ChecksumFileSystem/
-    # RawLocalFileSystem fall back to SHELLING OUT (fork+exec of chmod/ls)
-    # for permission ops on every file create — forking a multi-GB JVM
-    # from 32 task threads convoys on the kernel and dominated the write
-    # stages.  Bypassing the checksum wrapper halves file creations
-    # (no .crc siblings); real clusters (HDFS/S3A) never hit this path.
-    b = b.config("spark.hadoop.fs.file.impl",
-                 "org.apache.hadoop.fs.RawLocalFileSystem")
+    if _sandbox():
+        # Shuffle/spill scratch: executors on a real cluster own fast
+        # local NVMe; this sandbox's virtual disk throttles in bursts.
+        # RAM-backed /dev/shm keeps shuffle I/O off the virtual disk.
+        # Override with SPARK_GRAFT_LOCAL_DIR.
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        if local_dir is None and os.path.isdir("/dev/shm"):
+            local_dir = "/dev/shm/spark-local"
+        if local_dir:
+            b = b.config("spark.local.dir", local_dir)
+        # No native Hadoop libs in the sandbox, so ChecksumFileSystem
+        # falls back to SHELLING OUT (fork+exec of chmod/ls) per file
+        # create — forking a multi-GB JVM from 32 task threads convoys
+        # on the kernel.  Bypassing the checksum wrapper halves file
+        # creations; real deployments (HDFS/S3A) never hit this path.
+        b = b.config("spark.hadoop.fs.file.impl",
+                     "org.apache.hadoop.fs.RawLocalFileSystem")
+        # Keep the JVM heap BACKED for the process lifetime: Xms=Xmx +
+        # AlwaysPreTouch faults every heap page in once at startup and
+        # G1 never uncommits.  Without this, G1 heap shrink frees pages
+        # that free-page-reporting unbacks — later allocation-heavy
+        # stages (tokenize, shuffle) re-fault them through the host and
+        # stall 10-50x.  Matches production guidance for long-lived
+        # executors (fixed heap).
+        java_opts = (
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
+            "-XX:-ShrinkHeapInSteps -XX:G1PeriodicGCInterval=0"
+        )
+        prev = os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTS", "")
+        b = b.config("spark.driver.extraJavaOptions",
+                     (java_opts + " " + prev).strip())
+        for k, v in WORKER_ALLOC_ENV.items():
+            b = b.config(f"spark.executorEnv.{k}", v)
+            # local mode: python workers fork from the driver-side
+            # daemon, which inherits the driver process env
+            os.environ.setdefault(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

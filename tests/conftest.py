@@ -1,4 +1,10 @@
+import os
+
 import pytest
+
+# Opt in to the sandbox-VM session tuning (RAM local dir, raw local FS,
+# pre-touched heap) for the test suite; library defaults stay stock.
+os.environ.setdefault("SPARK_GRAFT_SANDBOX", "1")
 
 
 @pytest.fixture(scope="session")
