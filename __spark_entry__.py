@@ -16,6 +16,7 @@ NB scores are never emitted (argmax only).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -286,8 +287,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (hash family not SQL-expressible —
-    rows-only check; exact-jaccard verification inside)."""
+    """MinHash+LSH near-dup pairs, now FULL-oracled: the output contract
+    is 'every pair with word-5-shingle jaccard >= 0.8' (candidates are
+    verified with the exact jaccard, and the 16x4 banding's miss
+    probability at j=0.8 is ~2e-4/pair), so the all-pairs SQL jaccard IS
+    the end-to-end oracle — stronger than a banding-stage replay."""
     from elasticsearch_nlp_classifier_spark.operators import minhash_lsh_pairs
 
     d = _docs_with_dups(spark, sf_dir)
@@ -296,11 +300,31 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _oracle_scratch() -> str:
+    import tempfile
+
+    p = os.path.join(tempfile.gettempdir(), "spark_graft_oracle")
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only check)."""
-    from elasticsearch_nlp_classifier_spark.operators import simhash_near_dup_pairs
+    """SimHash near-dup pairs.  The signature hash family (xxhash64) is
+    not DuckDB-expressible, so signatures are MATERIALIZED to parquet
+    and the oracle independently re-derives banding (HUGEINT div/mod),
+    the band self-join, xor+bit_count hamming, and the distinct+
+    threshold semantics from them."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        simhash_near_dup_pairs,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.dedup import (
+        simhash_signatures,
+    )
 
     d = _docs_with_dups(spark, sf_dir)
+    simhash_signatures(d, "text", "doc_id").write.mode("overwrite").parquet(
+        f"{_oracle_scratch()}/simhash_sigs.parquet"
+    )
     return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )
@@ -331,17 +355,37 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (random hyperplanes — rows-only check)."""
-    from elasticsearch_nlp_classifier_spark.operators import lsh_cosine_topk
+    """LSH-bucketed ANN.  The hyperplane family is seeded numpy (not
+    SQL-expressible; recall-vs-brute is pytest-gated), so the candidate
+    set is MATERIALIZED to parquet and the oracle independently
+    re-scores + re-ranks it with exact cosine in SQL — the rerank/topk
+    stage gets a real hash-match check."""
+    from elasticsearch_nlp_classifier_spark.operators import lsh_candidates
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = lsh_cosine_topk(emb, queries, dim=64, k=5, n_bits=32, bands=8)
-    return out.select(
-        "query_id", F.col("rank").cast("bigint").alias("rank"), "vec_id",
-        F.round("cos", 6).alias("cos_r6"),
+    cands = lsh_candidates(emb, queries, dim=64, n_bits=32, bands=8).cache()
+    cands.select("query_id", "vec_id").write.mode("overwrite").parquet(
+        f"{_oracle_scratch()}/ann_lsh_cands.parquet"
+    )
+    from elasticsearch_nlp_classifier_spark.operators.similarity import cosine
+
+    scored = cands.select(
+        "query_id", "vec_id",
+        cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id", F.col("rank").cast("bigint").alias("rank"),
+            "vec_id", F.round("cos", 6).alias("cos_r6"),
+        )
     )
 
 
@@ -373,8 +417,9 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 def q_text_rolling_fingerprint(spark, sf_dir):
-    """Order-sensitive rolling-hash fingerprint (pandas UDF — hash fold
-    not SQL-expressible; rows-only check)."""
+    """Order-sensitive rolling-hash fingerprint — a JVM ``aggregate``
+    fold over md5-prefix word values, with an exact DuckDB twin
+    (``list_reduce``), so this is now a full hash-match oracle entry."""
     from elasticsearch_nlp_classifier_spark.operators import (
         document_fingerprints,
     )
@@ -383,6 +428,60 @@ def q_text_rolling_fingerprint(spark, sf_dir):
     return document_fingerprints(docs, "text", "doc_id").select(
         F.col("id").alias("doc_id"), "rolling_fp"
     )
+
+
+def q_match_phrase(spark, sf_dir):
+    """T9-adjacent: positional postings (varbyte position gaps in the
+    block layout) + exact phrase match — reference surface
+    `TermVectorQuery.java:60-76` position arrays."""
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query import match_phrase
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="phrase_ix_") + "/idx"
+    index = build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code",
+        with_positions=True,
+    )
+    return match_phrase(index, "data value", analyzer="simple_code")
+
+
+def q_p7_query_string_analyzed(spark, sf_dir):
+    """P7 analyzed-text-field mode: ``text:token`` matches the analyzed
+    token (reference `ScanAndScrollIteratorTest.java:20`), phrases are
+    token runs, prefixes match any token."""
+    from elasticsearch_nlp_classifier_spark.functions import (
+        compile_query_string,
+    )
+
+    docs = _docs(spark, sf_dir)
+    col = compile_query_string(
+        '(text:data OR text:valu*) AND NOT text:"data value"',
+        default_field="text", text_fields={"text"}, analyzer="simple_code",
+    )
+    return docs.where(col).select("doc_id")
+
+
+def q_s8_merge_updates(spark, sf_dir):
+    """S8 MERGE sink: enrich -> atomic overwrite-by-join merge into a
+    parquet table -> re-read (`BulkUpdateQueue.java:27-169`'s
+    apply-batch-atomically contract, emulated without a table-format
+    jar).  Returns the merged table's (doc_id, lang)."""
+    import shutil
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.sources import merge_updates
+
+    tbl = tempfile.mkdtemp(prefix="merge_tbl_") + "/documents"
+    os.makedirs(tbl)
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{tbl}/part-0.parquet")
+    updates = q_j2_enrich_updates(spark, sf_dir)
+    merge_updates(spark, tbl, updates, "doc_id", {"lang": "new_lang"})
+    return spark.read.parquet(tbl).select("doc_id", "lang")
 
 
 def q_text_quality(spark, sf_dir):
@@ -573,6 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_feature_extract": q_mm_feature_extract,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
+        "match_phrase": q_match_phrase,
+        "p7_query_string_analyzed": q_p7_query_string_analyzed,
+        "s8_merge_updates": q_s8_merge_updates,
     }
 
 
@@ -657,6 +759,27 @@ ranked AS (
   FROM scores
 )
 SELECT rank::BIGINT AS rank, doc_id, score_r6 FROM ranked WHERE rank <= 10"""
+
+# word-5-shingle twin of _SHINGLES_SQL (minhash verify contract)
+_SHINGLES5_SQL = """
+toks_d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS w
+  FROM docs_dup
+),
+sh0 AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+         THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+         ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks_d
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)"""
 
 _SHINGLES_SQL = """
 toks_d AS (
@@ -782,8 +905,19 @@ SELECT doc_id,
 FROM hits"""
 
 
+def _rolling_fp_oracle() -> str:
+    from elasticsearch_nlp_classifier_spark.operators.textstats import (
+        rolling_fingerprint_sql,
+    )
+
+    return (
+        f"SELECT doc_id, {rolling_fingerprint_sql('text')} AS rolling_fp "
+        "FROM documents"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "a1_term_freq": f"WITH {_TF} SELECT doc_id, term, tf FROM tf",
         "a2_a3_term_stats": f"""
             WITH {_TF}
@@ -850,8 +984,69 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""",
-        # dedup_minhash_lsh / dedup_simhash / ann_lsh: hash families not
-        # SQL-expressible -> rows-only checks (intentionally omitted)
+        # minhash's output CONTRACT (all pairs with 5-shingle jaccard
+        # >= 0.8; exact verify inside) is SQL — full end-to-end oracle
+        "dedup_minhash_lsh": f"""
+            WITH {_DUPS_SQL}, {_SHINGLES5_SQL}
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard_r6
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""",
+        # banding + hamming + distinct replayed in SQL from the
+        # materialized signatures (hash family pytest-gated)
+        "dedup_simhash": f"""
+            WITH sigs AS (
+              SELECT id, simhash,
+                     (simhash::HUGEINT + CASE WHEN simhash < 0
+                        THEN 18446744073709551616::HUGEINT
+                        ELSE 0::HUGEINT END) AS us
+              FROM read_parquet('{{SCRATCH}}/simhash_sigs.parquet/*.parquet')
+            ),
+            banded AS (
+              SELECT id, simhash, b.band,
+                CASE b.band
+                  WHEN 0 THEN (us % 65536)
+                  WHEN 1 THEN ((us // 65536) % 65536)
+                  WHEN 2 THEN ((us // 4294967296) % 65536)
+                  ELSE ((us // 281474976710656) % 65536) END AS bucket
+              FROM sigs, (VALUES (0), (1), (2), (3)) b(band)
+            ),
+            pairs AS (
+              SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                     bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+            )
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""",
+        # exact rerank replayed in SQL from the materialized LSH
+        # candidate set (hyperplane family pytest-gated)
+        "ann_lsh": """
+            WITH c AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{SCRATCH}/ann_lsh_cands.parquet/*.parquet')
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+              FROM c
+              JOIN embeddings e USING (vec_id)
+              JOIN q ON q.query_id = c.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos, 9) DESC, vec_id ASC) AS rank,
+                     round(cos, 6) AS cos_r6
+              FROM scored
+            )
+            SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
+            FROM ranked WHERE rank <= 5""",
         "ann_cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qv
@@ -920,9 +1115,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cos, 6) AS cos_r6
             FROM pairs WHERE cos >= 0.4""",
-        # mm_feature_extract / text_rolling_fingerprint: fake decoder /
-        # hash fold not SQL-expressible -> rows-only checks
+        "text_rolling_fingerprint": _rolling_fp_oracle(),
+        "match_phrase": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            )
+            SELECT p0.doc_id, count(*)::BIGINT AS n_matches
+            FROM pos p0
+            JOIN pos p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+            WHERE p0.term = 'data' AND p1.term = 'value'
+            GROUP BY 1""",
+        "p7_query_string_analyzed": f"""
+            WITH {_TOKS}
+            SELECT doc_id FROM toks
+            WHERE (list_contains(w, 'data')
+                   OR len(list_filter(w, x -> x LIKE 'valu%')) > 0)
+              AND len([i for i in range(1, len(w))
+                       if w[i] = 'data' AND w[i+1] = 'value']) = 0""",
+        "s8_merge_updates": f"""
+            WITH {_NB_PREDICT_SQL},
+            upd AS (
+              SELECT d.doc_id, p.prediction AS new_lang
+              FROM pred p JOIN documents d USING (doc_id)
+              WHERE p.rn = 1
+                AND NOT coalesce(d.lang, '') = p.prediction
+            )
+            SELECT d.doc_id, coalesce(u.new_lang, d.lang) AS lang
+            FROM documents d LEFT JOIN upd u USING (doc_id)""",
+        # mm_feature_extract: fake decoder -> rows-only check (codec
+        # libs absent in this environment)
     }
+    scratch = _oracle_scratch()
+    return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}
 
 
 _QUALITY_SQL = """

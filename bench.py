@@ -44,6 +44,29 @@ def _timed(fn):
     return time.time() - t0, out
 
 
+def _prev_bench(root: str) -> dict:
+    """Newest committed BENCH_r{N}.json (per-query history: the driver
+    records one per round; q-by-q deltas stop a throttle-lucky best-of
+    from masking regressions)."""
+    import glob
+    import re
+
+    best_n, best = -1, {}
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            q = d.get("parsed", d).get("queries")
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if q and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), q
+    return best
+
+
 def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
     """Run every headline query once (index build first), return
     {name: seconds} plus derived throughput metrics."""
@@ -64,6 +87,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
     from elasticsearch_nlp_classifier_spark.query.wand import wand_topk
 
     timings: dict[str, float] = {}
+    reps_raw: dict[str, list] = {}
     extras: dict[str, float] = {}
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -82,13 +106,15 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
     # blocks).  Best of 2: this sandbox VM throttles in bursty windows;
     # the better rep is the engine's actual cost.
     idx_path = os.path.join(work_dir, "index")
-    t = None
+    q1 = []
     for _rep in range(2):
         shutil.rmtree(idx_path, ignore_errors=True)
         t_rep, _ = _timed(lambda: build_physical_index(
             docs, idx_path, text_col="text", analyzer="simple_code",
         ))
-        t = t_rep if t is None else min(t, t_rep)
+        q1.append(t_rep)
+    reps_raw["q1_index_build"] = q1
+    t = min(q1)
     timings["q1_index_build"] = t
     extras["docs_per_sec_index"] = round(n_docs / t, 1)
 
@@ -119,6 +145,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
                                          analyzer="simple_code").count())
         lat.append(t)
     lat.sort()
+    reps_raw["q2_bm25_wand_topk"] = lat
     timings["q2_bm25_wand_topk"] = sum(lat) / len(lat)
     p95 = lat[min(len(lat) - 1, int(round(0.95 * len(lat))) )]
     extras["p95_bm25_batch_ms"] = round(p95 * 1000, 1)
@@ -139,6 +166,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
 
     t, acc = _timed(nb_job)
     t2, acc = _timed(nb_job)
+    reps_raw["q3_nb_train_predict"] = [t, t2]
     timings["q3_nb_train_predict"] = min(t, t2)
     extras["nb_accuracy"] = round(float(acc), 4)
 
@@ -147,6 +175,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
         docs, text_col="text", id_col="doc_id").count())
     t2, _n = _timed(lambda: minhash_lsh_pairs(
         docs, text_col="text", id_col="doc_id").count())
+    reps_raw["q4_dedup_minhash_lsh"] = [t, t2]
     timings["q4_dedup_minhash_lsh"] = min(t, t2)
 
     # --- q5: brute-force cosine top-k ANN over embeddings (best of 2)
@@ -157,9 +186,11 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
     )
     t, _n = _timed(lambda: cosine_topk(emb, probes, k=10).count())
     t2, _n = _timed(lambda: cosine_topk(emb, probes, k=10).count())
+    reps_raw["q5_ann_cosine_topk"] = [t, t2]
     timings["q5_ann_cosine_topk"] = min(t, t2)
 
-    return {"timings": timings, "extras": extras, "n_docs": n_docs}
+    return {"timings": timings, "reps": reps_raw, "extras": extras,
+            "n_docs": n_docs}
 
 
 def _burn(n: int) -> int:
@@ -169,25 +200,35 @@ def _burn(n: int) -> int:
     return s
 
 
-def _bw_probe() -> float:
-    """Memory-bandwidth probe (GB/s moved by a 384 MB numpy copy).
+_BW_BUFS = None
 
-    This VM throttles in windows of one-to-few minutes, and the
-    throttle hits memory-bound work 10-50× while barely touching
-    cache-resident integer loops — so a pure-CPU calibration cannot
-    detect it, but this probe can.  A scaling round is only VALID if
-    the probes bracketing both level runs agree (stable window)."""
+
+def _bw_probe() -> float:
+    """Memory-bandwidth probe (GB/s moved by an in-place 64 MB copy).
+
+    The VM's stall mechanism is free-page reporting: freed pages are
+    unbacked by the host and the next first-touch faults through at
+    host speed (can wedge for minutes).  The probe therefore uses a
+    PERSISTENT pre-touched buffer pair (allocated once, copied in
+    place) — it measures the machine's memory throughput in this
+    window without itself paying, or causing, page-backing churn.  A
+    scaling round is only VALID if the probes bracketing both level
+    runs agree (stable window)."""
     import numpy as np
 
-    a = np.ones(384 * 131072, dtype=np.float64)
+    global _BW_BUFS
+    if _BW_BUFS is None:
+        a = np.ones(64 * 131072, dtype=np.float64)
+        b = a.copy()
+        _BW_BUFS = (a, b)
+    a, b = _BW_BUFS
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        b = a.copy()
+        np.copyto(b, a)
         dt = time.perf_counter() - t0
-        del b
         best = min(best, dt)
-    return round((2 * 384 / 1024) / best, 2)
+    return round((2 * 64 / 1024) / best, 2)
 
 
 def _cpu_envelope(worker_counts: list[int]) -> dict:
@@ -287,8 +328,12 @@ def _one_level_run(master: str, cores: int, corpus_dir: str, n_docs: int):
     # tasks' humongous sort/pointer arrays — ~8 GB live inside a 38 GB
     # RSS, every task thread blocked in ByteBuffer.allocate.  A 16g
     # heap keeps GC compact; spill goes to the RAM-backed local dir.
+    # 8g: plenty for the 240k-doc job at 32 tasks, and every GiB of
+    # heap is faulted in at JVM start (AlwaysPreTouch) and unbacked at
+    # spark.stop() on this VM — smaller heap = less page-backing churn
+    # seeding stalls for the next level.
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = (
-        os.environ.get("SPARK_GRAFT_SCALING_MEM") or "16g"
+        os.environ.get("SPARK_GRAFT_SCALING_MEM") or "8g"
     )
     spark = get_spark(master=master, app_name=f"bench-scaling-{cores}",
                       shuffle_partitions=max(8, cores))
@@ -384,7 +429,7 @@ def scaling_run(
     # round), a cooldown before each level, and ALTERNATING level order
     # per round so any residual credit asymmetry cancels across rounds.
     env = _cpu_envelope([c_small, c_big])
-    cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN_S", "45"))
+    cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN_S", "20"))
     rounds_out = []
     valid_rounds = []
     max_attempts = max(rounds * 4, 8)
@@ -570,7 +615,16 @@ def main() -> None:
         shutil.rmtree(work_dir, ignore_errors=True)
         spark.stop()
 
+    import statistics
+
     timings = {k: round(v, 3) for k, v in res["timings"].items()}
+    medians = {k: round(statistics.median(v), 3)
+               for k, v in res["reps"].items()}
+    prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    vs_prev = {
+        k: round(100.0 * (timings[k] - prev[k]) / prev[k], 1)
+        for k in timings if isinstance(prev.get(k), (int, float)) and prev[k]
+    }
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)
@@ -584,6 +638,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_docs": res["n_docs"],
+        "queries_median": medians,
+        "queries_reps": {k: [round(x, 3) for x in v]
+                         for k, v in res["reps"].items()},
+        "vs_prev_round_pct": vs_prev,
         **res["extras"],
     }
     print(json.dumps(out))

@@ -73,15 +73,19 @@ def simple_code_tokens(col: Column | str) -> Column:
     ``regexp_split_to_array(lower(x), '[^a-z0-9]+')`` + unnest + filter.
     """
     c = F.col(col) if isinstance(col, str) else col
+    # null -> '' so the JVM path agrees with the pandas chain (None ->
+    # []); without it size(tokens) is -1/null for null docs
+    c = F.coalesce(c, F.lit(""))
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != "")
 
 
 # Java regex equivalents of the CODE chain (`chain.py`): identifier /
 # number / same-char operator-run split, then lowercase, then stopword +
-# punctuation-run removal.  Java and Python regex agree on these
-# patterns for ASCII text (the corpus is source code); `\d`/`\S` differ
-# only on non-ASCII digits/whitespace, outside the parity-tested domain.
-_CODE_SPLIT_RE = r"[A-Za-z_][A-Za-z0-9_]*|\d+|(\S)\1*"
+# punctuation-run removal.  `(?U)` (UNICODE_CHARACTER_CLASS) makes Java
+# `\d`/`\S` match Python's Unicode semantics, so the JVM and pandas
+# paths agree beyond ASCII too (pinned by the parity tests' non-ASCII
+# cases).
+_CODE_SPLIT_RE = r"(?U)[A-Za-z_][A-Za-z0-9_]*|\d+|(\S)\1*"
 _PUNCT_RUN_RE = r"^([!\"#$%&'()*+,./:;<=>?@\[\]^_`{|}~-])\1*$"
 
 
@@ -100,6 +104,7 @@ def code_tokens(col: Column | str) -> Column:
     from .stopwords import STOPWORDS
 
     c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))  # null-doc parity with the pandas chain
     toks = F.regexp_extract_all(c, F.lit(_CODE_SPLIT_RE), 0)
     lowered = F.transform(toks, F.lower)
     stop = sorted(STOPWORDS)

@@ -16,6 +16,21 @@ Semantics: ``field:value`` is an equality test (termQuery, P4);
 a bare term (no field) matches the default field via substring
 containment.  Produces a single Catalyst Column — fully pushdown- and
 codegen-friendly (no UDFs).
+
+**Analyzed text fields** (``text_fields=...``): ES analyzes both sides
+for text-mapped fields — the reference's ``termQuery("text",
+"disaster")`` matches the *analyzed token* inside the field
+(`ScanAndScrollIteratorTest.java:20`, `ElasticsearchDataset.java:42`),
+not the raw string.  Fields listed in ``text_fields`` compile to
+token-level predicates over ``analyze(field)``:
+
+- ``text:disaster``   → ``array_contains(analyze(text), 'disaster')``
+  (multi-token values OR their tokens, ES default_operator behavior)
+- ``text:"a phrase"`` → consecutive-subsequence match of the analyzed
+  phrase tokens (positions via the token array itself)
+- ``text:pre*``       → any analyzed token with the (lowercased) prefix
+
+All still pure Catalyst expressions (JVM analyzers stay in codegen).
 """
 
 from __future__ import annotations
@@ -54,10 +69,18 @@ def _lex(s: str) -> list[str]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[str], default_field: str):
+    def __init__(
+        self,
+        tokens: list[str],
+        default_field: str,
+        text_fields: set[str] | None = None,
+        analyzer: str = "simple_code",
+    ):
         self.toks = tokens
         self.i = 0
         self.default_field = default_field
+        self.text_fields = text_fields or set()
+        self.analyzer = analyzer
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -111,6 +134,8 @@ class _Parser:
         return self._match(self.default_field, t, contains=True)
 
     def _match(self, field: str, value: str, contains: bool = False) -> Column:
+        if field in self.text_fields:
+            return self._match_analyzed(field, value)
         if value.startswith('"') and value.endswith('"'):
             return F.col(field) == F.lit(value[1:-1])
         if value.endswith("*"):
@@ -119,12 +144,51 @@ class _Parser:
             return F.col(field).contains(value)
         return F.col(field) == F.lit(value)
 
+    def _match_analyzed(self, field: str, value: str) -> Column:
+        from ..analyzer.chain import get_analyzer
+        from ..analyzer.spark_udfs import analyze
 
-def compile_query_string(s: str, default_field: str = "content") -> Column:
+        toks_col = analyze(field, self.analyzer)
+        if value.startswith('"') and value.endswith('"'):
+            phrase = get_analyzer(self.analyzer).tokenize(value[1:-1])
+            if not phrase:
+                return F.lit(False)
+            if len(phrase) == 1:
+                return F.array_contains(toks_col, phrase[0])
+            n = len(phrase)
+            lit_phrase = F.array(*[F.lit(t) for t in phrase])
+            # any 1-based start i whose n-token slice equals the phrase
+            starts = F.when(
+                F.size(toks_col) >= n,
+                F.sequence(F.lit(1), F.size(toks_col) - n + 1),
+            ).otherwise(F.array().cast("array<int>"))
+            return F.exists(
+                starts, lambda i: F.slice(toks_col, i, n) == lit_phrase
+            )
+        if value.endswith("*"):
+            prefix = value[:-1].lower()
+            return F.exists(toks_col, lambda t: t.startswith(prefix))
+        q_toks = get_analyzer(self.analyzer).tokenize(value)
+        if not q_toks:
+            return F.lit(False)
+        cond = F.array_contains(toks_col, q_toks[0])
+        for t in q_toks[1:]:
+            cond = cond | F.array_contains(toks_col, t)
+        return cond
+
+
+def compile_query_string(
+    s: str,
+    default_field: str = "content",
+    text_fields: set[str] | None = None,
+    analyzer: str = "simple_code",
+) -> Column:
     """Compile a query-string condition into a boolean Column.
 
-    ``matchAllQuery`` (P8) is the empty string -> lit(True)."""
+    ``matchAllQuery`` (P8) is the empty string -> lit(True).
+    ``text_fields`` marks fields with analyzed-term (ES text-mapping)
+    semantics — see module docstring."""
     tokens = _lex(s)
     if not tokens:
         return F.lit(True)
-    return _Parser(tokens, default_field).parse()
+    return _Parser(tokens, default_field, text_fields, analyzer).parse()

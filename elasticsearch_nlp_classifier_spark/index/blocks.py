@@ -57,6 +57,12 @@ BLOCK_SCHEMA = (
     "dls_vb binary"
 )
 
+#: positional layout (``with_positions=True``): one extra payload,
+#: ``pos_vb`` = varbyte(gaps(positions)) concatenated posting-by-posting
+#: within the block; per-posting segment lengths are the block's tfs, so
+#: no extra offsets are stored (Lucene's .prx-style layout).
+BLOCK_SCHEMA_POS = BLOCK_SCHEMA + ", pos_vb binary"
+
 
 def _encode_group(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.DataFrame:
     """Encode one (term, salt) posting run into blocks. Input columns:
@@ -132,6 +138,10 @@ def encode_blocks(
         salt = F.lit(0)
     p = postings.withColumn("salt", salt)
 
+    with_positions = "positions" in postings.columns
+    cols = ["term", "salt", "doc_id", "tf", "dl"] + (
+        ["positions"] if with_positions else []
+    )
     # 2 waves per core: the (term, salt) hash distribution is even in
     # expectation but not per-partition; twice as many partitions halves
     # the straggler tail at a negligible task-overhead cost.
@@ -139,12 +149,12 @@ def encode_blocks(
         postings.sparkSession.sparkContext.defaultParallelism * 2
     )
     sorted_p = (
-        p.select("term", "salt", "doc_id", "tf", "dl")
+        p.select(*cols)
         .repartition(n_shuffle, "term", "salt")
         .sortWithinPartitions("term", "salt", "doc_id")
     )
 
-    out_schema = BLOCK_SCHEMA
+    out_schema = BLOCK_SCHEMA_POS if with_positions else BLOCK_SCHEMA
 
     def encode_partition(batches):
         carry: pd.DataFrame | None = None
@@ -192,7 +202,7 @@ def _encode_partition_groups(
         return pd.DataFrame(columns=[
             "term", "salt", "block_id", "n", "first_doc", "last_doc",
             "max_tfhat", "docs_vb", "tfs_vb", "dls_vb",
-        ])
+        ] + (["pos_vb"] if "positions" in pdf.columns else []))
 
     gchange = np.empty(n, dtype=bool)
     gchange[0] = True
@@ -215,7 +225,7 @@ def _encode_partition_groups(
     tfs_buf, tfs_off = vb_encode_segmented(tfs.astype(np.uint64), bstarts)
     dls_buf, dls_off = vb_encode_segmented(dls.astype(np.uint64), bstarts)
 
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "term": pdf["term"].to_numpy()[bstarts],
             "salt": salts[bstarts].astype(np.int32),
@@ -232,6 +242,28 @@ def _encode_partition_groups(
                        for i in range(len(bstarts))],
         }
     )
+    if "positions" in pdf.columns:
+        # flat position stream in posting order; gap-encode with reset
+        # at each posting start (first position absolute), then ONE
+        # segmented varbyte pass with block-boundary offsets in the
+        # position stream (cum_tf at each block's first posting)
+        plists = [np.asarray(x, dtype=np.int64) for x in pdf["positions"]]
+        flat_pos = (np.concatenate(plists) if plists
+                    else np.empty(0, dtype=np.int64))
+        cum_tf = np.concatenate(([0], np.cumsum(tfs)))
+        pstarts = cum_tf[:-1]  # posting i's positions at cum_tf[i]:
+        pdeltas = np.empty(len(flat_pos), dtype=np.int64)
+        if len(flat_pos):
+            pdeltas[0] = flat_pos[0]
+            np.subtract(flat_pos[1:], flat_pos[:-1], out=pdeltas[1:])
+            nonempty = pstarts[pstarts < len(flat_pos)]
+            pdeltas[nonempty] = flat_pos[nonempty]
+        pos_buf, pos_off = vb_encode_segmented(
+            pdeltas.astype(np.uint64), cum_tf[bstarts]
+        )
+        out["pos_vb"] = [pos_buf[pos_off[i]: pos_off[i + 1]]
+                         for i in range(len(bstarts))]
+    return out
 
 
 N_TERM_BUCKETS = 16
@@ -259,11 +291,18 @@ class PhysicalIndex:
         with open(f"{self.path}/corpus_stats.json") as f:
             return json.load(f)
 
+    @property
+    def has_positions(self) -> bool:
+        return bool(self.corpus_stats.get("has_positions"))
+
     def logical_postings(self) -> DataFrame:
-        """Decode every block back to (doc_id, term, tf, dl) — integrity
-        test surface (full-decode == pre-compression postings)."""
+        """Decode every block back to (doc_id, term, tf, dl[, positions])
+        — integrity test surface (full-decode == pre-compression
+        postings)."""
         import pyarrow  # noqa: F401  (arrow batches)
         from .codec import segmented_delta_decode, vb_decode
+
+        with_pos = self.has_positions
 
         def decode(batches):
             for pdf in batches:
@@ -274,21 +313,27 @@ class PhysicalIndex:
                     docs = segmented_delta_decode(
                         vb_decode(r.docs_vb).astype(np.int64), np.array([r.n])
                     )
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "doc_id": docs,
-                                "term": r.term,
-                                "tf": vb_decode(r.tfs_vb).astype(np.int64),
-                                "dl": vb_decode(r.dls_vb).astype(np.int64),
-                            }
+                    tfs = vb_decode(r.tfs_vb).astype(np.int64)
+                    cols = {
+                        "doc_id": docs,
+                        "term": r.term,
+                        "tf": tfs,
+                        "dl": vb_decode(r.dls_vb).astype(np.int64),
+                    }
+                    if with_pos:
+                        flat = segmented_delta_decode(
+                            vb_decode(r.pos_vb).astype(np.int64), tfs
                         )
-                    )
+                        cols["positions"] = np.split(
+                            flat, np.cumsum(tfs)[:-1]
+                        )
+                    outs.append(pd.DataFrame(cols))
                 yield pd.concat(outs, ignore_index=True)
 
-        return self.blocks.mapInPandas(
-            decode, "doc_id bigint, term string, tf bigint, dl bigint"
-        )
+        schema = "doc_id bigint, term string, tf bigint, dl bigint"
+        if with_pos:
+            schema += ", positions array<bigint>"
+        return self.blocks.mapInPandas(decode, schema)
 
 
 def _lineage(path: str, stage: str, **metrics) -> None:
@@ -304,6 +349,9 @@ def _manifest_agg(blocks: DataFrame, group_col: str | None) -> DataFrame:
     the first 15 hex digits (as decimal) — order-independent so it is
     invariant to task scheduling, collision-negligible for integrity/
     resume-identity purposes."""
+    payload_cols = ["docs_vb", "tfs_vb", "dls_vb"] + (
+        ["pos_vb"] if "pos_vb" in blocks.columns else []
+    )
     h = F.sha2(
         F.concat(
             F.encode(
@@ -313,7 +361,7 @@ def _manifest_agg(blocks: DataFrame, group_col: str | None) -> DataFrame:
                 ),
                 "utf-8",
             ),
-            "docs_vb", "tfs_vb", "dls_vb",
+            *payload_cols,
         ),
         256,
     )
@@ -322,7 +370,8 @@ def _manifest_agg(blocks: DataFrame, group_col: str | None) -> DataFrame:
     aggs = [
         F.count(F.lit(1)).alias("blocks"),
         F.sum("n").alias("postings"),
-        F.sum(F.length("docs_vb") + F.length("tfs_vb") + F.length("dls_vb"))
+        F.sum(sum((F.length(c) for c in payload_cols[1:]),
+                  F.length(payload_cols[0])))
         .alias("payload_bytes"),
         F.sum("_h").alias("hsum"),
     ]
@@ -355,6 +404,7 @@ def build_physical_index(
     incremental: bool = False,
     fail_after_bucket: int | None = None,
     logical: LogicalIndex | None = None,
+    with_positions: bool = False,
 ) -> PhysicalIndex:
     """Checkpointed build: logical index -> block encode + per-bucket
     manifests.
@@ -384,7 +434,9 @@ def build_physical_index(
     if existing:
         incremental = True  # partial build present -> only fill the gaps
 
-    idx = logical or build_logical_index(docs, text_col, analyzer)
+    idx = logical or build_logical_index(
+        docs, text_col, analyzer, with_positions=with_positions
+    )
     idx.postings = idx.postings.cache()
     postings = idx.postings.withColumn(
         "tb", term_bucket(F.col("term"), n_buckets)
@@ -399,18 +451,38 @@ def build_physical_index(
     # native Hadoop libs are absent (see session.get_spark), and a
     # 2.4M-row stats table doesn't need 64 shards anyway
     ts.coalesce(4).write.mode("overwrite").parquet(f"{out_path}/term_stats")
-    stats = idx.corpus_stats
-    n_postings = int(stats["sum_doc_freq"] or 0)
-    _lineage(out_path, "postings", rows=n_postings,
-             wall_s=round(time.time() - t0, 2))
-    with open(f"{out_path}/corpus_stats.json", "w") as f:
-        json.dump(stats, f)
+    # ONE agg over the cached stats table yields n_terms, sum_doc_freq
+    # and the Zipf-head hot-term list (separate jobs in round 1 — each
+    # driver-side job boundary is serial time Amdahl charges at high
+    # core counts); the per-doc agg for doc_count/avgdl is the only
+    # other stats job.
+    drow = (
+        idx.postings.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.sum("dl").alias("sum_ttf"))
+        .collect()[0]
+    )
     srow = ts.agg(
         F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").alias("sdf"),
         F.collect_list(
             F.when(F.col("df") > salt_threshold, F.col("term"))
         ).alias("hot"),
     ).collect()[0]
+    doc_count = drow["doc_count"] or 0
+    stats = idx._corpus_stats = {
+        "doc_count": doc_count,
+        "sum_ttf": int(drow["sum_ttf"] or 0),
+        "sum_doc_freq": int(srow["sdf"] or 0),
+        "avgdl": ((drow["sum_ttf"] or 0) / doc_count) if doc_count else 0.0,
+    }
+    n_postings = stats["sum_doc_freq"]
+    _lineage(out_path, "postings", rows=n_postings,
+             wall_s=round(time.time() - t0, 2))
+    stats = dict(stats, has_positions="positions" in idx.postings.columns)
+    with open(f"{out_path}/corpus_stats.json", "w") as f:
+        json.dump(stats, f)
     hot_terms = list(srow["hot"])
     _lineage(out_path, "stats", terms=srow["n_terms"],
              hot_terms=len(hot_terms))
@@ -426,14 +498,23 @@ def build_physical_index(
         blocks = encode_blocks(postings.drop("tb"), **enc_kw).withColumn(
             "tb", term_bucket(F.col("term"), n_buckets)
         ).cache()
-        # one part file per bucket dir: the encode keeps its full
-        # parallelism (the repartition reads the cache the write job
-        # materializes), but the hive-partitioned write collapses from
-        # tasks×buckets files to n_buckets — local file creates fork
-        # the JVM here (no native Hadoop), so file count is the wall.
-        blocks.repartition(n_buckets, "tb").write.mode(
-            "overwrite"
-        ).partitionBy("tb").parquet(f"{out_path}/blocks")
+        # Write parallelism = max(buckets, cores): one task per bucket
+        # (round 1) capped the write stage at n_buckets tasks — half the
+        # cores idle at 32 and the worst-scaling phase of the build.
+        # Hashing on (tb, term) keeps each task inside ~one bucket dir
+        # (≈ tasks/buckets files per dir — file count stays O(cores),
+        # not tasks×buckets), and the within-task sort restores
+        # term-ordered row groups so the WAND scan's `term isin`
+        # min/max row-group skip works on the written files.
+        write_parts = max(
+            n_buckets, spark.sparkContext.defaultParallelism
+        )
+        (
+            blocks.repartition(write_parts, "tb", "term")
+            .sortWithinPartitions("term", "salt", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("tb").parquet(f"{out_path}/blocks")
+        )
         # manifests from the cache the write just materialized — no
         # disk re-read of the freshly written index
         wall = time.time() - tb0

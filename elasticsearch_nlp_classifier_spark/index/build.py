@@ -154,6 +154,7 @@ def build_logical_index(
     analyzer: str = "code",
     doc_id_col: str = "doc_id",
     fused: bool = True,
+    with_positions: bool = False,
 ) -> LogicalIndex:
     """JVM-expressible analyzers (``code``, ``simple_code``) always use
     the explode→groupBy plan: tokenize + explode + partial hash agg all
@@ -164,14 +165,34 @@ def build_logical_index(
     ``mapInPandas`` pass (``fused=True``) so token occurrences never
     cross an Arrow boundary unaggregated; ``fused=False`` keeps the
     explode→groupBy plan as a plan-level cross-check (token parity
-    between the paths is pinned by tests)."""
+    between the paths is pinned by tests).
+
+    ``with_positions=True`` adds ``positions array<int>`` (0-based
+    token indexes, ``size(positions) == tf``) — the per-token position
+    payload of the reference's term-vector contract
+    (`TermVectorQuery.java:60-76`; fixture `TermVectorTokensTest.java`
+    carries a ``position`` per token).  The posexplode→collect_list agg
+    still combines map-side (docs are scan-contiguous), so the shuffle
+    carries one row per posting, positions nested."""
     from ..analyzer.spark_udfs import JVM_TOKEN_EXPRS
 
     doc_lengths = tokenize_docs(docs, text_col, analyzer, doc_id_col).select(
         "doc_id", "dl"
     )
 
-    if fused and analyzer not in JVM_TOKEN_EXPRS:
+    if with_positions:
+        tok = tokenize_docs(docs, text_col, analyzer, doc_id_col)
+        postings = (
+            tok.select("doc_id", "dl",
+                       F.posexplode("tokens").alias("pos", "term"))
+            .groupBy("doc_id", "term")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.first("dl").alias("dl"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+        )
+    elif fused and analyzer not in JVM_TOKEN_EXPRS:
         postings = tokenize_postings(docs, text_col, analyzer, doc_id_col)
     else:
         tok = tokenize_docs(docs, text_col, analyzer, doc_id_col)
@@ -202,11 +223,16 @@ def term_vectors(
         ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
         p = p.join(F.broadcast(ids_df), "doc_id")
     enriched = p.join(index.term_stats, "term")
+    fields = ["term", "tf", "df", "ttf"]
+    if "positions" in p.columns:
+        # positions-per-token payload of the `_mtermvectors` response
+        # (`TermVectorQuery.java:60-76`)
+        fields.append("positions")
     return (
         enriched.groupBy("doc_id")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("term", "tf", "df", "ttf"))
+                F.collect_list(F.struct(*fields))
             ).alias("terms")
         )
     )

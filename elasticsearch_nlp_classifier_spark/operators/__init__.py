@@ -13,6 +13,7 @@ from .similarity import (  # noqa: F401
     cosine_near_dup_pairs,
     cosine_topk,
     embedding_cosine_dup_pairs,
+    lsh_candidates,
     lsh_cosine_topk,
 )
 from .textstats import (  # noqa: F401

@@ -95,17 +95,52 @@ def lsh_signatures(
     def sig(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (batch, dim)
         bits = (m @ planes) > 0  # (batch, n_bits)
-        out = []
-        weights = (1 << np.arange(bits_per_band))[None, :]
-        for row in bits:
-            bs = [
-                int((row[b * bits_per_band:(b + 1) * bits_per_band] * weights[0]).sum())
-                for b in range(bands)
-            ]
-            out.append(bs)
-        return pd.Series(out)
+        # whole-batch band packing: one reshape + matmul (no per-row
+        # Python loop — round-1 finding)
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        packed = bits.reshape(len(m), bands, bits_per_band) @ weights
+        return pd.Series(list(packed.astype(np.int32)))
 
     return df.withColumn("bands_sig", sig(F.col(vec_col)))
+
+
+def lsh_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_bits: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """(query_id, qv, <id_col>, <vec_col>) — corpus vectors sharing >=1
+    LSH band with the query.  Exposed separately so the exact-rerank
+    stage can be oracle-checked in SQL from a materialized candidate
+    set (the hyperplane family itself is recall-tested in pytest)."""
+    e = lsh_signatures(embeddings, vec_col, dim, n_bits, bands, seed)
+    q = lsh_signatures(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        ),
+        "qv", dim, n_bits, bands, seed,
+    )
+    eb = e.select(
+        id_col, vec_col,
+        F.posexplode("bands_sig").alias("band", "bucket"),
+    )
+    qb = q.select(
+        "query_id", "qv", F.posexplode("bands_sig").alias("band", "bucket")
+    )
+    return (
+        eb.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "qv", id_col, vec_col)
+        .distinct()
+    )
 
 
 def lsh_cosine_topk(
@@ -123,26 +158,9 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing >=1 LSH
     band with the query, re-ranked exactly."""
-    e = lsh_signatures(embeddings, vec_col, dim, n_bits, bands, seed)
-    q = lsh_signatures(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vec_col).alias("qv"),
-        ),
-        "qv", dim, n_bits, bands, seed,
-    )
-    eb = e.select(
-        id_col, vec_col,
-        F.posexplode("bands_sig").alias("band", "bucket"),
-    )
-    qb = q.select(
-        "query_id", "qv", F.posexplode("bands_sig").alias("band", "bucket")
-    )
-    cands = (
-        eb.join(F.broadcast(qb), ["band", "bucket"])
-        .where(F.col(id_col) != F.col("query_id"))
-        .select("query_id", "qv", id_col, vec_col)
-        .distinct()
+    cands = lsh_candidates(
+        embeddings, queries, dim, n_bits, bands, id_col, vec_col,
+        query_id_col, query_vec_col, seed,
     )
     scored = cands.select(
         "query_id",

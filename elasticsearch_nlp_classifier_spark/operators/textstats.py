@@ -1,17 +1,13 @@
 """Text-analysis operators for training-data pipelines — language ID,
 quality scoring, token counting, document fingerprinting.  All pure
-built-in expressions (codegen, SQL-expressible for the DuckDB oracle)
-except the rolling-hash fingerprint (vectorized pandas UDF).
+built-in expressions (codegen, SQL-expressible for the DuckDB oracle) —
+including the rolling-hash fingerprint (``aggregate`` fold, no UDF).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 # Marker words per language — tiny stopword-overlap heuristic.  Chosen
 # to be disjoint across languages.  zh is detected by CJK char presence.
@@ -110,31 +106,45 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_MOD = np.uint64((1 << 61) - 1)
+# Rolling polynomial fingerprint parameters, sized so every
+# intermediate fits signed-64 exactly in BOTH engines (Spark bigint and
+# DuckDB BIGINT): h < M = 2^43-9, h·P < 2^43·2^20 < 2^63.
+FP_MOD = (1 << 43) - 9
+FP_BASE = 999_983
+FP_SEED = 1_469_598_103
 
 
-def fingerprint_udf():
-    """Rolling polynomial hash over normalized words (order-sensitive
-    document fingerprint; whitespace/case-insensitive)."""
+def rolling_fingerprint(text_col: Column) -> Column:
+    """Order-sensitive rolling-hash fingerprint over normalized words
+    (whitespace/case-insensitive) — a PURE JVM expression: per-word
+    60-bit md5-prefix values folded with ``aggregate`` (no Python in
+    the path; round 1 ran a per-row-per-word pandas loop here).  The
+    identical fold is ANSI-SQL-expressible (DuckDB ``list_transform``
+    + ``list_reduce``), so the operator is oracle-checkable."""
+    words = words_col(text_col)
+    wv = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+        % F.lit(FP_MOD)
+    )
+    return F.aggregate(
+        words,
+        F.lit(FP_SEED).cast("bigint"),
+        lambda acc, w: (acc * F.lit(FP_BASE) + wv(w)) % F.lit(FP_MOD),
+    )
 
-    @pandas_udf(LongType())
-    def fp(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = (t or "").lower().split()
-            h = np.uint64(14695981039346656037)
-            for w in words:
-                wv = np.uint64(
-                    int.from_bytes(
-                        w.encode()[:8].ljust(8, b"\0"), "little"
-                    )
-                )
-                h = ((h ^ wv) * _FP_BASE) % _FP_MOD
-            out[i] = np.int64(h.astype(np.int64))
-        return pd.Series(out)
 
-    return fp
+def rolling_fingerprint_sql(text_expr: str = "text") -> str:
+    """The DuckDB-dialect twin of ``rolling_fingerprint`` (oracle)."""
+    return (
+        "list_reduce(list_prepend("
+        f"{FP_SEED}::BIGINT, "
+        "list_transform("
+        f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
+        "x -> x <> ''), "
+        "w -> ('0x' || substr(md5(w), 1, 15))::BIGINT "
+        f"% {FP_MOD})), "
+        f"(a, b) -> (a * {FP_BASE} + b) % {FP_MOD})"
+    )
 
 
 def document_fingerprints(
@@ -144,5 +154,5 @@ def document_fingerprints(
     return df.select(
         F.col(id_col).alias("id"),
         F.sha2(F.col(text_col), 256).alias("sha256"),
-        fingerprint_udf()(F.col(text_col)).alias("rolling_fp"),
+        rolling_fingerprint(F.col(text_col)).alias("rolling_fp"),
     )

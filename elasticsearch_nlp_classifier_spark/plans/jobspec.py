@@ -168,10 +168,14 @@ def run_pipeline(spark: SparkSession, path_or_text: str) -> list[dict]:
         if t.task == "build_index":
             from ..index.blocks import build_physical_index
 
+            id_col = p.get("doc_id_col", "doc_id")
+            if id_col != "doc_id":
+                docs = docs.withColumnRenamed(id_col, "doc_id")
             build_physical_index(
                 docs, p["output"],
                 text_col=p.get("text_col", "content"),
                 analyzer=p.get("analyzer", "code"),
+                with_positions=bool(p.get("with_positions", False)),
             )
             results.append({"task": t.task, "output": p["output"]})
         elif t.task == "query":

@@ -5,3 +5,4 @@ from .csv_io import (  # noqa: F401
     write_submission_csv,
 )
 from .model_io import load_model, save_model  # noqa: F401
+from .merge import merge_updates  # noqa: F401

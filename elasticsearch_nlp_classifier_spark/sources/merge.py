@@ -1,0 +1,74 @@
+"""MERGE-style partial-update sink (S8).
+
+The reference's ``BulkUpdateQueue``
+(`utils/elasticsearch/update/BulkUpdateQueue.java:27-169`) applies
+batches of per-doc partial updates atomically against the ES index.
+On a lakehouse that is ``MERGE INTO`` (Iceberg/Delta); no table-format
+runtime jar ships in this sandbox, so this module emulates the same
+contract against a parquet table directory:
+
+- **overwrite-by-join**: new table = current rows left-join the update
+  set; update columns are ``coalesce(update, current)`` — rows absent
+  from the update set are byte-identical to before.
+- **atomic swap**: the merged table is fully written to a staging dir
+  first, then swapped in with two directory renames — readers see the
+  old or the new table, never a partial write (the apply-batch-
+  atomically contract of ``BulkUpdateQueue.flush``).
+- At real scale the same plan runs as Iceberg ``MERGE`` (copy-on-write
+  rewrites only matched files; the join below is what the engine
+  executes under the hood).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_updates(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    id_col: str,
+    update_cols: dict[str, str],
+) -> int:
+    """Apply ``updates`` to the parquet table at ``table_path``.
+
+    ``update_cols`` maps target column -> source column in ``updates``
+    (e.g. ``{"lang": "new_lang"}``).  Returns the number of target rows
+    that matched an update row.  Unmatched update rows are ignored
+    (update-only MERGE, like the reference's partial-update batches —
+    no inserts)."""
+    current = spark.read.parquet(table_path)
+    upd = updates.select(
+        F.col(id_col),
+        *[F.col(src).alias(f"__new_{tgt}") for tgt, src in update_cols.items()],
+    )
+    n_matched = current.join(upd, id_col, "left_semi").count()
+    # no broadcast hint: AQE picks broadcast for small update batches;
+    # a TB-scale update set correctly falls back to a shuffle join
+    merged = current.join(upd, id_col, "left").select(
+        *[
+            (
+                F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c)
+                if c in update_cols
+                else F.col(c)
+            )
+            for c in current.columns
+        ]
+    )
+    staging = f"{table_path}.staging-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    old = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, old)
+    try:
+        os.rename(staging, table_path)
+    except OSError:
+        os.rename(old, table_path)  # roll back the swap
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return n_matched

@@ -164,10 +164,11 @@ def test_simple_code_jvm_python_parity(spark):
         "日本語 mixed ascii123",
         "a\tb\nc\r\nd",
         "UPPER lower 0042 0x1F",
+        None,
     ]
-    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
     jvm = [r[0] for r in df.select(simple_code_tokens("text")).collect()]
-    py = [SIMPLE_CODE.tokenize(s) for s in samples]
+    py = [SIMPLE_CODE.tokenize(s) if s is not None else [] for s in samples]
     assert jvm == py
 
 
@@ -196,8 +197,13 @@ def test_code_jvm_python_parity(spark):
         "",
         "   ",
         "a-b a_b a.b 0x1F 42 _lead",
+        # non-ASCII + null: (?U) puts Java \\d/\\S on Python's Unicode
+        # semantics; null coalesces to '' like the pandas chain
+        "h\u00e9llo w\u00f6rld \u0661\u0662\u0663",
+        "\u65e5\u672c\u8a9e mixed ascii123 \u00fc\u00df",
+        None,
     ] + list(gen_corpus_pdf(50)["content"])
-    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
     jvm = [r[0] for r in df.select(code_tokens("text")).collect()]
-    py = [CODE.tokenize(s) for s in samples]
+    py = [CODE.tokenize(s) if s is not None else [] for s in samples]
     assert jvm == py

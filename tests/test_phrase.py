@@ -1,0 +1,135 @@
+"""Positional postings + phrase matching (reference surface:
+`TermVectorQuery.java:60-76` requests per-token positions; fixture
+`TermVectorTokensTest.java:16-55` carries a 0-based `position` per
+token — the payload that gates phrase queries)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_nlp_classifier_spark.index import (
+    build_logical_index,
+    term_vectors,
+)
+from elasticsearch_nlp_classifier_spark.index.blocks import (
+    build_physical_index,
+)
+from elasticsearch_nlp_classifier_spark.query import match_phrase
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "quick brown quick brown quick brown"),
+    (2, "brown quick and the fox is lazy"),
+    (3, "the quick red fox"),
+    (4, "entirely unrelated words here"),
+    (5, ""),
+    (6, "quick"),
+    (7, "one quick brown fox and another quick brown fox"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("posidx") / "idx")
+    return build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code",
+        with_positions=True, block_size=4,
+    )
+
+
+def test_logical_positions_invariants(docs):
+    idx = build_logical_index(
+        docs, "text", "simple_code", with_positions=True
+    )
+    p = idx.postings
+    # tf == number of positions, positions strictly increasing
+    bad = p.where(
+        (F.size("positions") != F.col("tf"))
+        | (F.size("positions") !=
+           F.size(F.array_distinct("positions")))
+    ).count()
+    assert bad == 0
+    row = {
+        r["term"]: list(r["positions"])
+        for r in p.where(F.col("doc_id") == 0).collect()
+    }
+    assert row["the"] == [0, 6]
+    assert row["quick"] == [1]
+    assert row["dog"] == [8]
+
+
+def test_physical_roundtrip_with_positions(spark, docs, pos_index):
+    logical = build_logical_index(
+        docs, "text", "simple_code", with_positions=True
+    ).postings
+    decoded = pos_index.logical_postings()
+    a = {(r["doc_id"], r["term"]): (r["tf"], r["dl"], list(r["positions"]))
+         for r in logical.collect()}
+    b = {(r["doc_id"], r["term"]): (r["tf"], r["dl"], list(r["positions"]))
+         for r in decoded.collect()}
+    assert a == b
+    assert pos_index.has_positions
+
+
+def test_match_phrase_basic(pos_index):
+    got = {r["doc_id"]: r["n_matches"]
+           for r in match_phrase(pos_index, "quick brown",
+                                 analyzer="simple_code").collect()}
+    assert got == {0: 1, 1: 3, 7: 2}
+
+
+def test_match_phrase_three_terms(pos_index):
+    got = {r["doc_id"]: r["n_matches"]
+           for r in match_phrase(pos_index, "quick brown fox",
+                                 analyzer="simple_code").collect()}
+    assert got == {0: 1, 7: 2}
+
+
+def test_match_phrase_non_adjacent_rejected(pos_index):
+    # docs 0 and 3 contain both "the" and "fox" but never adjacent;
+    # doc 2 has "... and the fox is ..." — the only true phrase hit.
+    # doc 1 has "brown quick" (reversed) — order matters.
+    got = {r["doc_id"]: r["n_matches"] for r in
+           match_phrase(pos_index, "the fox",
+                        analyzer="simple_code").collect()}
+    assert got == {2: 1}
+    rev = {r["doc_id"] for r in
+           match_phrase(pos_index, "brown quick",
+                        analyzer="simple_code").collect()}
+    assert rev == {1, 2}  # doc1 interior reversals + doc2 "brown quick"
+
+
+def test_match_phrase_single_term(pos_index):
+    got = {r["doc_id"]: r["n_matches"]
+           for r in match_phrase(pos_index, "quick",
+                                 analyzer="simple_code").collect()}
+    assert got == {0: 1, 1: 3, 2: 1, 3: 1, 6: 1, 7: 2}
+
+
+def test_match_phrase_absent_term(pos_index):
+    assert match_phrase(pos_index, "quick zebra",
+                        analyzer="simple_code").count() == 0
+
+
+def test_term_vectors_carry_positions(docs):
+    idx = build_logical_index(
+        docs, "text", "simple_code", with_positions=True
+    )
+    tv = term_vectors(idx, doc_ids=[0]).collect()[0]
+    by_term = {t["term"]: t for t in tv["terms"]}
+    assert list(by_term["the"]["positions"]) == [0, 6]
+    assert by_term["the"]["tf"] == 2
+
+
+def test_non_positional_index_refuses_phrase(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("noposidx") / "idx")
+    ix = build_physical_index(docs, out, text_col="text",
+                              analyzer="simple_code")
+    assert not ix.has_positions
+    with pytest.raises(ValueError):
+        match_phrase(ix, "quick brown", analyzer="simple_code")

@@ -64,3 +64,41 @@ def test_errors():
         compile_query_string("(unclosed AND x")
     with pytest.raises(QueryStringError):
         compile_query_string("a ) b")
+
+
+# --- analyzed text-field mode (ES text-mapping semantics; reference
+# termQuery("text","disaster") matches the analyzed token:
+# ScanAndScrollIteratorTest.java:20, ElasticsearchDataset.java:42) ----
+
+def aids(tbl, qs):
+    col = compile_query_string(
+        qs, default_field="content", text_fields={"content"},
+        analyzer="simple_code",
+    )
+    return sorted(r.id for r in tbl.where(col).select("id").collect())
+
+
+def test_analyzed_term_matches_token_not_whole_string(tbl):
+    # plain mode: content:quick is equality -> no doc equals "quick"
+    assert ids(tbl, "content:quick") == []
+    # analyzed mode: token membership
+    assert aids(tbl, "content:quick") == [1, 3]
+    # case folding through the analyzer
+    assert aids(tbl, "content:QUICK") == [1, 3]
+
+
+def test_analyzed_phrase_is_token_run(tbl):
+    assert aids(tbl, 'content:"quick brown fox"') == [1]
+    assert aids(tbl, 'content:"brown quick"') == []  # order matters
+    assert aids(tbl, 'content:"quick quick"') == [3]
+
+
+def test_analyzed_prefix_and_multitoken_or(tbl):
+    assert aids(tbl, "content:qui*") == [1, 3]
+    # multi-token value ORs its tokens (ES default_operator)
+    assert aids(tbl, "content:hello+sleep") == [2, 4]
+
+
+def test_analyzed_mixed_with_keyword_fields(tbl):
+    assert aids(tbl, "lang:python AND content:quick") == [1, 3]
+    assert aids(tbl, "NOT content:quick AND repo:org1*") == [2]

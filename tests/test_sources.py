@@ -91,3 +91,37 @@ def test_read_corpus_parquet_path(spark, tmp_path):
     src.write.parquet(p)
     assert read_corpus(spark, p).count() == 1
     assert os.sep in p
+
+
+def test_merge_updates_applies_batch_atomically(spark, tmp_path):
+    """S8 MERGE emulation (`BulkUpdateQueue.java:27-169` apply-batch
+    contract): only matched rows' update columns change; everything
+    else is byte-identical; unmatched update ids are ignored."""
+    from elasticsearch_nlp_classifier_spark.sources import merge_updates
+
+    tbl = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "doc_id long, lang string, n long",
+    ).write.parquet(tbl)
+
+    updates = spark.createDataFrame(
+        [(2, "B2"), (99, "ghost")], "doc_id long, new_lang string"
+    )
+    n = merge_updates(spark, tbl, updates, "doc_id", {"lang": "new_lang"})
+    assert n == 1  # only doc 2 matched; id 99 ignored (update-only)
+
+    got = {
+        r["doc_id"]: (r["lang"], r["n"])
+        for r in spark.read.parquet(tbl).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("B2", 20), 3: ("c", 30)}
+
+    # second merge with a null-source column leaves values untouched
+    upd2 = spark.createDataFrame(
+        [(1, None), (3, "C3")], "doc_id long, new_lang string"
+    )
+    assert merge_updates(spark, tbl, upd2, "doc_id",
+                         {"lang": "new_lang"}) == 2
+    got2 = {r["doc_id"]: r["lang"] for r in spark.read.parquet(tbl).collect()}
+    assert got2 == {1: "a", 2: "B2", 3: "C3"}  # null update -> keep old
