@@ -514,7 +514,8 @@ def scaling_run(
             "equivalent of the cpuset an N-core executor owns (unpinned,\n"
             "a local[8] session's JVM+Python processes spread over ~2N\n"
             "cores and bias the ratio low); both levels run an identical\n"
-            "16 GiB heap (scaling the heap with cores drove G1 into an\n"
+            f"{os.environ.get('SPARK_GRAFT_SCALING_MEM', '8g')} heap "
+            "(scaling the heap with cores drove G1 into an\n"
             "allocation-stall spiral at 32 tasks); Python workers\n"
             "are import-warmed before timing (executor bootstrap, paid\n"
             "once per cluster, not per job); levels run back-to-back per\n"

@@ -109,7 +109,7 @@ def encode_blocks(
 
     Hot terms (df > salt_threshold) get range-salted across ``n_salts``
     reducers; the repartition(term, salt) is the build's only wide
-    dependency.  Encoding runs as ONE ``mapInPandas`` per shuffle
+    dependency.  Encoding runs as ONE ``mapInArrow`` per shuffle
     partition over (term, salt, doc_id)-sorted rows — groups are
     contiguous, and a carry buffer stitches groups that straddle Arrow
     batch boundaries, so there is no per-group Arrow round-trip (54k
@@ -157,24 +157,159 @@ def encode_blocks(
     out_schema = BLOCK_SCHEMA_POS if with_positions else BLOCK_SCHEMA
 
     def encode_partition(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            # hold back the (possibly incomplete) trailing group
-            last_term = pdf["term"].iloc[-1]
-            last_salt = pdf["salt"].iloc[-1]
-            tail_mask = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
-            carry = pdf[tail_mask]
-            head = pdf[~tail_mask]
-            if len(head):
-                yield _encode_partition_groups(head, block_size, avgdl)
-        if carry is not None and len(carry):
-            yield _encode_partition_groups(carry, block_size, avgdl)
+        """mapInArrow: the hot path never materializes Python objects —
+        terms stay in Arrow string buffers (group detection via C++
+        ``dictionary_encode``), numerics go straight to numpy views, and
+        the varbyte payload columns are built zero-copy from the
+        segmented encoder's (buffer, offsets) pairs.  The earlier
+        mapInPandas version allocated ~1 Python str per posting on the
+        way in and ~3 bytes objects per block on the way out (26M + 8M
+        allocations per 240k-doc build) — pure allocator churn, and the
+        reason the encode stage scaled at 1.4× for 4× cores on a
+        memory-bandwidth-capped box.
 
-    return sorted_p.mapInPandas(encode_partition, out_schema)
+        Groups (term, salt) may straddle Arrow batch boundaries: hold
+        back the trailing group of each batch and stitch (accumulated
+        as a list — a hot salted run spanning many batches stays O(n),
+        not O(n²) re-concat)."""
+        import pyarrow as pa
+
+        pending: list[pa.Table] = []  # un-flushed rows, trailing groups only
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            t = pa.Table.from_batches([rb])
+            cut = _last_group_start(t, pending[-1] if pending else None)
+            if cut is None:
+                pending.append(t)  # same single group continues
+                continue
+            head = pa.concat_tables(pending + [t.slice(0, cut)]) \
+                if (pending or cut) else None
+            pending = [t.slice(cut)]
+            if head is not None and head.num_rows:
+                yield _encode_arrow(head.combine_chunks(), block_size, avgdl)
+        if pending:
+            t = pa.concat_tables(pending).combine_chunks()
+            if t.num_rows:
+                yield _encode_arrow(t, block_size, avgdl)
+
+    return sorted_p.mapInArrow(encode_partition, out_schema)
+
+
+def _last_group_start(t, prev) -> int | None:
+    """Start index (within ``t``) of the trailing (term, salt) group of
+    ``prev``+``t``, or None when every row continues a single group —
+    the batch-stitch contract of ``encode_partition``.  ``t`` must be a
+    single-batch Table (one chunk per column); rows are (term, salt,
+    doc_id)-sorted so groups are contiguous."""
+    import pyarrow.compute as pc
+
+    term = t.column("term").chunk(0)
+    salts = t.column("salt").chunk(0).to_numpy()
+    codes = pc.dictionary_encode(term).indices.to_numpy()
+    change = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+    nz = np.flatnonzero(change)
+    if len(nz):
+        return int(nz[-1] + 1)
+    if prev is None:
+        return None
+    same = (
+        term[0].as_py() == prev.column("term")[-1].as_py()
+        and int(salts[0]) == prev.column("salt")[-1].as_py()
+    )
+    return None if same else 0
+
+
+def _binary_from_segments(buf: bytes, off: np.ndarray):
+    """Arrow binary array over ``len(off)-1`` segments of ``buf`` —
+    zero-copy: the varbyte buffer becomes the array's data buffer
+    directly, no per-segment bytes objects."""
+    import pyarrow as pa
+
+    off32 = np.ascontiguousarray(off, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(off) - 1,
+        [None, pa.py_buffer(off32), pa.py_buffer(buf)],
+    )
+
+
+def _encode_arrow(t, block_size: int, avgdl: float):
+    """Encode all contiguous (term, salt) groups of a sorted Arrow
+    table into one blocks RecordBatch — the vectorization strategy of
+    ``_encode_partition_groups`` (block boundaries by arithmetic on
+    group offsets, ``reduceat`` aggregates, ONE segmented-varbyte pass
+    per payload column) with Arrow-native I/O on top: term strings are
+    never materialized as Python objects (C++ ``dictionary_encode`` +
+    ``take``) and payload columns are built zero-copy from the
+    segmented buffers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codec import vb_encode_segmented
+
+    term = t.column("term").chunk(0)
+    docs = t.column("doc_id").chunk(0).to_numpy()
+    tfs = t.column("tf").chunk(0).to_numpy()
+    dls = t.column("dl").chunk(0).to_numpy()
+    salts = t.column("salt").chunk(0).to_numpy()
+    n = len(docs)
+    codes = pc.dictionary_encode(term).indices.to_numpy()
+
+    gchange = np.empty(n, dtype=bool)
+    gchange[0] = True
+    gchange[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+    gid = np.cumsum(gchange) - 1
+    gstart_idx = np.flatnonzero(gchange)
+    pos = np.arange(n, dtype=np.int64) - gstart_idx[gid]
+
+    bstarts = np.flatnonzero(pos % block_size == 0)
+    bends = np.concatenate((bstarts[1:], [n]))
+
+    tfhat = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = docs[0]
+    np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+    deltas[bstarts] = docs[bstarts]  # first value of a block is absolute
+
+    docs_buf, docs_off = vb_encode_segmented(deltas.astype(np.uint64), bstarts)
+    tfs_buf, tfs_off = vb_encode_segmented(tfs.astype(np.uint64), bstarts)
+    dls_buf, dls_off = vb_encode_segmented(dls.astype(np.uint64), bstarts)
+
+    arrays = [
+        pc.take(term, pa.array(bstarts)),
+        pa.array(salts[bstarts].astype(np.int32), type=pa.int32()),
+        pa.array((pos[bstarts] // block_size).astype(np.int32),
+                 type=pa.int32()),
+        pa.array((bends - bstarts).astype(np.int32), type=pa.int32()),
+        pa.array(docs[bstarts], type=pa.int64()),
+        pa.array(docs[bends - 1], type=pa.int64()),
+        pa.array(np.maximum.reduceat(tfhat, bstarts), type=pa.float64()),
+        _binary_from_segments(docs_buf, docs_off),
+        _binary_from_segments(tfs_buf, tfs_off),
+        _binary_from_segments(dls_buf, dls_off),
+    ]
+    names = ["term", "salt", "block_id", "n", "first_doc", "last_doc",
+             "max_tfhat", "docs_vb", "tfs_vb", "dls_vb"]
+    if "positions" in t.column_names:
+        # flat position stream in posting order (zero-copy list
+        # flatten); gap-encode with reset at each posting start, then
+        # ONE segmented varbyte pass with block boundaries at cum_tf
+        flat_pos = t.column("positions").chunk(0).flatten().to_numpy() \
+            .astype(np.int64)
+        cum_tf = np.concatenate(([0], np.cumsum(tfs)))
+        pstarts = cum_tf[:-1]
+        pdeltas = np.empty(len(flat_pos), dtype=np.int64)
+        if len(flat_pos):
+            pdeltas[0] = flat_pos[0]
+            np.subtract(flat_pos[1:], flat_pos[:-1], out=pdeltas[1:])
+            nonempty = pstarts[pstarts < len(flat_pos)]
+            pdeltas[nonempty] = flat_pos[nonempty]
+        pos_buf, pos_off = vb_encode_segmented(
+            pdeltas.astype(np.uint64), cum_tf[bstarts]
+        )
+        arrays.append(_binary_from_segments(pos_buf, pos_off))
+        names.append("pos_vb")
+    return pa.RecordBatch.from_arrays(arrays, names)
 
 
 def _encode_partition_groups(
@@ -342,16 +477,19 @@ def _lineage(path: str, stage: str, **metrics) -> None:
         f.write(json.dumps(rec) + "\n")
 
 
-def _manifest_agg(blocks: DataFrame, group_col: str | None) -> DataFrame:
-    """Distributed, order-independent logical checksum + size metrics.
-
-    Per-block sha256 over the logical content; bucket checksum = sum of
-    the first 15 hex digits (as decimal) — order-independent so it is
-    invariant to task scheduling, collision-negligible for integrity/
-    resume-identity purposes."""
-    payload_cols = ["docs_vb", "tfs_vb", "dls_vb"] + (
-        ["pos_vb"] if "pos_vb" in blocks.columns else []
+def _payload_cols(columns) -> list[str]:
+    return ["docs_vb", "tfs_vb", "dls_vb"] + (
+        ["pos_vb"] if "pos_vb" in columns else []
     )
+
+
+def _block_hash_dec(payload_cols: list[str]):
+    """Per-block sha256 over the logical content, folded to a
+    decimal(38,0) (first 15 hex digits).  Bucket checksum = SUM of these
+    — order-independent, so it is invariant to task scheduling,
+    collision-negligible for integrity/resume-identity purposes.  Shared
+    by the one-shot (observe) and incremental (grouped-agg) paths so a
+    resumed build reports byte-identical checksums."""
     h = F.sha2(
         F.concat(
             F.encode(
@@ -365,14 +503,24 @@ def _manifest_agg(blocks: DataFrame, group_col: str | None) -> DataFrame:
         ),
         256,
     )
-    enriched = blocks.withColumn("_h", F.conv(F.substring(h, 1, 15), 16, 10)
-                                 .cast("decimal(38,0)"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+
+
+def _payload_bytes(payload_cols: list[str]):
+    return sum((F.length(c) for c in payload_cols[1:]),
+               F.length(payload_cols[0]))
+
+
+def _manifest_agg(blocks: DataFrame, group_col: str | None) -> DataFrame:
+    """Distributed, order-independent logical checksum + size metrics
+    (incremental/resume path; the one-shot path computes the same
+    aggregates in-pass via ``observe``)."""
+    pc = _payload_cols(blocks.columns)
+    enriched = blocks.withColumn("_h", _block_hash_dec(pc))
     aggs = [
         F.count(F.lit(1)).alias("blocks"),
         F.sum("n").alias("postings"),
-        F.sum(sum((F.length(c) for c in payload_cols[1:]),
-                  F.length(payload_cols[0])))
-        .alias("payload_bytes"),
+        F.sum(_payload_bytes(pc)).alias("payload_bytes"),
         F.sum("_h").alias("hsum"),
     ]
     if group_col:
@@ -447,15 +595,21 @@ def build_physical_index(
     # costs one per-doc agg over the cached postings + a ms-scale agg
     # on the cached ts (no second tokenize pass).
     ts = idx.term_stats = idx.term_stats.cache()
-    # few large part files: every local file create forks the JVM when
-    # native Hadoop libs are absent (see session.get_spark), and a
-    # 2.4M-row stats table doesn't need 64 shards anyway
-    ts.coalesce(4).write.mode("overwrite").parquet(f"{out_path}/term_stats")
+    # cores-many part files (not a fixed tiny coalesce: a 4-task write
+    # is identical serial weight at every cluster size — pure Amdahl
+    # drag); file creates are cheap under RawLocalFileSystem and the
+    # stats table stays O(cores) files
+    t_ts = time.time()
+    ts.coalesce(
+        max(4, spark.sparkContext.defaultParallelism)
+    ).write.mode("overwrite").parquet(f"{out_path}/term_stats")
+    _lineage(out_path, "ts_write", wall_s=round(time.time() - t_ts, 2))
     # ONE agg over the cached stats table yields n_terms, sum_doc_freq
     # and the Zipf-head hot-term list (separate jobs in round 1 — each
     # driver-side job boundary is serial time Amdahl charges at high
     # core counts); the per-doc agg for doc_count/avgdl is the only
     # other stats job.
+    t_st = time.time()
     drow = (
         idx.postings.groupBy("doc_id")
         .agg(F.first("dl").alias("dl"))
@@ -470,6 +624,7 @@ def build_physical_index(
             F.when(F.col("df") > salt_threshold, F.col("term"))
         ).alias("hot"),
     ).collect()[0]
+    _lineage(out_path, "stats_aggs", wall_s=round(time.time() - t_st, 2))
     doc_count = drow["doc_count"] or 0
     stats = idx._corpus_stats = {
         "doc_count": doc_count,
@@ -494,42 +649,64 @@ def build_physical_index(
                   hot_terms=hot_terms)
 
     if not incremental and fail_after_bucket is None:
+        from pyspark.sql import Observation
+
         tb0 = time.time()
         blocks = encode_blocks(postings.drop("tb"), **enc_kw).withColumn(
             "tb", term_bucket(F.col("term"), n_buckets)
-        ).cache()
-        # Write parallelism = max(buckets, cores): one task per bucket
-        # (round 1) capped the write stage at n_buckets tasks — half the
-        # cores idle at 32 and the worst-scaling phase of the build.
-        # Hashing on (tb, term) keeps each task inside ~one bucket dir
-        # (≈ tasks/buckets files per dir — file count stays O(cores),
-        # not tasks×buckets), and the within-task sort restores
-        # term-ordered row groups so the WAND scan's `term isin`
-        # min/max row-group skip works on the written files.
-        write_parts = max(
-            n_buckets, spark.sparkContext.defaultParallelism
         )
+        # ONE pass shuffle→encode→sort→write.  Round-1/2 ran this as
+        # three jobs (encode+cache, repartition+write, manifest scan of
+        # the cache) — two extra full traversals of the blocks data plus
+        # a second shuffle, all effectively Amdahl-serial weight on a
+        # memory-bandwidth-capped box (encode phase scaled 1.3× for 4×
+        # cores while the postings phase hit 2.7×).  Now the bucket
+        # manifests are computed *in the write pass* via ``observe``
+        # (per-bucket conditional aggregates on a CollectMetrics node —
+        # no second scan, no cache), and the write consumes the encode
+        # partitions directly (2×cores partitions ≥ the old
+        # max(buckets, cores) write parallelism).  The local
+        # sortWithinPartitions(tb, …) both groups each task's rows by
+        # bucket dir (≤ n_buckets files per task, same O(tasks·buckets)
+        # worst case as the old (tb, term) hash) and restores
+        # term-ordered row groups so the WAND scan's `term isin`
+        # min/max row-group skip works on the written files; it also
+        # satisfies the dynamic-partition writer's required ordering,
+        # so Spark inserts no second sort.
+        pc = _payload_cols(blocks.columns)
+        enriched = (
+            blocks.withColumn("_h", _block_hash_dec(pc))
+            .withColumn("_pb", _payload_bytes(pc))
+        )
+        obs = Observation("bucket_manifests")
+        aggs = []
+        for b in range(n_buckets):
+            cond = F.col("tb") == b
+            aggs += [
+                F.count(F.when(cond, 1)).alias(f"blocks_{b}"),
+                F.sum(F.when(cond, F.col("n"))).alias(f"postings_{b}"),
+                F.sum(F.when(cond, F.col("_pb"))).alias(f"bytes_{b}"),
+                F.sum(F.when(cond, F.col("_h"))).alias(f"hsum_{b}"),
+            ]
         (
-            blocks.repartition(write_parts, "tb", "term")
-            .sortWithinPartitions("term", "salt", "block_id")
+            enriched.observe(obs, *aggs)
+            .drop("_h", "_pb")
+            .sortWithinPartitions("tb", "term", "salt", "block_id")
             .write.mode("overwrite")
             .partitionBy("tb").parquet(f"{out_path}/blocks")
         )
-        # manifests from the cache the write just materialized — no
-        # disk re-read of the freshly written index
         wall = time.time() - tb0
-        rows = _manifest_agg(blocks, "tb").collect()
-        blocks.unpersist()
-        for row in rows:
-            manifest = _manifest_dict(row, int(row["tb"]), wall)
-            with open(f"{manifest_dir}/bucket_{row['tb']}.json", "w") as f:
-                json.dump(manifest, f)
-            _lineage(out_path, "blocks_bucket", **manifest)
-        # buckets with zero blocks still need an (empty) manifest
-        seen = {int(r["tb"]) for r in rows}
-        for b in set(range(n_buckets)) - seen:
-            manifest = {"bucket": b, "blocks": 0, "postings": 0,
-                        "payload_bytes": 0, "checksum": "0", "wall_s": 0.0}
+        vals = obs.get
+        for b in range(n_buckets):
+            nblocks = int(vals[f"blocks_{b}"] or 0)
+            manifest = {
+                "bucket": b,
+                "blocks": nblocks,
+                "postings": int(vals[f"postings_{b}"] or 0),
+                "payload_bytes": int(vals[f"bytes_{b}"] or 0),
+                "checksum": str(vals[f"hsum_{b}"] or 0),
+                "wall_s": round(wall if nblocks else 0.0, 2),
+            }
             with open(f"{manifest_dir}/bucket_{b}.json", "w") as f:
                 json.dump(manifest, f)
             _lineage(out_path, "blocks_bucket", **manifest)

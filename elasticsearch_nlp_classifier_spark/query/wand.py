@@ -202,7 +202,10 @@ def wand_topk(
     blocks = (
         index.blocks.where(F.col("tb").isin(buckets))
         .where(F.col("term").isin(q_terms))
-        .drop("tb")
+        .select("term", "block_id", "n", "first_doc", "last_doc",
+                "max_tfhat", "docs_vb", "tfs_vb", "dls_vb")
+        # explicit projection: a positional index also carries pos_vb,
+        # which BM25 scoring never reads — keep it out of the scan
     )
     qdf = index.spark.createDataFrame(
         pd.DataFrame(q_rows, columns=["query_id", "term", "idf", "k"])

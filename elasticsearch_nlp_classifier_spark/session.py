@@ -62,6 +62,12 @@ def get_spark(
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
+        # task-commit renames (parallel, v2) instead of a serial
+        # driver-side loop at job commit (v1): a dynamic-partition index
+        # write produces O(tasks × buckets) files, and renaming them one
+        # by one on the driver is pure Amdahl serial time at any scale
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
     )
     if _sandbox():
         # Shuffle/spill scratch: executors on a real cluster own fast

@@ -117,3 +117,44 @@ def test_vectorized_partition_encode_matches_naive():
                 "docs_vb", "tfs_vb", "dls_vb"]:
         assert list(got[col]) == list(naive[col]), col
     assert np.allclose(got["max_tfhat"], naive["max_tfhat"], atol=1e-12)
+
+
+def test_arrow_partition_encode_matches_pandas():
+    """_encode_arrow (mapInArrow hot path, zero-copy buffers) must emit
+    byte-identical blocks to the pandas reference encoder — including
+    the positions payload."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        _encode_arrow, _encode_partition_groups,
+    )
+    rng = np.random.default_rng(23)
+    rows = []
+    for t in ["alpha", "beta", "gamma", "delta", "eps"]:
+        for salt in ([0] if t != "beta" else [0, 1, 2]):
+            n = int(rng.integers(1, 60))
+            ids = np.sort(rng.choice(np.arange(1, 500), n, replace=False))
+            for d in ids:
+                tf = int(rng.integers(1, 6))
+                positions = np.sort(
+                    rng.choice(np.arange(0, 300), tf, replace=False)
+                ).tolist()
+                rows.append((t, salt, int(d), tf,
+                             int(rng.integers(5, 200)), positions))
+    pdf = pd.DataFrame(rows, columns=["term", "salt", "doc_id", "tf",
+                                      "dl", "positions"])
+    pdf = pdf.sort_values(["term", "salt", "doc_id"]).reset_index(drop=True)
+
+    want = _encode_partition_groups(pdf, block_size=16, avgdl=42.5)
+    t = pa.Table.from_pandas(pdf, preserve_index=False).combine_chunks()
+    got = _encode_arrow(t, 16, 42.5).to_pandas()
+
+    key = ["term", "salt", "block_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ["term", "salt", "block_id", "n", "first_doc", "last_doc",
+                "docs_vb", "tfs_vb", "dls_vb", "pos_vb"]:
+        assert list(got[col]) == list(want[col]), col
+    assert np.allclose(got["max_tfhat"], want["max_tfhat"], atol=1e-12)
