@@ -67,6 +67,10 @@ def vb_decode(stream: bytes | np.ndarray) -> np.ndarray:
     ) else np.asarray(stream, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if not (b & 0x80).any():
+        # fast path: every value fits 7 bits (typical for tf payloads
+        # and short-doc dl payloads) — the stream IS the values
+        return b.astype(np.uint64)
     ends = np.flatnonzero((b & 0x80) == 0)
     starts = np.empty_like(ends)
     starts[0] = 0

@@ -25,11 +25,21 @@ docs are computed from *all* their postings (a surviving block is
 decoded in full), in term-sorted order — the same float64 summation
 order as the brute-force path and the pandas oracle.
 
-Scale shape: one task per query (queries parallelize across the set);
-per-query work is bounded by pruned-block decode, not by posting count.
+Scale shape: the scoring stage is ONE ``repartition(query_id)`` →
+``sortWithinPartitions`` → ``mapInArrow`` pass over the candidate
+blocks, ~2 partitions per core with MANY queries per Python task.  The
+earlier ``groupBy.applyInPandas`` version paid a per-*group* Arrow
+round-trip + pandas materialization (~15 ms × one per query): a
+480-query batch spent 7-22 s in harness overhead against ~1 s of
+actual transfer+scoring, and *anti-scaled* from 8 to 32 cores.  Here
+payload bytes come in as Arrow binary columns and are sliced as numpy
+``uint8`` views — no per-row ``bytes`` objects, no pandas — and
+per-task overhead is paid ~2×cores times per batch, not per query.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 import pandas as pd
@@ -43,32 +53,95 @@ from .bm25 import analyze_queries, idf_col
 RESULT_SCHEMA = "query_id bigint, rank int, doc_id bigint, score double"
 
 
-def _topk_one_query(pdf: pd.DataFrame) -> pd.DataFrame:
-    """pdf: candidate blocks of ONE query, columns: query_id, k, term,
-    idf, first_doc, last_doc, max_tfhat, n, docs_vb, tfs_vb, dls_vb."""
-    if not len(pdf):
-        return pd.DataFrame(
-            columns=["query_id", "rank", "doc_id", "score"]
-        ).astype({"query_id": "int64", "rank": "int32",
-                  "doc_id": "int64", "score": "float64"})
-    query_id = int(pdf["query_id"].iloc[0])
-    k = int(pdf["k"].iloc[0])
-    pdf = pdf.sort_values(["term", "first_doc"]).reset_index(drop=True)
-    ub = (pdf["idf"] * pdf["max_tfhat"]).to_numpy(np.float64)
+def _bin_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(data_bytes, offsets) numpy views over a single-chunk Arrow
+    binary column — zero-copy; ``data[offsets[i]:offsets[i+1]]`` is
+    row i's payload."""
+    ch = col.chunk(0)
+    offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)
+    offs = offs[ch.offset: ch.offset + len(ch) + 1].astype(np.int64)
+    data_buf = ch.buffers()[2]
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.empty(0, dtype=np.uint8))
+    return data, offs
 
-    # --- champion seeding: exact-decode the strongest term
+
+def _gather_payload(data: np.ndarray, offs: np.ndarray,
+                    rows: np.ndarray) -> np.ndarray:
+    """Concatenate the payloads of ``rows`` (ascending) into one uint8
+    array — a single vectorized gather, no per-row bytes objects."""
+    lens = offs[rows + 1] - offs[rows]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    seg0 = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # per-segment constant shift -> ONE repeat, not two
+    idx = np.arange(total, dtype=np.int64) + np.repeat(offs[rows] - seg0, lens)
+    return data[idx]
+
+
+#: dense per-doc accumulators are used when the docID space fits a
+#: short-lived ~32 MB scratch array; beyond that (e.g. a 100M-doc
+#: corpus in one ID space) the sort-based sparse path kicks in
+_DENSE_DOCS_MAX = 4_000_000
+
+
+def _scores_for_rows(rows: np.ndarray, ns, idf, avgdl: float,
+                     payloads, doc_count: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-doc BM25 sums over the given block rows (ascending ⇒
+    term-sorted accumulation order).  Returns (doc_ids, scores).
+
+    Both aggregation paths add each posting's contribution in row order
+    (``bincount`` and ``unique``+``bincount(inv)`` traverse ``contrib``
+    identically), so scores are bit-identical across paths and to the
+    brute-force oracle's term-sorted accumulation."""
+    (d_data, d_offs), (t_data, t_offs), (l_data, l_offs) = payloads
+    n_sel = ns[rows]
+    docs = segmented_delta_decode(
+        vb_decode(_gather_payload(d_data, d_offs, rows)).astype(np.int64),
+        n_sel,
+    )
+    tfs = vb_decode(_gather_payload(t_data, t_offs, rows)).astype(np.float64)
+    dls = vb_decode(_gather_payload(l_data, l_offs, rows)).astype(np.float64)
+    contrib = np.repeat(idf[rows], n_sel) * tfs / (
+        tfs + 1.2 * (0.25 + 0.75 * dls / avgdl)
+    )
+    if 0 < doc_count <= _DENSE_DOCS_MAX:
+        # O(n) dense accumulation — no sort of the decoded doc stream
+        hits = np.bincount(docs, minlength=doc_count)
+        sums = np.bincount(docs, weights=contrib, minlength=doc_count)
+        nz = np.flatnonzero(hits)
+        return nz, sums[nz]
+    uniq, inv = np.unique(docs, return_inverse=True)
+    return uniq, np.bincount(inv, weights=contrib)
+
+
+def _topk_group(s: int, e: int, qid: int, k: int, codes, idf, fd, ld, mt,
+                ns, payloads, avgdl: float, doc_count: int):
+    """Score ONE query's candidate blocks (rows [s, e), sorted by
+    (term, first_doc)) → (doc_ids, scores) arrays of its top-k."""
+    ub = idf[s:e] * mt[s:e]
+    gcodes = codes[s:e]
+    run_starts = np.concatenate(
+        ([0], np.flatnonzero(gcodes[1:] != gcodes[:-1]) + 1)
+    )
+    rows = np.arange(s, e, dtype=np.int64)
+
     theta = -np.inf
-    per_term_max = pdf.assign(_ub=ub).groupby("term")["_ub"].max()
-    if len(per_term_max) > 1:  # pruning pointless for single-term queries
-        champion = per_term_max.idxmax()
-        cmask = (pdf["term"] == champion).to_numpy()
-        cscores = _exact_scores(pdf[cmask])
+    if len(run_starts) > 1:  # pruning pointless for single-term queries
+        # --- champion seeding: exact-decode the strongest term
+        run_ends = np.concatenate((run_starts[1:], [e - s]))
+        per_run_max = np.maximum.reduceat(ub, run_starts)
+        r = int(np.argmax(per_run_max))
+        champ = rows[run_starts[r]: run_ends[r]]
+        _, cscores = _scores_for_rows(champ, ns, idf, avgdl, payloads,
+                                      doc_count)
         if len(cscores) >= k:
-            theta = np.partition(cscores["score"].to_numpy(), -k)[-k]
+            theta = np.partition(cscores, -k)[-k]
 
         # --- interval sweep: max covering-UB per block span
-        lo = pdf["first_doc"].to_numpy(np.int64)
-        hi = pdf["last_doc"].to_numpy(np.int64)
+        lo = fd[s:e]
+        hi = ld[s:e]
         events = np.concatenate([lo, hi + 1])
         deltas = np.concatenate([ub, -ub])
         order = np.argsort(events, kind="stable")
@@ -76,52 +149,76 @@ def _topk_one_query(pdf: pd.DataFrame) -> pd.DataFrame:
         cov = np.zeros(len(pts))
         np.add.at(cov, inv, deltas[order])
         cov = np.cumsum(cov)  # coverage on [pts[i], pts[i+1])
-        # running max of cov over [i1..i2] per block via prefix trick
         i1 = np.searchsorted(pts, lo, side="right") - 1
         i2 = np.searchsorted(pts, hi, side="right") - 1
-        keep = np.zeros(len(pdf), dtype=bool)
-        for j in range(len(pdf)):  # ≤ blocks-per-query, metadata only
+        keep = np.zeros(e - s, dtype=bool)
+        for j in range(e - s):  # ≤ blocks-per-query, metadata only
             keep[j] = cov[i1[j]: i2[j] + 1].max() >= theta
-        pdf = pdf[keep].reset_index(drop=True)
+        rows = rows[keep]
 
-    scores = _exact_scores(pdf)
-    if not len(scores):
-        return pd.DataFrame(
-            {"query_id": pd.Series([], dtype="int64"),
-             "rank": pd.Series([], dtype="int32"),
-             "doc_id": pd.Series([], dtype="int64"),
-             "score": pd.Series([], dtype="float64")}
-        )
-    s = scores["score"].to_numpy()
-    d = scores["doc_id"].to_numpy()
-    cand = np.lexsort((d, -s))[:k]  # (score DESC, doc_id ASC)
-    return pd.DataFrame(
-        {
-            "query_id": np.full(len(cand), query_id, dtype=np.int64),
-            "rank": np.arange(1, len(cand) + 1, dtype=np.int32),
-            "doc_id": d[cand],
-            "score": s[cand],
-        }
+    if not len(rows):
+        return (np.empty(0, dtype=np.int64), np.empty(0), 0)
+    d, sc = _scores_for_rows(rows, ns, idf, avgdl, payloads, doc_count)
+    if len(sc) > k:
+        # shrink to the score-threshold candidate set before the exact
+        # (score DESC, doc_id ASC) sort: any doc below the k-th best
+        # score cannot rank; ties at the boundary stay in and are
+        # resolved by the lexsort, so selection is exact
+        thr = np.partition(sc, -k)[-k]
+        m = sc >= thr
+        d, sc = d[m], sc[m]
+    cand = np.lexsort((d, -sc))[:k]  # (score DESC, doc_id ASC)
+    return d[cand], sc[cand], len(cand)
+
+
+def _score_partition(batches, avgdl: float, doc_count: int = 0):
+    """mapInArrow: candidate blocks sorted by (query_id, term,
+    first_doc); one numpy scoring pass per query group.  The whole
+    partition is concatenated first — a partition holds the candidate
+    blocks of ~(queries / 2·cores) queries, bounded by the repartition
+    in ``wand_topk``, so this is MBs, not the corpus."""
+    import pyarrow as pa
+
+    pending = [pa.Table.from_batches([rb]) for rb in batches if rb.num_rows]
+    if not pending:
+        return
+    t = pa.concat_tables(pending).combine_chunks()
+    import pyarrow.compute as pc
+
+    qids = t.column("query_id").chunk(0).to_numpy()
+    ks = t.column("k").chunk(0).to_numpy()
+    idf = t.column("idf").chunk(0).to_numpy()
+    fd = t.column("first_doc").chunk(0).to_numpy()
+    ld = t.column("last_doc").chunk(0).to_numpy()
+    mt = t.column("max_tfhat").chunk(0).to_numpy()
+    ns = t.column("n").chunk(0).to_numpy().astype(np.int64)
+    codes = pc.dictionary_encode(t.column("term").chunk(0)).indices.to_numpy()
+    payloads = (_bin_view(t.column("docs_vb")),
+                _bin_view(t.column("tfs_vb")),
+                _bin_view(t.column("dls_vb")))
+
+    gstarts = np.concatenate(
+        ([0], np.flatnonzero(qids[1:] != qids[:-1]) + 1, [len(qids)])
     )
-
-
-def _exact_scores(blocks: pd.DataFrame) -> pd.DataFrame:
-    """Decode blocks (one concatenated varbyte pass) and aggregate exact
-    per-doc BM25 contributions, term-sorted accumulation order."""
-    if not len(blocks):
-        return pd.DataFrame({"doc_id": [], "score": []})
-    ns = blocks["n"].to_numpy(np.int64)
-    docs = segmented_delta_decode(
-        vb_decode(b"".join(blocks["docs_vb"])).astype(np.int64), ns
+    out_qid, out_rank, out_doc, out_score = [], [], [], []
+    for gi in range(len(gstarts) - 1):
+        s, e = int(gstarts[gi]), int(gstarts[gi + 1])
+        d, sc, nk = _topk_group(s, e, int(qids[s]), int(ks[s]), codes, idf,
+                                fd, ld, mt, ns, payloads, avgdl, doc_count)
+        if nk:
+            out_qid.append(np.full(nk, qids[s], dtype=np.int64))
+            out_rank.append(np.arange(1, nk + 1, dtype=np.int32))
+            out_doc.append(d)
+            out_score.append(sc)
+    if not out_qid:
+        return
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(np.concatenate(out_qid), type=pa.int64()),
+         pa.array(np.concatenate(out_rank), type=pa.int32()),
+         pa.array(np.concatenate(out_doc).astype(np.int64), type=pa.int64()),
+         pa.array(np.concatenate(out_score), type=pa.float64())],
+        ["query_id", "rank", "doc_id", "score"],
     )
-    tfs = vb_decode(b"".join(blocks["tfs_vb"])).astype(np.float64)
-    dls = vb_decode(b"".join(blocks["dls_vb"])).astype(np.float64)
-    idf = np.repeat(blocks["idf"].to_numpy(np.float64), ns)
-    avgdl = np.repeat(blocks["avgdl"].to_numpy(np.float64), ns)
-    contrib = idf * tfs / (tfs + 1.2 * (0.25 + 0.75 * dls / avgdl))
-    uniq, inv = np.unique(docs, return_inverse=True)
-    sums = np.bincount(inv, weights=contrib)
-    return pd.DataFrame({"doc_id": uniq, "score": sums})
 
 
 def wand_topk(
@@ -210,11 +307,19 @@ def wand_topk(
     qdf = index.spark.createDataFrame(
         pd.DataFrame(q_rows, columns=["query_id", "term", "idf", "k"])
     )
-    cand = blocks.join(F.broadcast(qdf), "term").withColumn(
-        "avgdl", F.lit(avgdl)
-    )
+    cand = blocks.join(F.broadcast(qdf), "term")
 
-    out = cand.groupBy("query_id").applyInPandas(
-        lambda pdf: _topk_one_query(pdf), RESULT_SCHEMA
+    # scoring partitions: ~2 per core so stragglers (skewed queries)
+    # pack, but NOT per-query — each Python task scores many queries
+    n_queries = len({r["query_id"] for r in q_rows})
+    nparts = max(1, min(n_queries,
+                        2 * index.spark.sparkContext.defaultParallelism))
+    out = (
+        cand.repartition(nparts, "query_id")
+        .sortWithinPartitions("query_id", "term", "first_doc")
+        .mapInArrow(
+            partial(_score_partition, avgdl=avgdl, doc_count=doc_count),
+            RESULT_SCHEMA,
+        )
     )
     return out.orderBy("query_id", "rank")
