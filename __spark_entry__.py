@@ -79,6 +79,18 @@ docs_dup AS (
   FROM documents WHERE doc_id < 5
 )"""
 
+# two planted copies -> triangle components for the closure oracle
+_DUPS3_SQL = """
+docs_dup AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 5
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 5
+)"""
+
 
 # --- queries ----------------------------------------------------------------
 
@@ -389,6 +401,65 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup PAIRS -> duplicate CLUSTERS (connected components via
+    alternating large-star/small-star).  Edges come from the fully
+    SQL-expressible ngram-jaccard pair op, so the DuckDB oracle can
+    independently re-derive the same graph and close it with a
+    recursive CTE — an end-to-end hash-match on the closure itself.
+    Two planted copies of each of docs 0..4 give triangle components
+    {i, i+10000, i+20000} exercising transitivity."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        dup_clusters, ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") < 5)
+    d = docs.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 10_000)
+    ).unionByName(base.withColumn("doc_id", F.col("doc_id") + 20_000))
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.8)
+    return dup_clusters(pairs).select("id", "cluster_id")
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (the second scale path next to LSH): spherical-k-means
+    cells, probe the 4 nearest of 8 cells per query, exact re-rank.
+    The centroid training is seeded numpy/DataFrame iteration (not
+    SQL-expressible; recall-vs-brute is pytest-gated), so the candidate
+    set is MATERIALIZED to parquet and the oracle independently
+    re-scores + re-ranks it with exact cosine in SQL."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        ivf_candidates, ivf_train_centroids,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.similarity import cosine
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = ivf_train_centroids(emb, dim=64, n_cells=8, iters=3)
+    cands = ivf_candidates(emb, queries, cents, n_probe=4).cache()
+    cands.select("query_id", "vec_id").write.mode("overwrite").parquet(
+        f"{_oracle_scratch()}/ann_ivf_cands.parquet"
+    )
+    scored = cands.select(
+        "query_id", "vec_id",
+        cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id", F.col("rank").cast("bigint").alias("rank"),
+            "vec_id", F.round("cos", 6).alias("cos_r6"),
+        )
+    )
+
+
 def q_text_token_counts(spark, sf_dir):
     from elasticsearch_nlp_classifier_spark.operators.textstats import (
         bpe_ish_token_count, token_count,
@@ -657,8 +728,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_fingerprints": q_text_fingerprints,
@@ -1020,6 +1093,55 @@ def oracle_sql() -> dict[str, str]:
                 ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
             )
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""",
+        # pair graph re-derived in SQL, closure via recursive CTE —
+        # end-to-end oracle on the connected-components semantics
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_DUPS3_SQL}, {_SHINGLES_SQL},
+            dpairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+            ),
+            dedges AS (
+              SELECT id_a AS src, id_b AS dst FROM dpairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM dpairs
+            ),
+            reach(id, lbl) AS (
+              SELECT src, src FROM dedges
+              UNION
+              SELECT e.src, r.lbl
+              FROM dedges e JOIN reach r ON r.id = e.dst
+            )
+            SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id""",
+        # exact rerank replayed in SQL from the materialized IVF
+        # candidate set (centroid training pytest-gated)
+        "ann_ivf": """
+            WITH c AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{SCRATCH}/ann_ivf_cands.parquet/*.parquet')
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+              FROM c
+              JOIN embeddings e USING (vec_id)
+              JOIN q ON q.query_id = c.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos, 9) DESC, vec_id ASC) AS rank,
+                     round(cos, 6) AS cos_r6
+              FROM scored
+            )
+            SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
+            FROM ranked WHERE rank <= 5""",
         # exact rerank replayed in SQL from the materialized LSH
         # candidate set (hyperplane family pytest-gated)
         "ann_lsh": """

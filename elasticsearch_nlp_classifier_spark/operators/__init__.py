@@ -1,4 +1,6 @@
 from .dedup import (  # noqa: F401
+    dedup_by_clusters,
+    dup_clusters,
     exact_dedup,
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -13,6 +15,9 @@ from .similarity import (  # noqa: F401
     cosine_near_dup_pairs,
     cosine_topk,
     embedding_cosine_dup_pairs,
+    ivf_candidates,
+    ivf_cosine_topk,
+    ivf_train_centroids,
     lsh_candidates,
     lsh_cosine_topk,
 )

@@ -13,8 +13,10 @@ All shapes chosen for 100 TB behavior:
 - embedding cosine: see similarity.py (brute + LSH variants)
 
 'Remove' semantics here are keep-first: a row is a duplicate if it pairs
-with any lower-id row (no transitive closure — at petabyte scale the
-closure is a separate iterative job; pairs are the stable primitive).
+with any lower-id row.  Pairs are the stable per-job primitive; the
+transitive closure is the separate iterative job ``dup_clusters``
+(alternating large-star/small-star connected components), and
+``dedup_by_clusters`` applies the keep-one-per-component policy.
 """
 
 from __future__ import annotations
@@ -323,6 +325,105 @@ def simhash_signatures(
         return pd.Series(out)
 
     return hashed.select("id", sim(F.col("hs")).alias("simhash"))
+
+
+def dup_clusters(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: (id, cluster_id)
+    where cluster_id is the minimum id in the pair-graph's connected
+    component.  Pairs are the stable per-job primitive (module
+    docstring); this is the separate iterative closure job that turns
+    them into actionable keep/drop groups.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is one shuffle (groupBy node), and the edge diameter halves
+    geometrically, so convergence is O(log^2 n) rounds even for
+    pathological chain graphs, vs O(diameter) for naive min-label
+    propagation.  At convergence every node's neighbor set is exactly
+    {component min}, which IS the cluster id.
+
+    100 TB shape: per round, one `groupBy(u)` aggregation emitting
+    (neighbor -> min) edges — linear shuffle volume in |E|, never
+    materializing components on the driver.  Each round's result is
+    ``localCheckpoint``-ed to truncate lineage (iterative plans
+    otherwise grow exponentially), and the convergence test is a
+    count() action on the changed-edge set.
+    """
+    # undirected edge list, self-loops dropped, as (u, v)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        # large-star: for each u, connect every neighbor > u to
+        # m = min(N(u) ∪ {u}).  Symmetrize first so both endpoints see
+        # the full neighbor set.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbr = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m"),
+            F.collect_set("v").alias("vs"),
+        )
+        large = nbr.select(
+            F.explode(F.filter("vs", lambda x: x > F.col("u"))).alias("u"),
+            F.col("m").alias("v"),
+        ).where(F.col("u") != F.col("v")).distinct()
+        large = large.localCheckpoint(eager=True)
+
+        # small-star: orient edges high->low ((u,v) with u>v), connect
+        # every neighbor <= u to m = min(N(u) ∪ {u}).
+        lo = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        nbr2 = lo.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m"),
+            F.collect_set("v").alias("vs"),
+        )
+        small = (
+            nbr2.select(
+                F.explode(
+                    F.array_union("vs", F.array(F.col("u")))
+                ).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when small-star is a fixpoint: every edge already
+        # points at the component min, i.e. the edge sets match.
+        changed = (
+            small.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(small).limit(1).count()
+        )
+        edges = small
+        if changed == 0:
+            break
+
+    # star graph: u's single neighbor is the component min.  Include the
+    # roots themselves (v side) as their own cluster members.
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(
+        F.col("v").alias("id"), F.col("v").alias("cluster_id")
+    ).distinct()
+    return members.unionByName(roots).distinct()
+
+
+def dedup_by_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one canonical row (min id) per duplicate cluster; rows in no
+    pair pass through.  One broadcast-able anti-join against the
+    non-canonical member set (|members| << |corpus| at web scale)."""
+    clusters = dup_clusters(pairs)
+    drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
 
 
 def simhash_near_dup_pairs(

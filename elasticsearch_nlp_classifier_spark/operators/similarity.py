@@ -176,6 +176,183 @@ def lsh_cosine_topk(
     )
 
 
+def _ivf_seed_centroids(
+    embeddings: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> np.ndarray:
+    """Deterministic seed centroids: the n_cells corpus vectors with the
+    smallest xxhash64(id) — order-stable across partitionings/runs
+    (Date/rand-free), collected to the driver (n_cells rows, tiny)."""
+    rows = (
+        embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "v")
+        .limit(n_cells)
+        .collect()
+    )
+    return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction_pct: int = 100,
+) -> np.ndarray:
+    """Spherical k-means centroids (unit rows, (n_cells, dim)) for an
+    IVF index — plain DataFrame aggregations, no MLlib.
+
+    Each Lloyd iteration is (1) one Arrow-batched matmul pass assigning
+    every training vector to its max-cosine cell and (2) one
+    explode→groupBy(cell, pos) mean computing new cell centroids
+    JVM-side; only the (n_cells × dim) centroid table ever reaches the
+    driver — legitimate model state, same footprint class as NB priors.
+
+    100 TB shape: training does NOT need the full corpus — pass
+    ``train_fraction_pct`` to subsample deterministically
+    (xxhash64(id) mod 100 < pct) before iterating; assignment of the
+    full corpus afterwards is a single embarrassing-parallel pass."""
+    train = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    if train_fraction_pct < 100:
+        train = train.where(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(100))
+            < train_fraction_pct
+        )
+    train = train.cache()
+    cents = _unit(_ivf_seed_centroids(train, "id", "v", n_cells))
+
+    for _ in range(iters):
+        assigned = ivf_assign(train, cents, "v").select(
+            "cid", F.posexplode("v").alias("pos", "val")
+        )
+        sums = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"))
+            .collect()
+        )
+        new = cents.copy()
+        by_cid: dict[int, np.ndarray] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], np.zeros(dim))[r["pos"]] = r["s"]
+        for cid, vec in by_cid.items():
+            if np.linalg.norm(vec) > 0:
+                new[cid] = vec
+        cents = _unit(new)  # empty cells keep their previous centroid
+    train.unpersist()
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Adds ``cid`` (int, n_probe=1) or ``cids`` (array<int>, the
+    n_probe max-cosine cells in order) — one whole-batch matmul against
+    the broadcast centroid matrix per Arrow batch."""
+    cu = _unit(np.asarray(centroids, dtype=np.float64)).T  # (dim, cells)
+
+    if n_probe == 1:
+        @pandas_udf(IntegerType())
+        def cell(vecs: pd.Series) -> pd.Series:
+            m = _unit(np.stack(vecs.to_numpy()).astype(np.float64))
+            return pd.Series((m @ cu).argmax(axis=1).astype(np.int32))
+
+        return df.withColumn("cid", cell(F.col(vec_col)))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        m = _unit(np.stack(vecs.to_numpy()).astype(np.float64))
+        sims = m @ cu
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return df.withColumn("cids", cells(F.col(vec_col)))
+
+
+def ivf_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, qv, <id_col>, <vec_col>) — corpus vectors living in
+    any of the query's n_probe nearest IVF cells.  Exposed separately
+    (mirrors ``lsh_candidates``) so the exact-rerank stage can be
+    oracle-checked in SQL from a materialized candidate set."""
+    corpus = ivf_assign(embeddings, centroids, vec_col, n_probe=1)
+    q = ivf_assign(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        ),
+        centroids, "qv", n_probe=n_probe,
+    ).select("query_id", "qv", F.explode("cids").alias("cid"))
+    return (
+        corpus.join(F.broadcast(q), "cid")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "qv", id_col, vec_col)
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the second ANN scale path next to LSH):
+    probe the n_probe max-cosine cells per query, exact re-rank within
+    them.  Probe cost ~ n_probe/n_cells of the corpus per query, and
+    the cell assignment is reusable across query batches (build once,
+    query many — pass precomputed ``centroids``)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, dim, n_cells, iters, id_col, vec_col
+        )
+    cands = ivf_candidates(
+        embeddings, queries, centroids, n_probe, id_col, vec_col,
+        query_id_col, query_vec_col,
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col(vec_col), F.col("qv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

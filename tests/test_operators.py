@@ -250,3 +250,105 @@ def test_cosine_near_dup_lsh_recall_vs_brute(spark):
     assert lsh <= brute            # no false positives (exact verify)
     assert len(brute) >= 10
     assert len(lsh) / len(brute) >= 0.9   # recall
+
+
+def test_dup_clusters_matches_union_find(spark):
+    """Alternating large-star/small-star closure vs a driver union-find
+    oracle, on a graph with a long chain (forces multiple rounds), a
+    triangle, an isolated pair, and shared-min collisions."""
+    from elasticsearch_nlp_classifier_spark.operators import dup_clusters
+
+    edges = (
+        [(i, i + 1) for i in range(100, 140)]       # 41-node chain
+        + [(1, 2), (2, 3), (1, 3)]                  # triangle
+        + [(50, 60)]                                # pair
+        + [(7, 200), (7, 300), (300, 8)]            # star + bridge
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id"], r["cluster_id"]) for r in dup_clusters(pairs).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {
+        (n, min(members))
+        for members in comp.values()
+        for n in members
+    }
+    assert got == want
+
+
+def test_dedup_by_clusters_transitive(spark, docs_with_dups):
+    """A~B and B~C (A,C not directly paired) must still collapse to one
+    kept row — the closure semantics pairs alone don't give."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        dedup_by_clusters, minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(docs_with_dups, "text", "doc_id", threshold=0.5)
+    kept = dedup_by_clusters(docs_with_dups, pairs, "doc_id")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every planted dup (exact +10k, near +20k) is dropped; originals kept
+    assert not {i + 10_000 for i in range(5)} & kept_ids
+    assert not {i + 20_000 for i in range(5, 10)} & kept_ids
+    assert set(range(10)) <= kept_ids
+    # transitive chain: doc0 == doc0+10000 (exact), and a doc0 variant
+    # pairing with the copy but built from the copy's text
+    chain = docs_with_dups.unionByName(
+        docs_with_dups.where("doc_id = 10000")
+        .withColumn("doc_id", F.lit(30_000).cast("long"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" qqq")))
+    )
+    pairs2 = minhash_lsh_pairs(chain, "text", "doc_id", threshold=0.5)
+    kept2 = {r["doc_id"] for r in
+             dedup_by_clusters(chain, pairs2, "doc_id").select("doc_id").collect()}
+    assert 0 in kept2 and 10_000 not in kept2 and 30_000 not in kept2
+
+
+def test_ivf_assign_partitions_and_recall(spark):
+    """IVF: every corpus vector lands in exactly one of n_cells cells;
+    probing enough cells recovers brute top-k with high recall."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        ivf_cosine_topk, ivf_train_centroids,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    cents = ivf_train_centroids(emb, dim=64, n_cells=8, iters=3)
+    assert cents.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+    assigned = ivf_assign(emb, cents, "embedding").toPandas()
+    assert assigned.cid.between(0, 7).all()
+    assert len(assigned) == emb.count()
+
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = cosine_topk(emb, queries, k=10).toPandas()
+    approx = ivf_cosine_topk(
+        emb, queries, dim=64, k=10, n_cells=8, n_probe=4, centroids=cents
+    ).toPandas()
+    recalls = []
+    for qid in brute.query_id.unique():
+        b = set(brute[brute.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.6  # probing half the cells
