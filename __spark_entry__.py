@@ -460,6 +460,32 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling event-time window aggregation (the batch plan; the
+    identical logical plan runs under Structured Streaming with a
+    watermark — pytest covers the late-data drop semantics)."""
+    from elasticsearch_nlp_classifier_spark.streaming import (
+        windowed_event_counts,
+    )
+
+    return windowed_event_counts(_events(spark, sf_dir), "10 minutes")
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based per-user sessionization via native session_window
+    (batch form; streaming + applyInPandasWithState forms are
+    pytest-pinned to this output)."""
+    from elasticsearch_nlp_classifier_spark.streaming import (
+        sessionize_events,
+    )
+
+    return sessionize_events(_events(spark, sf_dir), "30 minutes")
+
+
 def q_text_token_counts(spark, sf_dir):
     from elasticsearch_nlp_classifier_spark.operators.textstats import (
         bpe_ish_token_count, token_count,
@@ -732,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_fingerprints": q_text_fingerprints,
@@ -1191,6 +1219,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
             FROM ranked WHERE rank <= 5""",
+        "events_windowed": """
+            SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value_r6
+            FROM events GROUP BY 1, 2""",
+        # gap sessions: lag + cumulative break-count == session_window
+        # semantics (half-open [start, last+gap): a row exactly gap
+        # after the last one opens a new session)
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, epoch(ts) AS s, value FROM events),
+            brk AS (
+              SELECT user_id, s, value,
+                     CASE WHEN s - lag(s) OVER (PARTITION BY user_id
+                                                ORDER BY s) >= 1800
+                          THEN 1 ELSE 0 END AS b
+              FROM e
+            ),
+            g AS (
+              SELECT user_id, s, value,
+                     sum(b) OVER (PARTITION BY user_id ORDER BY s
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+              FROM brk
+            )
+            SELECT user_id,
+                   floor(min(s))::BIGINT AS session_start,
+                   floor(max(s))::BIGINT AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value_r6
+            FROM g GROUP BY user_id, sess""",
         "text_token_counts": """
             SELECT doc_id,
                    len(list_filter(string_split_regex(lower(text), '\\s+'),

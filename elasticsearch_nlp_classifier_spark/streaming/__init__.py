@@ -1,3 +1,8 @@
+from .events import (  # noqa: F401
+    sessionize_events,
+    sessionize_events_stateful,
+    windowed_event_counts,
+)
 from .incremental import (  # noqa: F401
     StreamingPhysicalIndex,
     compact_segments,
