@@ -728,6 +728,147 @@ def q_mm_feature_extract(spark, sf_dir):
     )
 
 
+def q_quality_shape(spark, sf_dir):
+    """Gopher-style per-row shape metrics (Rae et al. 2021 §A1.1) —
+    pure Catalyst expressions, twin SQL in the oracle."""
+    from elasticsearch_nlp_classifier_spark.operators.quality import (
+        shape_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    s = shape_stats(docs, "text")
+    return s.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len_r6"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac_r6"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio_r6"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac_r6"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac_r6"),
+    )
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher n-gram repetition metrics — ONE (doc, gram)-keyed shuffle
+    with map-side combine; DuckDB twin in the oracle."""
+    from elasticsearch_nlp_classifier_spark.operators.quality import (
+        ngram_repetition_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    r = ngram_repetition_stats(docs, "text", "doc_id")
+    return r.select(
+        "doc_id",
+        F.round("top2gram_char_frac", 6).alias("top2gram_char_frac_r6"),
+        F.round("dup8gram_char_frac", 6).alias("dup8gram_char_frac_r6"),
+    )
+
+
+def q_sample_hash_split(spark, sf_dir):
+    """Deterministic md5 train/dev/test assignment — reshard-stable,
+    shuffle-free (the randomSplit replacement at scale)."""
+    from elasticsearch_nlp_classifier_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return hash_split(
+        docs, {"train": 0.8, "dev": 0.1, "test": 0.1}, id_col="doc_id"
+    ).select("doc_id", "split")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language deterministic stratified sample (hash threshold)."""
+    from elasticsearch_nlp_classifier_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(
+        docs, {"en": 0.5, "de": 0.25}, strata_col="lang", id_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+def q_qs_range_prohibit(spark, sf_dir):
+    """Query-string width: range + prohibit operators compiled to one
+    Catalyst filter (`field:[a TO b}`, `-field:v`)."""
+    from elasticsearch_nlp_classifier_spark.functions import (
+        compile_query_string,
+    )
+
+    docs = _docs(spark, sf_dir)
+    col = compile_query_string(
+        "doc_id:[100 TO 300} -lang:en", default_field="text"
+    )
+    return docs.where(col).select("doc_id", "lang")
+
+
+def q_fuzzy_bm25(spark, sf_dir):
+    """ES fuzziness: vocabulary expansion (levenshtein ≤ 1, capped 50
+    by (distance, term)) + the WAND core; same contract in SQL."""
+    import tempfile
+
+    import pandas as pd
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query.fuzzy import fuzzy_topk
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="fuzzy_ix_") + "/idx"
+    index = build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code"
+    )
+    q = pd.DataFrame({"query_id": [1], "query_text": ["table"]})
+    scored = fuzzy_topk(index, q, k=50, max_edits=1,
+                        analyzer="simple_code")
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank2", F.row_number().over(w))
+        .where(F.col("rank2") <= 10)
+        .select(
+            F.col("rank2").cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score_r6"),
+        )
+    )
+
+
+def q_wand_deletes(spark, sf_dir):
+    """Tombstoned BM25: delete a fixed id set, WAND must rank live docs
+    only while stats stay as-built (Lucene liveDocs contract)."""
+    import tempfile
+
+    import pandas as pd
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.index.deletes import delete_docs
+    from elasticsearch_nlp_classifier_spark.query.wand import wand_topk
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="del_ix_") + "/idx"
+    index = build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code"
+    )
+    delete_docs(index, docs.where(F.col("doc_id") % 7 == 0)
+                .select("doc_id"))
+    q = pd.DataFrame({"query_id": [1], "query_text": ["data value table"]})
+    scored = wand_topk(index, q, k=50, analyzer="simple_code")
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank2", F.row_number().over(w))
+        .where(F.col("rank2") <= 10)
+        .select(
+            F.col("rank2").cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score_r6"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -776,6 +917,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase": q_match_phrase,
         "p7_query_string_analyzed": q_p7_query_string_analyzed,
         "s8_merge_updates": q_s8_merge_updates,
+        "quality_shape": q_quality_shape,
+        "quality_repetition": q_quality_repetition,
+        "sample_hash_split": q_sample_hash_split,
+        "sample_stratified": q_sample_stratified,
+        "qs_range_prohibit": q_qs_range_prohibit,
+        "fuzzy_bm25": q_fuzzy_bm25,
+        "wand_deletes": q_wand_deletes,
     }
 
 
@@ -1015,6 +1163,92 @@ def _rolling_fp_oracle() -> str:
         f"SELECT doc_id, {rolling_fingerprint_sql('text')} AS rolling_fp "
         "FROM documents"
     )
+
+
+_QUALITY_SHAPE_SQL = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS words,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     x -> trim(x) <> '') AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+           AS wchars,
+         len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+           AS alpha_w,
+         length(t) - length(replace(t, '#', '')) AS n_hash,
+         len(regexp_extract_all(t, '(\\.\\.\\.|…)')) AS n_ell,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines,
+         coalesce(list_sum(list_transform(lines, ln -> length(ln))), 0)
+           AS lchars,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+             d -> (len(list_filter(lines, ln -> ln = d)) - 1)
+                  * length(d))), 0) AS dchars
+  FROM base
+)
+SELECT doc_id, n_words::BIGINT AS n_words,
+       round(CASE WHEN n_words > 0 THEN wchars * 1.0 / n_words
+                  ELSE 0 END, 6) AS mean_word_len_r6,
+       round(CASE WHEN n_words > 0 THEN alpha_w * 1.0 / n_words
+                  ELSE 0 END, 6) AS alpha_word_frac_r6,
+       round(CASE WHEN n_words > 0 THEN (n_hash + n_ell) * 1.0 / n_words
+                  ELSE 0 END, 6) AS symbol_word_ratio_r6,
+       round(CASE WHEN n_lines > 0 THEN (n_lines - n_dlines) * 1.0 / n_lines
+                  ELSE 0 END, 6) AS dup_line_frac_r6,
+       round(CASE WHEN lchars > 0 THEN dchars * 1.0 / lchars
+                  ELSE 0 END, 6) AS dup_line_char_frac_r6
+FROM m"""
+
+# fuzzy expansion twin: qt = indexed terms with levenshtein <= 1 of
+# 'table', capped 50 by (distance, term) — same cap order as
+# query/fuzzy.py
+_BM25_TAIL = _BM25_SQL[_BM25_SQL.index("contrib AS ("):]
+_FUZZY_BM25_SQL = _BM25_BASE + """,
+qt AS (
+  SELECT term FROM (
+    SELECT term, levenshtein(term, 'table') AS d
+    FROM stats WHERE abs(length(term) - 5) <= 1
+  ) WHERE d <= 1 ORDER BY d, term LIMIT 50
+),
+""" + _BM25_TAIL
+
+# tombstone twin: scores over the as-built stats (Lucene pre-merge
+# contract), live docs only enter the ranking
+_WAND_DELETES_SQL = _BM25_SQL.replace("{QUERY}", "data value table").replace(
+    "FROM scores\n)", "FROM scores WHERE doc_id % 7 <> 0\n)"
+)
+
+
+def _hash_u(id_expr: str, salt: str) -> str:
+    from elasticsearch_nlp_classifier_spark.operators.sampling import (
+        hash_uniform_sql,
+    )
+
+    return hash_uniform_sql(id_expr, salt)
+
+
+def _hash_split_case() -> str:
+    from elasticsearch_nlp_classifier_spark.operators.sampling import (
+        hash_split_sql,
+    )
+
+    return hash_split_sql(
+        {"train": 0.8, "dev": 0.1, "test": 0.1}, "doc_id", "split"
+    )
+
+
+def _quality_repetition_sql() -> str:
+    from elasticsearch_nlp_classifier_spark.operators.quality import (
+        repetition_stats_sql,
+    )
+
+    return repetition_stats_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1325,6 +1559,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(u.new_lang, d.lang) AS lang
             FROM documents d LEFT JOIN upd u USING (doc_id)""",
+        "quality_shape": _QUALITY_SHAPE_SQL,
+        "quality_repetition": _quality_repetition_sql(),
+        "sample_hash_split": f"""
+            SELECT doc_id,
+                   {_hash_split_case()} AS split
+            FROM documents""",
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_hash_u('doc_id', 'sample')} <
+                  CASE lang WHEN 'en' THEN 0.5
+                            WHEN 'de' THEN 0.25 ELSE 0.0 END""",
+        "qs_range_prohibit": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id >= 100 AND doc_id < 300 AND NOT (lang = 'en')""",
+        "fuzzy_bm25": "WITH " + _FUZZY_BM25_SQL,
+        "wand_deletes": "WITH " + _WAND_DELETES_SQL,
         # mm_feature_extract: fake decoder -> rows-only check (codec
         # libs absent in this environment)
     }

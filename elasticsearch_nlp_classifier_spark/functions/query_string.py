@@ -7,15 +7,25 @@ Grammar we support (SURVEY §7.3 — deliberately restricted):
     expr     := or_expr
     or_expr  := and_expr (OR and_expr)*
     and_expr := unary (AND unary)*          # bare juxtaposition = AND
-    unary    := NOT unary | primary
-    primary  := '(' expr ')' | field ':' value | value
-    value    := quoted phrase | bare term (with trailing * wildcard)
+    unary    := NOT unary | '+' unary | '-' unary | primary
+    primary  := '(' expr ')' | field ':' value | field ':' range | value
+    range    := ('[' | '{') bound TO bound (']' | '}')
+    value    := quoted phrase | bare term
+                  [trailing * wildcard] [~n fuzzy] [^n boost]
 
 Semantics: ``field:value`` is an equality test (termQuery, P4);
 ``field:"a phrase"`` a phrase equality; ``field:pre*`` a prefix match;
-a bare term (no field) matches the default field via substring
-containment.  Produces a single Catalyst Column — fully pushdown- and
-codegen-friendly (no UDFs).
+``field:[a TO b]`` / ``{a TO b}`` an inclusive/exclusive range
+(numeric bounds compare numerically, ``*`` = unbounded);
+``field:term~1`` a fuzzy match (``levenshtein`` ≤ n); ``-term`` is
+Lucene's prohibit operator (NOT), ``+term`` its require operator
+(plain AND here — every clause is required in filter context).  A
+``^boost`` suffix is parsed and *ignored*: boosts only affect ranked
+scoring, and this compiler produces a boolean filter (the ranked path
+is ``query/bm25.py``/``query/wand.py``).  A bare term (no field)
+matches the default field via substring containment.  Produces a
+single Catalyst Column — fully pushdown- and codegen-friendly (no
+UDFs).
 
 **Analyzed text fields** (``text_fields=...``): ES analyzes both sides
 for text-mapped fields — the reference's ``termQuery("text",
@@ -45,10 +55,15 @@ _TOKEN = re.compile(
         (?P<lparen>\() |
         (?P<rparen>\)) |
         (?P<quoted>"[^"]*") |
+        (?P<range>[^\s()":]+:[\[{][^\]}]*[\]}]) |
         (?P<word>[^\s()"]+)
     )""",
     re.VERBOSE,
 )
+
+_RANGE = re.compile(r"^(?P<f>[^:]+):(?P<open>[\[{])(?P<body>.*)(?P<close>[\]}])$")
+_FUZZY = re.compile(r"^(?P<t>.+?)~(?P<n>\d?)$")
+_BOOST = re.compile(r"^(?P<t>.+?)\^\d+(\.\d+)?$")
 
 
 class QueryStringError(ValueError):
@@ -114,9 +129,15 @@ class _Parser:
         return left
 
     def unary(self) -> Column:
-        if self.peek() == "NOT":
+        t = self.peek()
+        if t == "NOT":
             self.next()
             return ~self.unary()
+        # Lucene require/prohibit prefix operators
+        if t is not None and len(t) > 1 and t[0] in "+-" and t not in ("(", ")"):
+            self.toks[self.i] = t[1:]
+            inner = self.unary()
+            return ~inner if t[0] == "-" else inner
         return self.primary()
 
     def primary(self) -> Column:
@@ -126,6 +147,11 @@ class _Parser:
             if self.next() != ")":
                 raise QueryStringError("expected ')'")
             return col
+        m = _RANGE.match(t)
+        if m:
+            return self._range(
+                m["f"], m["body"], m["open"] == "[", m["close"] == "]"
+            )
         if ":" in t and not t.startswith('"'):
             field, _, value = t.partition(":")
             if value == "" and self.peek() and self.peek().startswith('"'):
@@ -133,11 +159,51 @@ class _Parser:
             return self._match(field, value)
         return self._match(self.default_field, t, contains=True)
 
+    def _range(
+        self, field: str, body: str, lo_inc: bool, hi_inc: bool
+    ) -> Column:
+        parts = re.split(r"\s+TO\s+", body.strip())
+        if len(parts) != 2:
+            raise QueryStringError(f"malformed range: {body!r}")
+        lo_s, hi_s = parts
+
+        def bound(s: str):
+            if s == "*":
+                return None
+            try:
+                return float(s) if "." in s else int(s)
+            except ValueError:
+                return s  # lexicographic bound
+
+        lo, hi = bound(lo_s), bound(hi_s)
+        c = F.col(field)
+        conds = []
+        if lo is not None:
+            conds.append(c >= F.lit(lo) if lo_inc else c > F.lit(lo))
+        if hi is not None:
+            conds.append(c <= F.lit(hi) if hi_inc else c < F.lit(hi))
+        if not conds:
+            return c.isNotNull()  # [* TO *]: exists
+        out = conds[0]
+        for extra in conds[1:]:
+            out = out & extra
+        return out
+
     def _match(self, field: str, value: str, contains: bool = False) -> Column:
+        b = _BOOST.match(value)
+        if b and not value.startswith('"'):
+            value = b["t"]  # boost parsed, ignored in filter context
         if field in self.text_fields:
             return self._match_analyzed(field, value)
         if value.startswith('"') and value.endswith('"'):
             return F.col(field) == F.lit(value[1:-1])
+        fz = _FUZZY.match(value)
+        if fz:
+            n = int(fz["n"] or 2)
+            return (
+                F.levenshtein(F.col(field).cast("string"), F.lit(fz["t"]))
+                <= n
+            )
         if value.endswith("*"):
             return F.col(field).cast("string").startswith(value[:-1])
         if contains:
@@ -149,6 +215,14 @@ class _Parser:
         from ..analyzer.spark_udfs import analyze
 
         toks_col = analyze(field, self.analyzer)
+        fz = _FUZZY.match(value) if not value.startswith('"') else None
+        if fz:
+            n = int(fz["n"] or 2)
+            probe = fz["t"].lower()
+            return F.exists(
+                toks_col,
+                lambda t: F.levenshtein(t, F.lit(probe)) <= n,
+            )
         if value.startswith('"') and value.endswith('"'):
             phrase = get_analyzer(self.analyzer).tokenize(value[1:-1])
             if not phrase:

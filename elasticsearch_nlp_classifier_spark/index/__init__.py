@@ -1,1 +1,2 @@
 from .build import LogicalIndex, build_logical_index, term_vector_tokens, term_vectors, tokenize_docs, vocabulary  # noqa: F401
+from .deletes import compact, delete_docs, deleted_array, deleted_df, live_docs  # noqa: F401

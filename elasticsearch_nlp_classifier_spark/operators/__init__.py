@@ -28,3 +28,18 @@ from .textstats import (  # noqa: F401
     quality_stats,
     token_count,
 )
+from .quality import (  # noqa: F401
+    gopher_quality,
+    ngram_repetition_stats,
+    repetition_stats_sql,
+    shape_stats,
+)
+from .sampling import (  # noqa: F401
+    hash_split,
+    hash_split_sql,
+    hash_uniform,
+    hash_uniform_sql,
+    stratified_exact_n,
+    stratified_sample,
+    uniform_top_n,
+)

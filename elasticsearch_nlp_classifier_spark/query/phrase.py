@@ -95,12 +95,16 @@ def match_phrase(
     phrase: str,
     analyzer: str = "code",
     n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
 ) -> DataFrame:
     """(doc_id, n_matches) — docs whose analyzed token stream contains
     the analyzed phrase as consecutive tokens; ``n_matches`` counts the
     valid start positions.  Single-token phrases degrade to a term
-    match (n_matches = tf)."""
+    match (n_matches = tf).  Tombstoned docs (``index/deletes.py``) are
+    masked by a broadcast anti-join — phrase match is a filter, so the
+    post-hoc mask is exact."""
     from ..analyzer.chain import get_analyzer
+    from ..index.deletes import live_docs
 
     slots = get_analyzer(analyzer).tokenize(phrase)
     spark = index.spark
@@ -133,9 +137,10 @@ def match_phrase(
         out = out.join(side, "doc_id")
 
     if len(slots) == 1:
-        return out.select(
+        res = out.select(
             "doc_id", F.size("pos_0").cast("bigint").alias("n_matches")
         )
+        return live_docs(index, res) if respect_deletes else res
     others = [i for i in range(len(slots)) if i != base_i]
     match_starts = F.filter(
         F.col(f"pos_{base_i}"),
@@ -147,8 +152,9 @@ def match_phrase(
             F.lit(True),
         ),
     )
-    return (
+    res = (
         out.withColumn("n_matches", F.size(match_starts).cast("bigint"))
         .where(F.col("n_matches") > 0)
         .select("doc_id", "n_matches")
     )
+    return live_docs(index, res) if respect_deletes else res

@@ -87,7 +87,9 @@ _DENSE_DOCS_MAX = 4_000_000
 
 
 def _scores_for_rows(rows: np.ndarray, ns, idf, avgdl: float,
-                     payloads, doc_count: int) -> tuple[np.ndarray, np.ndarray]:
+                     payloads, doc_count: int,
+                     deleted: np.ndarray | None = None,
+                     ) -> tuple[np.ndarray, np.ndarray]:
     """Exact per-doc BM25 sums over the given block rows (ascending ⇒
     term-sorted accumulation order).  Returns (doc_ids, scores).
 
@@ -103,7 +105,17 @@ def _scores_for_rows(rows: np.ndarray, ns, idf, avgdl: float,
     )
     tfs = vb_decode(_gather_payload(t_data, t_offs, rows)).astype(np.float64)
     dls = vb_decode(_gather_payload(l_data, l_offs, rows)).astype(np.float64)
-    contrib = np.repeat(idf[rows], n_sel) * tfs / (
+    idf_rep = np.repeat(idf[rows], n_sel)
+    if deleted is not None and len(deleted):
+        # tombstone mask BEFORE any scoring: champion θ and final
+        # scores both see live docs only, so pruning stays exact
+        from ..index.deletes import mask_deleted
+
+        live = mask_deleted(docs, deleted)
+        docs, tfs, dls, idf_rep = (
+            docs[live], tfs[live], dls[live], idf_rep[live]
+        )
+    contrib = idf_rep * tfs / (
         tfs + 1.2 * (0.25 + 0.75 * dls / avgdl)
     )
     if 0 < doc_count <= _DENSE_DOCS_MAX:
@@ -117,7 +129,8 @@ def _scores_for_rows(rows: np.ndarray, ns, idf, avgdl: float,
 
 
 def _topk_group(s: int, e: int, qid: int, k: int, codes, idf, fd, ld, mt,
-                ns, payloads, avgdl: float, doc_count: int):
+                ns, payloads, avgdl: float, doc_count: int,
+                deleted: np.ndarray | None = None):
     """Score ONE query's candidate blocks (rows [s, e), sorted by
     (term, first_doc)) → (doc_ids, scores) arrays of its top-k."""
     ub = idf[s:e] * mt[s:e]
@@ -135,7 +148,7 @@ def _topk_group(s: int, e: int, qid: int, k: int, codes, idf, fd, ld, mt,
         r = int(np.argmax(per_run_max))
         champ = rows[run_starts[r]: run_ends[r]]
         _, cscores = _scores_for_rows(champ, ns, idf, avgdl, payloads,
-                                      doc_count)
+                                      doc_count, deleted)
         if len(cscores) >= k:
             theta = np.partition(cscores, -k)[-k]
 
@@ -158,7 +171,8 @@ def _topk_group(s: int, e: int, qid: int, k: int, codes, idf, fd, ld, mt,
 
     if not len(rows):
         return (np.empty(0, dtype=np.int64), np.empty(0), 0)
-    d, sc = _scores_for_rows(rows, ns, idf, avgdl, payloads, doc_count)
+    d, sc = _scores_for_rows(rows, ns, idf, avgdl, payloads, doc_count,
+                             deleted)
     if len(sc) > k:
         # shrink to the score-threshold candidate set before the exact
         # (score DESC, doc_id ASC) sort: any doc below the k-th best
@@ -171,7 +185,8 @@ def _topk_group(s: int, e: int, qid: int, k: int, codes, idf, fd, ld, mt,
     return d[cand], sc[cand], len(cand)
 
 
-def _score_partition(batches, avgdl: float, doc_count: int = 0):
+def _score_partition(batches, avgdl: float, doc_count: int = 0,
+                     deleted: np.ndarray | None = None):
     """mapInArrow: candidate blocks sorted by (query_id, term,
     first_doc); one numpy scoring pass per query group.  The whole
     partition is concatenated first — a partition holds the candidate
@@ -204,7 +219,8 @@ def _score_partition(batches, avgdl: float, doc_count: int = 0):
     for gi in range(len(gstarts) - 1):
         s, e = int(gstarts[gi]), int(gstarts[gi + 1])
         d, sc, nk = _topk_group(s, e, int(qids[s]), int(ks[s]), codes, idf,
-                                fd, ld, mt, ns, payloads, avgdl, doc_count)
+                                fd, ld, mt, ns, payloads, avgdl, doc_count,
+                                deleted)
         if nk:
             out_qid.append(np.full(nk, qids[s], dtype=np.int64))
             out_rank.append(np.arange(1, nk + 1, dtype=np.int32))
@@ -227,6 +243,7 @@ def wand_topk(
     k: int | None = None,
     analyzer: str = "code",
     n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — exact BM25 top-k via the
     compressed index with block-max pruning.
@@ -238,13 +255,14 @@ def wand_topk(
     Spark job is the pruned block scan + per-query scoring — two jobs
     total per batch, regardless of query count.
     """
-    import math
-
     from ..analyzer.chain import get_analyzer
 
-    stats = index.corpus_stats
-    doc_count = stats["doc_count"]
-    avgdl = float(stats["avgdl"]) or 1.0
+    deleted = None
+    if respect_deletes:
+        from ..index.deletes import deleted_array
+
+        arr = deleted_array(index)
+        deleted = arr if len(arr) else None
 
     qp = queries.toPandas() if isinstance(queries, DataFrame) else queries
     an = get_analyzer(analyzer)
@@ -260,6 +278,25 @@ def wand_topk(
         for qid, text in zip(qp["query_id"], qp["query_text"])
         for t in an.tokenize(text)
     })
+    return topk_from_pairs(index, pairs, ks, n_buckets=n_buckets,
+                           deleted=deleted)
+
+
+def topk_from_pairs(
+    index: PhysicalIndex,
+    pairs: list[tuple[int, str]],
+    ks: dict[int, int],
+    n_buckets: int = N_TERM_BUCKETS,
+    deleted: "np.ndarray | None" = None,
+) -> DataFrame:
+    """The WAND scoring core over explicit (query_id, term) pairs —
+    shared by :func:`wand_topk` (analyzed text) and
+    ``query/fuzzy.py`` (vocabulary-expanded terms)."""
+    import math
+
+    stats = index.corpus_stats
+    doc_count = stats["doc_count"]
+    avgdl = float(stats["avgdl"]) or 1.0
     if not pairs:
         return index.spark.createDataFrame([], RESULT_SCHEMA)
     terms = sorted({t for _, t in pairs})
@@ -318,7 +355,8 @@ def wand_topk(
         cand.repartition(nparts, "query_id")
         .sortWithinPartitions("query_id", "term", "first_doc")
         .mapInArrow(
-            partial(_score_partition, avgdl=avgdl, doc_count=doc_count),
+            partial(_score_partition, avgdl=avgdl, doc_count=doc_count,
+                    deleted=deleted),
             RESULT_SCHEMA,
         )
     )

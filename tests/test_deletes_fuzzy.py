@@ -1,0 +1,164 @@
+"""Tombstone deletes (Lucene liveDocs contract) + fuzzy term matching
+(ES ``fuzziness``).  Exactness bars: WAND over an index with deletes ==
+brute-force BM25 over the live corpus only; fuzzy top-k == brute BM25
+over the manually expanded term set."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_nlp_classifier_spark.index import build_logical_index
+from elasticsearch_nlp_classifier_spark.index.blocks import (
+    build_physical_index,
+)
+from elasticsearch_nlp_classifier_spark.index.deletes import (
+    compact,
+    delete_docs,
+    deleted_array,
+    live_docs,
+    mask_deleted,
+)
+from elasticsearch_nlp_classifier_spark.query.bm25 import bm25_topk
+from elasticsearch_nlp_classifier_spark.query.fuzzy import (
+    fuzzy_expand,
+    fuzzy_topk,
+)
+from elasticsearch_nlp_classifier_spark.query.wand import wand_topk
+
+DOCS = [
+    (0, "spark engine index builds fast spark engine"),
+    (1, "the spark index answers queries"),
+    (2, "engine internals and index layout"),
+    (3, "sparse vectors are not spark"),
+    (4, "spark spark spark everywhere"),
+    (5, "a document about nothing relevant"),
+    (6, "index spark engine trio present"),
+    (7, "zpark typo engine document"),
+]
+
+QUERIES = pd.DataFrame(
+    {"query_id": [0, 1], "query_text": ["spark engine", "index"]}
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string").cache()
+
+
+@pytest.fixture()
+def index(spark, docs, tmp_path):
+    return build_physical_index(
+        docs, str(tmp_path / "idx"), text_col="text",
+        analyzer="simple_code", block_size=4,
+    )
+
+
+def _brute(spark, docs, keep_ids=None, queries=QUERIES, k=5):
+    d = docs if keep_ids is None else docs.where(
+        F.col("doc_id").isin(list(keep_ids))
+    )
+    logical = build_logical_index(d, "text", "simple_code")
+    q = spark.createDataFrame(queries)
+    return bm25_topk(logical, q, k=k).toPandas()
+
+
+def test_mask_deleted_unit():
+    deleted = np.array([2, 5, 9], dtype=np.int64)
+    docs = np.array([0, 2, 3, 5, 9, 10], dtype=np.int64)
+    assert mask_deleted(docs, deleted).tolist() == [
+        True, False, True, False, False, True,
+    ]
+    assert mask_deleted(docs, np.empty(0, dtype=np.int64)).all()
+
+
+def test_wand_excludes_deleted_and_stays_exact(spark, docs, index):
+    before = wand_topk(index, QUERIES, k=5, analyzer="simple_code").toPandas()
+    assert 4 in set(before[before.query_id == 0].doc_id)
+
+    delete_docs(index, [4, 0])
+    assert set(deleted_array(index)) == {0, 4}
+
+    got = wand_topk(index, QUERIES, k=5, analyzer="simple_code").toPandas()
+    assert not ({0, 4} & set(got.doc_id))
+    # exact vs brute-force over live docs with the SAME corpus stats:
+    # stats still count deleted docs pre-compaction (Lucene behavior),
+    # so compare against brute on the full logical index minus deletes
+    logical = build_logical_index(docs, "text", "simple_code")
+    logical.corpus_stats  # freeze stats over the FULL corpus first
+    logical.postings = logical.postings.where(~F.col("doc_id").isin([0, 4]))
+    want = bm25_topk(
+        logical, spark.createDataFrame(QUERIES), k=5,
+        analyzer="simple_code",
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False, atol=1e-12,
+    )
+
+
+def test_delete_docs_accepts_dataframe(spark, index):
+    ids = spark.createDataFrame([(3,)], "doc_id bigint")
+    assert delete_docs(index, ids) == 1
+    assert deleted_array(index).tolist() == [3]
+    filtered = live_docs(
+        index, spark.createDataFrame([(3,), (2,)], "doc_id bigint")
+    ).toPandas()
+    assert filtered.doc_id.tolist() == [2]
+
+
+def test_compact_purges_tombstones(spark, docs, index, tmp_path):
+    delete_docs(index, [4, 0])
+    idx2 = compact(index, str(tmp_path / "idx2"), block_size=4)
+    remaining = set(
+        idx2.logical_postings().select("doc_id").distinct().toPandas().doc_id
+    )
+    assert not ({0, 4} & remaining)
+    # stats reset to the live corpus
+    assert idx2.corpus_stats["doc_count"] == len(DOCS) - 2
+    # queries over the compacted index == brute over the live corpus
+    got = wand_topk(idx2, QUERIES, k=5, analyzer="simple_code").toPandas()
+    want = _brute(spark, docs, keep_ids=set(range(8)) - {0, 4})
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False, atol=1e-12,
+    )
+
+
+def test_fuzzy_expand_finds_typo(index):
+    exp = fuzzy_expand(index, "spark", max_edits=1)
+    assert "spark" in exp and "zpark" in exp
+    assert "engine" not in exp
+    # prefix_length pins the literal prefix
+    assert "zpark" not in fuzzy_expand(
+        index, "spark", max_edits=1, prefix_length=1
+    )
+
+
+def test_fuzzy_topk_matches_manual_expansion(spark, docs, index):
+    q = pd.DataFrame({"query_id": [0], "query_text": ["spark"]})
+    got = fuzzy_topk(
+        index, q, k=8, max_edits=1, analyzer="simple_code"
+    ).toPandas()
+    # doc 7 (the 'zpark' typo) is only reachable via fuzzy expansion
+    assert 7 in set(got.doc_id)
+    # exact contract: BM25 where the query is the full expansion set
+    from elasticsearch_nlp_classifier_spark.query.wand import (
+        topk_from_pairs,
+    )
+
+    exp = fuzzy_expand(index, "spark", max_edits=1)
+    want = topk_from_pairs(
+        index, [(0, t) for t in exp], {0: 8}
+    ).toPandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def test_fuzzy_respects_deletes(index):
+    delete_docs(index, [7])
+    q = pd.DataFrame({"query_id": [0], "query_text": ["spark"]})
+    got = fuzzy_topk(
+        index, q, k=8, max_edits=1, analyzer="simple_code"
+    ).toPandas()
+    assert 7 not in set(got.doc_id)

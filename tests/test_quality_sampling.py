@@ -1,0 +1,198 @@
+"""Gopher-style quality filters + deterministic sampling operators.
+
+Cross-engine bar: the n-gram repetition metrics and the hash-split
+assignment run the IDENTICAL arithmetic in DuckDB (the driver oracle);
+here we pin hand-computable goldens and the determinism/reshard
+invariants that make these operators safe at scale."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_nlp_classifier_spark.operators.quality import (
+    gopher_quality,
+    ngram_repetition_stats,
+    repetition_stats_sql,
+    shape_stats,
+)
+from elasticsearch_nlp_classifier_spark.operators.sampling import (
+    hash_split,
+    hash_split_sql,
+    hash_uniform,
+    hash_uniform_sql,
+    stratified_exact_n,
+    stratified_sample,
+    uniform_top_n,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat and then the cat sat again"),
+    (1, "dup line\ndup line\ndup line\nunique line"),
+    (2, "a b a b a b a b a b a b"),
+    (3, "### ### ### code ### with ### many ### hashes"),
+    (4, "- bullet one\n- bullet two\n- bullet three\nplain"),
+    (5, ""),
+    (6, "perfectly normal prose with the usual words and a few more "
+        "tokens to pass the minimum length gate for quality checks"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string").cache()
+
+
+def test_shape_stats_goldens(docs):
+    rows = {
+        r["doc_id"]: r
+        for r in shape_stats(docs, "text").collect()
+    }
+    # doc 1: 4 lines, 3 identical -> 2/4 beyond-first duplicates
+    assert rows[1]["dup_line_frac"] == pytest.approx(0.5)
+    # duplicate chars: 'dup line' (8 chars) twice beyond first = 16,
+    # total = 8*3 + 11 = 35
+    assert rows[1]["dup_line_char_frac"] == pytest.approx(16 / 35)
+    # doc 4: 3 of 4 lines start with a bullet
+    assert rows[4]["bullet_line_frac"] == pytest.approx(0.75)
+    # doc 3: six '###' runs = 18 hash chars over 10 words
+    assert rows[3]["symbol_word_ratio"] == pytest.approx(18 / 10)
+    # empty doc: all ratios defined as 0
+    assert rows[5]["n_words"] == 0
+    assert rows[5]["dup_line_frac"] == 0.0
+
+
+def test_ngram_repetition_goldens(docs):
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_repetition_stats(docs, "text", "doc_id").collect()
+    }
+    # doc 2: words = a b ×6 (12 words, 12 chars). bigrams: 'a b' ×6,
+    # 'b a' ×5 -> top bigram covers 6*2=12 of 12 word chars
+    assert rows[2]["top2gram_char_frac"] == pytest.approx(1.0)
+    # 8-grams of doc 2: 'a b a b a b a b' style, 5 of them, all
+    # distinct? stream: positions 1..5 -> gram alternates starting
+    # a/b -> 2 distinct, repeated 3 and 2 times -> dup chars
+    # (3-1)*8 + (2-1)*8 = 24 over 12 word chars -> 2.0 (upper-bound
+    # per-occurrence contract, overlaps counted)
+    assert rows[2]["dup8gram_char_frac"] == pytest.approx(2.0)
+    # empty doc present with zeros
+    assert rows[5]["top2gram_char_frac"] == 0.0
+
+
+def test_repetition_matches_duckdb(spark, docs):
+    got = (
+        ngram_repetition_stats(docs, "text", "doc_id")
+        .select(
+            "doc_id",
+            F.round("top2gram_char_frac", 6).alias("topf"),
+            F.round("dup8gram_char_frac", 6).alias("dupf"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = (
+        con.sql(repetition_stats_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["topf"].tolist() == pytest.approx(
+        want["top2gram_char_frac_r6"].tolist()
+    )
+    assert got["dupf"].tolist() == pytest.approx(
+        want["dup8gram_char_frac_r6"].tolist()
+    )
+
+
+def test_gopher_gate(docs):
+    rows = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in gopher_quality(docs, "text", "doc_id").collect()
+    }
+    assert rows[6] is True          # normal prose passes
+    assert rows[2] is False         # pure repetition fails
+    assert rows[3] is False         # symbol soup fails
+    assert rows[5] is False         # empty fails the length gate
+
+
+# --- sampling ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id").cache()
+
+
+def test_hash_uniform_matches_duckdb(spark, ids):
+    got = (
+        ids.select("doc_id", hash_uniform("doc_id", "s").alias("u"))
+        .limit(50)
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", got[["doc_id"]])
+    want = con.sql(
+        f"SELECT doc_id, {hash_uniform_sql('doc_id', 's')} AS u FROM t"
+    ).df()
+    assert got["u"].tolist() == pytest.approx(want["u"].tolist(), abs=0)
+
+
+def test_hash_split_proportions_and_determinism(ids):
+    w = {"train": 0.8, "dev": 0.1, "test": 0.1}
+    out = hash_split(ids, w, id_col="doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["train"] == pytest.approx(1600, abs=80)
+    assert counts["dev"] == pytest.approx(200, abs=50)
+    # reshard stability: same assignment after an arbitrary repartition
+    re = hash_split(ids.repartition(13), w, id_col="doc_id")
+    a = out.select("doc_id", "split").toPandas().set_index("doc_id")["split"]
+    b = re.select("doc_id", "split").toPandas().set_index("doc_id")["split"]
+    assert (a.sort_index() == b.sort_index()).all()
+
+
+def test_hash_split_sql_twin(spark, ids):
+    w = {"train": 0.8, "test": 0.2}
+    got = hash_split(ids, w, id_col="doc_id").select("doc_id", "split")
+    pdf = got.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf[["doc_id"]])
+    want = con.sql(
+        f"SELECT doc_id, {hash_split_sql(w, 'doc_id')} AS split FROM t"
+    ).df()
+    assert pdf.sort_values("doc_id")["split"].tolist() == \
+        want.sort_values("doc_id")["split"].tolist()
+
+
+def test_stratified_sample_and_exact(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    samp = stratified_sample(df, {"en": 0.5, "de": 0.1}, "lang", "doc_id")
+    c = {r["lang"]: r["n"] for r in
+         samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert c.get("en", 0) == pytest.approx(300, abs=60)
+    assert c.get("de", 0) == pytest.approx(30, abs=25)
+
+    ex = stratified_exact_n(df, 25, "lang", "doc_id")
+    ce = {r["lang"]: r["n"] for r in
+          ex.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert ce == {"en": 25, "de": 25}
+    # deterministic: same 25 ids on re-run
+    ids1 = sorted(ex.toPandas().doc_id)
+    ids2 = sorted(stratified_exact_n(df, 25, "lang", "doc_id")
+                  .toPandas().doc_id)
+    assert ids1 == ids2
+
+
+def test_uniform_top_n(ids):
+    s1 = uniform_top_n(ids, 100).toPandas().doc_id.tolist()
+    s2 = uniform_top_n(ids, 100).toPandas().doc_id.tolist()
+    assert len(s1) == 100 and s1 == s2
+    # a different salt draws a different sample
+    s3 = uniform_top_n(ids, 100, salt="other").toPandas().doc_id.tolist()
+    assert set(s3) != set(s1)

@@ -102,3 +102,45 @@ def test_analyzed_prefix_and_multitoken_or(tbl):
 def test_analyzed_mixed_with_keyword_fields(tbl):
     assert aids(tbl, "lang:python AND content:quick") == [1, 3]
     assert aids(tbl, "NOT content:quick AND repo:org1*") == [2]
+
+
+def test_range_queries(tbl):
+    assert ids(tbl, "id:[2 TO 4]") == [2, 3, 4]
+    assert ids(tbl, "id:{2 TO 4}") == [3]
+    assert ids(tbl, "id:[2 TO 4}") == [2, 3]
+    assert ids(tbl, "id:[4 TO *]") == [4, 5]
+    assert ids(tbl, "id:[* TO *]") == [1, 2, 3, 4, 5]
+    # lexicographic range on a string field ('go' < 'java' -> excluded)
+    assert ids(tbl, "lang:[java TO python]") == [1, 2, 3]
+
+
+def test_range_composes(tbl):
+    assert ids(tbl, "id:[2 TO 4] AND lang:python") == [3]
+    assert ids(tbl, "NOT id:[2 TO 5]") == [1]
+
+
+def test_require_prohibit_operators(tbl):
+    assert ids(tbl, "+lang:python") == [1, 3]
+    assert ids(tbl, "-lang:python") == [2, 4]   # Lucene prohibit = NOT
+    assert ids(tbl, "quick -lang:java") == [1, 3]
+    assert ids(tbl, "+quick +slow") == [3]
+
+
+def test_fuzzy_value(tbl):
+    # 'jav' ~1 'java'; 'pithon' ~1 'python'
+    assert ids(tbl, "lang:jav~1") == [2]
+    assert ids(tbl, "lang:pithon~1") == [1, 3]
+    assert ids(tbl, "lang:pithon~") == [1, 3]   # bare ~ defaults to 2
+
+
+def test_boost_is_parsed_and_ignored_in_filter(tbl):
+    assert ids(tbl, "lang:python^2") == [1, 3]
+    assert ids(tbl, "lang:python^2 OR lang:go^0.5") == [1, 3, 4]
+
+
+def test_analyzed_fuzzy(tbl):
+    col = compile_query_string(
+        "content:quik~1", text_fields={"content"}, analyzer="simple_code"
+    )
+    assert sorted(r.id for r in tbl.where(col).select("id").collect()) \
+        == [1, 3]
