@@ -869,6 +869,63 @@ def q_wand_deletes(spark, sf_dir):
     )
 
 
+def _physical_index(spark, sf_dir):
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="qix_") + "/idx"
+    return build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code"
+    )
+
+
+def _rank10(scored):
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank2", F.row_number().over(w))
+        .where(F.col("rank2") <= 10)
+        .select(
+            F.col("rank2").cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score_r6"),
+        )
+    )
+
+
+def q_mlt_topk(spark, sf_dir):
+    """ES more_like_this: the source doc's top tf·idf terms re-queried
+    through WAND, source excluded; full SQL twin in the oracle."""
+    from elasticsearch_nlp_classifier_spark.query.mlt import more_like_this
+
+    index = _physical_index(spark, sf_dir)
+    out = more_like_this(index, 0, k=10, max_query_terms=10)
+    return _rank10(out.select("doc_id", "score"))
+
+
+def q_prefix_bm25(spark, sf_dir):
+    """Lucene prefix query: dictionary expansion (term ASC cap) + WAND."""
+    from elasticsearch_nlp_classifier_spark.query.mlt import prefix_topk
+
+    index = _physical_index(spark, sf_dir)
+    return _rank10(prefix_topk(index, "tab", k=50).select("doc_id", "score"))
+
+
+def q_suggest_terms(spark, sf_dir):
+    """ES term suggester: levenshtein candidates ranked
+    (dist ASC, df DESC, term ASC)."""
+    from elasticsearch_nlp_classifier_spark.query.mlt import suggest_terms
+
+    index = _physical_index(spark, sf_dir)
+    return suggest_terms(index, "dat", n=5).select(
+        "term", F.col("dist").cast("bigint").alias("dist"),
+        F.col("df").cast("bigint").alias("df"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -924,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_range_prohibit": q_qs_range_prohibit,
         "fuzzy_bm25": q_fuzzy_bm25,
         "wand_deletes": q_wand_deletes,
+        "mlt_topk": q_mlt_topk,
+        "prefix_bm25": q_prefix_bm25,
+        "suggest_terms": q_suggest_terms,
     }
 
 
@@ -1223,6 +1283,35 @@ qt AS (
 _WAND_DELETES_SQL = _BM25_SQL.replace("{QUERY}", "data value table").replace(
     "FROM scores\n)", "FROM scores WHERE doc_id % 7 <> 0\n)"
 )
+
+# more-like-this twin: source doc 0's top-10 terms by
+# round(tf·idf, 9) DESC, term ASC; source excluded from the ranking
+_MLT_SQL = (_BM25_BASE + """,
+mlt AS (
+  SELECT tf.term,
+         round(tf.tf * ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                              / (s.df + 0.5)), 9) AS ms
+  FROM tf JOIN stats s USING (term)
+  WHERE tf.doc_id = 0
+),
+qt AS (SELECT term FROM mlt ORDER BY ms DESC, term ASC LIMIT 10),
+""" + _BM25_TAIL).replace(
+    "FROM scores\n)", "FROM scores WHERE doc_id <> 0\n)"
+)
+
+# prefix-query twin: dictionary expansion term ASC, cap 50
+_PREFIX_SQL = _BM25_BASE + """,
+qt AS (SELECT term FROM stats WHERE term LIKE 'tab%'
+       ORDER BY term LIMIT 50),
+""" + _BM25_TAIL
+
+_SUGGEST_SQL = f"""
+WITH {_TF},
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT term, levenshtein(term, 'dat')::BIGINT AS dist, df
+FROM stats
+WHERE abs(length(term) - 3) <= 2 AND levenshtein(term, 'dat') <= 2
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
 
 
 def _hash_u(id_expr: str, salt: str) -> str:
@@ -1575,6 +1664,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id >= 100 AND doc_id < 300 AND NOT (lang = 'en')""",
         "fuzzy_bm25": "WITH " + _FUZZY_BM25_SQL,
         "wand_deletes": "WITH " + _WAND_DELETES_SQL,
+        "mlt_topk": "WITH " + _MLT_SQL,
+        "prefix_bm25": "WITH " + _PREFIX_SQL,
+        "suggest_terms": _SUGGEST_SQL,
         # mm_feature_extract: fake decoder -> rows-only check (codec
         # libs absent in this environment)
     }

@@ -102,6 +102,18 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
 
     warm_python_workers(spark)
 
+    # Untimed warmup build over a small prefix: the first build in a
+    # fresh JVM pays Janino/whole-stage-codegen JIT plus first-touch
+    # page faults (this VM unbacks fresh pages; see session.py) — a
+    # per-process constant, not per-job engine cost.  Same protocol as
+    # the scaling harness (_one_level_run).
+    warm_path = os.path.join(work_dir, "index_warm")
+    build_physical_index(
+        docs.limit(500), warm_path, text_col="text",
+        analyzer="simple_code",
+    )
+    shutil.rmtree(warm_path, ignore_errors=True)
+
     # --- q1: physical index build (tokenize -> postings -> varbyte
     # blocks).  Best of 2: this sandbox VM throttles in bursty windows;
     # the better rep is the engine's actual cost.

@@ -430,10 +430,13 @@ class PhysicalIndex:
     def has_positions(self) -> bool:
         return bool(self.corpus_stats.get("has_positions"))
 
-    def logical_postings(self) -> DataFrame:
-        """Decode every block back to (doc_id, term, tf, dl[, positions])
-        — integrity test surface (full-decode == pre-compression
-        postings)."""
+    def logical_postings(self, blocks_where=None) -> DataFrame:
+        """Decode blocks back to (doc_id, term, tf, dl[, positions]) —
+        integrity test surface (full-decode == pre-compression
+        postings).  ``blocks_where`` (a Column) prunes the block scan
+        BEFORE decode — e.g. a ``first_doc <= id <= last_doc`` range
+        probe hits parquet min/max stats and decodes only the spanning
+        blocks (the more-like-this doc→terms path)."""
         import pyarrow  # noqa: F401  (arrow batches)
         from .codec import segmented_delta_decode, vb_decode
 
@@ -468,7 +471,10 @@ class PhysicalIndex:
         schema = "doc_id bigint, term string, tf bigint, dl bigint"
         if with_pos:
             schema += ", positions array<bigint>"
-        return self.blocks.mapInPandas(decode, schema)
+        src = self.blocks
+        if blocks_where is not None:
+            src = src.where(blocks_where)
+        return src.mapInPandas(decode, schema)
 
 
 def _lineage(path: str, stage: str, **metrics) -> None:

@@ -1,0 +1,195 @@
+"""More-like-this (ES ``more_like_this`` query) + prefix/wildcard
+ranked queries + did-you-mean suggestions — the term-expansion query
+family, all funneling into the shared block-max WAND core.
+
+ES surface being re-expressed (all public API semantics):
+
+- ``more_like_this``: pick the source doc's most interesting terms
+  (tf·idf, capped at ``max_query_terms``), query with them, exclude
+  the source doc itself.
+- ``prefix`` / ``wildcard``: expand the pattern against the term
+  dictionary (Zipf-bounded), score the expansion set.
+- ``suggest`` (term suggester): vocabulary candidates ranked by
+  (edit distance ASC, doc freq DESC, term ASC).
+
+Deterministic contracts (same arithmetic available to the DuckDB
+oracle): tf·idf uses the index's BM25 idf ``ln(1+(N-df+0.5)/(df+0.5))``
+and raw tf; every cap orders by an explicit total tiebreak.
+
+Scale shape: expansions probe only the term_stats table (pushdown
+``startswith``/length-band filters); scoring is the standard WAND pass.
+MLT reads the source docs' postings via ONE pruned block scan (the
+same partition-pruning route as a query).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.blocks import N_TERM_BUCKETS, PhysicalIndex
+from .wand import RESULT_SCHEMA, topk_from_pairs
+
+
+def _deleted(index: PhysicalIndex, respect: bool):
+    if not respect:
+        return None
+    from ..index.deletes import deleted_array
+
+    arr = deleted_array(index)
+    return arr if len(arr) else None
+
+
+def prefix_topk(
+    index: PhysicalIndex,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    query_id: int = 0,
+    n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
+) -> DataFrame:
+    """BM25 top-k for a prefix query: all indexed terms starting with
+    ``prefix`` (capped ``max_expansions`` by term ASC — Lucene's
+    dictionary order), scored with their own IDFs."""
+    rows = (
+        index.term_stats.where(F.col("term").startswith(prefix))
+        .select("term").orderBy("term").limit(max_expansions).collect()
+    )
+    pairs = [(query_id, r["term"]) for r in rows]
+    return topk_from_pairs(
+        index, pairs, {query_id: k}, n_buckets=n_buckets,
+        deleted=_deleted(index, respect_deletes),
+    )
+
+
+def wildcard_topk(
+    index: PhysicalIndex,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    query_id: int = 0,
+    n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
+) -> DataFrame:
+    """Lucene wildcard query: ``*`` = any run, ``?`` = one char.  The
+    pattern compiles to an anchored Java regex evaluated over the term
+    dictionary (never over postings)."""
+    rx = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else
+        c if c.isalnum() else "\\" + c
+        for c in pattern
+    ) + "$"
+    rows = (
+        index.term_stats.where(F.col("term").rlike(rx))
+        .select("term").orderBy("term").limit(max_expansions).collect()
+    )
+    pairs = [(query_id, r["term"]) for r in rows]
+    return topk_from_pairs(
+        index, pairs, {query_id: k}, n_buckets=n_buckets,
+        deleted=_deleted(index, respect_deletes),
+    )
+
+
+def suggest_terms(
+    index: PhysicalIndex,
+    term: str,
+    n: int = 5,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Did-you-mean: (term, dist, df) candidates within ``max_edits``,
+    ranked (dist ASC, df DESC, term ASC) — the ES term suggester's
+    default sort."""
+    t = F.col("term")
+    d = F.levenshtein(t, F.lit(term))
+    return (
+        index.term_stats
+        .where(
+            (F.abs(F.length(t) - F.lit(len(term))) <= max_edits)
+            & (d <= max_edits)
+        )
+        .select("term", d.alias("dist"), "df")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def mlt_terms(
+    index: PhysicalIndex,
+    doc_id: int,
+    max_query_terms: int = 25,
+    min_doc_freq: int = 1,
+) -> list[str]:
+    """The source doc's most interesting terms: top ``max_query_terms``
+    by (tf·idf DESC, term ASC), df >= min_doc_freq.  One pruned
+    postings probe (decode only the source doc's rows) + the in-driver
+    idf arithmetic the oracle can replicate."""
+    stats = index.corpus_stats
+    n_docs = stats["doc_count"]
+    rows = (
+        index.logical_postings(
+            blocks_where=(F.col("first_doc") <= doc_id)
+            & (F.col("last_doc") >= doc_id)
+        )
+        .where(F.col("doc_id") == doc_id)
+        .join(F.broadcast(index.term_stats.select("term", "df")), "term")
+        .where(F.col("df") >= min_doc_freq)
+        .select("term", "tf", "df")
+        .collect()
+    )
+    scored = sorted(
+        (
+            (
+                # round-9 before ordering: the oracle recomputes this
+                # score in another engine; a 1-ulp ln() difference must
+                # not flip the max_query_terms selection boundary
+                -round(
+                    r["tf"]
+                    * math.log(1.0 + (n_docs - r["df"] + 0.5)
+                               / (r["df"] + 0.5)),
+                    9,
+                ),
+                r["term"],
+            )
+            for r in rows
+        ),
+    )
+    return [t for _, t in scored[:max_query_terms]]
+
+
+def more_like_this(
+    index: PhysicalIndex,
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    query_id: int = 0,
+    n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
+    include_self: bool = False,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): docs most similar to the
+    source doc under BM25 over its ``max_query_terms`` most
+    interesting terms.  The source doc is excluded (ES default) by
+    re-ranking the k+1 WAND results — exact, since dropping one doc
+    can promote at most one.
+    """
+    terms = mlt_terms(index, doc_id, max_query_terms)
+    pairs = [(query_id, t) for t in terms]
+    out = topk_from_pairs(
+        index, pairs, {query_id: k if include_self else k + 1},
+        n_buckets=n_buckets, deleted=_deleted(index, respect_deletes),
+    )
+    if include_self:
+        return out
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    return (
+        out.where(F.col("doc_id") != doc_id)
+        .withColumn("rank2", F.row_number().over(w))
+        .where(F.col("rank2") <= k)
+        .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                "doc_id", "score")
+    )
