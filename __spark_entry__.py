@@ -926,6 +926,193 @@ def q_suggest_terms(spark, sf_dir):
     )
 
 
+def q_agg_terms(spark, sf_dir):
+    """ES terms agg: top buckets by doc_count (tie → key asc)."""
+    from elasticsearch_nlp_classifier_spark.query import terms_agg
+
+    return terms_agg(_docs(spark, sf_dir), "lang", size=5)
+
+
+def q_agg_histogram(spark, sf_dir):
+    """ES histogram agg: fixed-interval numeric buckets."""
+    from elasticsearch_nlp_classifier_spark.query import histogram_agg
+
+    return histogram_agg(_docs(spark, sf_dir), "n_chars", 100.0)
+
+
+def q_agg_date_histogram(spark, sf_dir):
+    """ES date_histogram agg (calendar hour buckets); key emitted as
+    epoch seconds for the cross-engine hash."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        date_histogram_agg,
+    )
+
+    out = date_histogram_agg(_events(spark, sf_dir), "ts", "hour")
+    return out.select(
+        F.unix_timestamp("key_ts").cast("bigint").alias("key_epoch"),
+        "doc_count",
+    )
+
+
+def q_agg_range(spark, sf_dir):
+    """ES range agg: half-open [from, to) buckets, one scan."""
+    from elasticsearch_nlp_classifier_spark.query import range_agg
+
+    return range_agg(_docs(spark, sf_dir), "n_chars",
+                     [(None, 100.0), (100.0, 300.0), (300.0, None)])
+
+
+def q_agg_extended_stats(spark, sf_dir):
+    """ES extended_stats: count/min/max/avg/sum + population moments."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        extended_stats_agg,
+    )
+
+    out = extended_stats_agg(_events(spark, sf_dir), "value")
+    # corpus-wide float sums round at 4 (not 6): the distributed
+    # summation order costs ~1e-7 relative vs the oracle's serial sum
+    return out.select(
+        "count", F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"), F.round("avg", 4).alias("avg"),
+        F.round("sum", 2).alias("sum"),
+        F.round("sum_of_squares", 1).alias("sum_of_squares"),
+        F.round("variance", 4).alias("variance"),
+        F.round("std_deviation", 4).alias("std_deviation"),
+    )
+
+
+def q_agg_percentiles(spark, sf_dir):
+    """ES percentiles (exact path — linear interpolation, the same
+    estimator as the oracle's quantile_cont; the approx/t-digest path
+    is pytest-bounded against this one)."""
+    from elasticsearch_nlp_classifier_spark.query import percentiles_agg
+
+    out = percentiles_agg(_events(spark, sf_dir), "value",
+                          percents=(5.0, 50.0, 95.0))
+    return out.select("percent", F.round("value", 4).alias("value"))
+
+
+def q_agg_cardinality(spark, sf_dir):
+    """ES cardinality agg (exact path for the oracle; the HLL++ sketch
+    path is pytest-bounded within 5% of this)."""
+    from elasticsearch_nlp_classifier_spark.query import cardinality_agg
+
+    return cardinality_agg(_events(spark, sf_dir), "user_id", exact=True)
+
+
+def q_agg_top_hits(spark, sf_dir):
+    """ES top_hits sub-agg: top-2 docs per lang bucket by n_chars."""
+    from elasticsearch_nlp_classifier_spark.query import top_hits_agg
+
+    return top_hits_agg(_docs(spark, sf_dir), "lang", "n_chars", size=2)
+
+
+def q_agg_significant_terms(spark, sf_dir):
+    """ES significant_terms with the JLH score over the en-language
+    foreground vs the whole-corpus background."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        significant_terms,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = _logical_index(spark, sf_dir)
+    fg = docs.where(F.col("lang") == "en").select("doc_id")
+    return significant_terms(fg, idx.postings, size=10)
+
+
+def q_span_near(spark, sf_dir):
+    """Lucene ordered SpanNearQuery: terms in order within a slop
+    window over the positional block index."""
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query import span_near
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="span_ix_") + "/idx"
+    index = build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code",
+        with_positions=True,
+    )
+    return span_near(index, "data value", slop=2, analyzer="simple_code")
+
+
+def q_percolate(spark, sf_dir):
+    """ES percolator: stored queries matched against every document
+    (broadcast reverse-index join, one aggregation)."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        percolate,
+        register_queries,
+    )
+
+    docs = _docs(spark, sf_dir)
+    reg = register_queries(
+        spark,
+        [(1, "data value"), (2, "table"), (3, "data data")],
+        analyzer="simple_code", operator="and",
+    )
+    return percolate(docs, reg, analyzer="simple_code")
+
+
+def q_pii_stats(spark, sf_dir):
+    """PII detection counts over docs with deterministically planted
+    emails/IPs/phones (JVM regexp_count; oracle runs the identical
+    RE2-safe patterns)."""
+    from elasticsearch_nlp_classifier_spark.operators import pii_stats
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" mail me: user@example.com"))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.lit(" host 10.1.2.3 up"))
+            .otherwise(F.lit(" call 555-123-4567 or +4915112345678")),
+        ),
+    )
+    return pii_stats(docs)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction: masked text with type tokens, chained
+    regexp_replace (oracle: DuckDB regexp_replace with 'g')."""
+    from elasticsearch_nlp_classifier_spark.operators import redact_pii
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" mail me: user@example.com"))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.lit(" host 10.1.2.3 up"))
+            .otherwise(F.lit(" call 555-123-4567 or +4915112345678")),
+        ),
+    )
+    return redact_pii(docs).select(
+        F.col("doc_id").alias("id"), F.col("text").alias("redacted")
+    )
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-wide paragraph-level exact dedup (boilerplate removal):
+    every doc gets a shared HEADER/FOOTER paragraph planted; only the
+    globally-first occurrence of each distinct paragraph survives."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        dedup_paragraphs,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat_ws("\n\n", F.lit("SHARED HEADER"), F.col("text"),
+                    F.lit("SHARED FOOTER")),
+    )
+    return dedup_paragraphs(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -984,6 +1171,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": q_mlt_topk,
         "prefix_bm25": q_prefix_bm25,
         "suggest_terms": q_suggest_terms,
+        "span_near": q_span_near,
+        "percolate": q_percolate,
+        "pii_stats": q_pii_stats,
+        "pii_redact": q_pii_redact,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "agg_terms": q_agg_terms,
+        "agg_histogram": q_agg_histogram,
+        "agg_date_histogram": q_agg_date_histogram,
+        "agg_range": q_agg_range,
+        "agg_extended_stats": q_agg_extended_stats,
+        "agg_percentiles": q_agg_percentiles,
+        "agg_cardinality": q_agg_cardinality,
+        "agg_top_hits": q_agg_top_hits,
+        "agg_significant_terms": q_agg_significant_terms,
     }
 
 
@@ -1667,6 +1868,183 @@ def oracle_sql() -> dict[str, str]:
         "mlt_topk": "WITH " + _MLT_SQL,
         "prefix_bm25": "WITH " + _PREFIX_SQL,
         "suggest_terms": _SUGGEST_SQL,
+        "span_near": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            )
+            SELECT p0.doc_id,
+                   count(DISTINCT p0.pos)::BIGINT AS n_matches
+            FROM pos p0
+            JOIN pos p1 ON p0.doc_id = p1.doc_id AND p1.pos > p0.pos
+                       AND p1.pos - p0.pos - 1 <= 2
+            WHERE p0.term = 'data' AND p1.term = 'value'
+            GROUP BY 1""",
+        "percolate": f"""
+            WITH {_TOKS},
+            dterms AS (
+              SELECT DISTINCT doc_id, unnest(w) AS term FROM toks
+            ),
+            reg(query_id, term, n_terms) AS (VALUES
+              (1, 'data', 2), (1, 'value', 2),
+              (2, 'table', 1), (3, 'data', 1)
+            )
+            SELECT doc_id, query_id::BIGINT AS query_id,
+                   count(*)::BIGINT AS matched_terms
+            FROM dterms JOIN reg USING (term)
+            GROUP BY doc_id, query_id, n_terms
+            HAVING count(*) >= n_terms""",
+        "pii_stats": """
+            WITH d AS (
+              SELECT doc_id AS id,
+                     text || CASE doc_id % 3
+                       WHEN 0 THEN ' mail me: user@example.com'
+                       WHEN 1 THEN ' host 10.1.2.3 up'
+                       ELSE ' call 555-123-4567 or +4915112345678'
+                     END AS text
+              FROM documents
+            )
+            SELECT id,
+              len(regexp_extract_all(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'
+              ))::BIGINT AS n_email,
+              len(regexp_extract_all(text,
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'
+              ))::BIGINT AS n_ipv4,
+              len(regexp_extract_all(text,
+                '\\+[0-9]{7,15}\\b|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b'
+              ))::BIGINT AS n_phone,
+              (len(regexp_extract_all(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+               + len(regexp_extract_all(text,
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+               + len(regexp_extract_all(text,
+                '\\+[0-9]{7,15}\\b|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b'))
+              )::BIGINT AS n_pii
+            FROM d""",
+        "pii_redact": """
+            WITH d AS (
+              SELECT doc_id AS id,
+                     text || CASE doc_id % 3
+                       WHEN 0 THEN ' mail me: user@example.com'
+                       WHEN 1 THEN ' host 10.1.2.3 up'
+                       ELSE ' call 555-123-4567 or +4915112345678'
+                     END AS text
+              FROM documents
+            )
+            SELECT id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                '<EMAIL>', 'g'),
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                '<IP>', 'g'),
+                '\\+[0-9]{7,15}\\b|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b',
+                '<PHONE>', 'g') AS redacted
+            FROM d""",
+        "dedup_paragraphs": """
+            WITH d AS (
+              SELECT doc_id,
+                     'SHARED HEADER' || E'\\n\\n' || text || E'\\n\\n'
+                     || 'SHARED FOOTER' AS text
+              FROM documents
+            ),
+            paras AS (
+              SELECT doc_id AS id,
+                     unnest(string_split(text, E'\\n\\n')) AS para,
+                     unnest(range(len(string_split(text, E'\\n\\n'))))
+                     AS pos
+              FROM d
+            ),
+            keep AS (
+              SELECT para,
+                     min(struct_pack(id := id, pos := pos)) AS first
+              FROM paras GROUP BY para
+            ),
+            kept AS (
+              SELECT p.id, p.pos, p.para
+              FROM paras p JOIN keep k
+                ON p.para = k.para AND p.id = k.first.id
+                   AND p.pos = k.first.pos
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(string_agg(kept.para, E'\\n\\n'
+                                       ORDER BY kept.pos), '') AS text
+            FROM d LEFT JOIN kept ON d.doc_id = kept.id
+            GROUP BY d.doc_id""",
+        "agg_terms": """
+            SELECT lang AS key, count(*)::BIGINT AS doc_count
+            FROM documents WHERE lang IS NOT NULL
+            GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5""",
+        "agg_histogram": """
+            SELECT (floor(n_chars / 100.0) * 100.0)::DOUBLE AS key,
+                   count(*)::BIGINT AS doc_count
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1""",
+        "agg_date_histogram": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,
+                   count(*)::BIGINT AS doc_count
+            FROM events GROUP BY 1""",
+        "agg_range": """
+            SELECT '*-100.0' AS key,
+                   sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)::BIGINT
+                   AS doc_count FROM documents
+            UNION ALL
+            SELECT '100.0-300.0',
+                   sum(CASE WHEN n_chars >= 100 AND n_chars < 300
+                       THEN 1 ELSE 0 END)::BIGINT FROM documents
+            UNION ALL
+            SELECT '300.0-*',
+                   sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT
+            FROM documents""",
+        "agg_extended_stats": """
+            SELECT count(value)::BIGINT AS count,
+                   round(min(value), 6) AS min, round(max(value), 6) AS max,
+                   round(avg(value), 4) AS avg, round(sum(value), 2) AS sum,
+                   round(sum(value * value), 1) AS sum_of_squares,
+                   round(var_pop(value), 4) AS variance,
+                   round(stddev_pop(value), 4) AS std_deviation
+            FROM events WHERE value IS NOT NULL""",
+        "agg_percentiles": """
+            SELECT 5.0 AS percent,
+                   round(quantile_cont(value, 0.05), 4) AS value FROM events
+            UNION ALL
+            SELECT 50.0, round(quantile_cont(value, 0.50), 4) FROM events
+            UNION ALL
+            SELECT 95.0, round(quantile_cont(value, 0.95), 4) FROM events""",
+        "agg_cardinality": """
+            SELECT count(DISTINCT user_id)::BIGINT AS value FROM events""",
+        "agg_top_hits": """
+            SELECT lang AS key, rank, doc_id AS id,
+                   n_chars::DOUBLE AS sort_value
+            FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank
+              FROM documents WHERE lang IS NOT NULL
+            ) WHERE rank <= 2""",
+        "agg_significant_terms": f"""
+            WITH {_TF},
+            fg_ids AS (SELECT DISTINCT doc_id FROM documents
+                       WHERE lang = 'en'),
+            n_fg AS (SELECT count(*)::DOUBLE AS n FROM fg_ids),
+            n_all AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+            fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df
+                   FROM tf JOIN fg_ids USING (doc_id) GROUP BY 1),
+            bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df
+                   FROM tf GROUP BY 1),
+            scored AS (
+              SELECT term, fg_df, bg_df,
+                     round((fg_df / (SELECT n FROM n_fg)
+                            - bg_df / (SELECT n FROM n_all))
+                           * ((fg_df / (SELECT n FROM n_fg))
+                              / (bg_df / (SELECT n FROM n_all))), 6)
+                     AS score
+              FROM fg JOIN bg USING (term) WHERE fg_df >= 2
+            )
+            SELECT term, fg_df, bg_df, score FROM scored
+            WHERE score > 0
+            ORDER BY score DESC, term ASC LIMIT 10""",
         # mm_feature_extract: fake decoder -> rows-only check (codec
         # libs absent in this environment)
     }

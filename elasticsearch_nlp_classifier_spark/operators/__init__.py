@@ -1,5 +1,6 @@
 from .dedup import (  # noqa: F401
     dedup_by_clusters,
+    dedup_paragraphs,
     dup_clusters,
     exact_dedup,
     exact_dup_groups,
@@ -34,6 +35,7 @@ from .quality import (  # noqa: F401
     repetition_stats_sql,
     shape_stats,
 )
+from .redact import PII_PATTERNS, pii_stats, redact_pii  # noqa: F401
 from .sampling import (  # noqa: F401
     hash_split,
     hash_split_sql,

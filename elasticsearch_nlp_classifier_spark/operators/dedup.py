@@ -44,6 +44,67 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_paragraphs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup across the whole corpus: split each
+    doc on ``sep``, keep only the globally-first occurrence of every
+    distinct paragraph (first = min ``(id, paragraph position)``), and
+    reassemble the surviving paragraphs in original order.
+
+    The fine-grained cousin of doc-level exact dedup — boilerplate
+    (headers, license blocks, navigation chrome) repeats across
+    documents that are not duplicates of each other, and this strips it
+    corpus-wide in two hash shuffles:
+
+    1. ``posexplode(split(text))`` → ``(id, pos, para)`` — narrow.
+    2. keep = ``min_by((id, pos))`` per ``xxhash64(para)`` group —
+       one partial-aggregated shuffle on the 64-bit hash, carrying one
+       row per distinct paragraph.
+    3. semi-join survivors back (broadcast-or-shuffle by AQE) and
+       ``array_join(sort by pos)`` per doc — second shuffle on ``id``.
+
+    Returns ``(id, text)`` with deduped text; docs whose every
+    paragraph was seen earlier come back with empty text (the caller's
+    length filter drops them — same contract as quality filtering).
+    Empty/whitespace paragraphs are kept verbatim (they're structure,
+    not content)."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", "para"),
+    )
+    keyed = paras.withColumn("h", F.xxhash64("para"))
+    # first global occurrence: min (id, pos) pair per paragraph hash,
+    # packed into one struct min (single map-side-combined aggregate)
+    keep = (
+        keyed.groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("first"))
+        .select("h", F.col("first.id").alias("id"),
+                F.col("first.pos").alias("pos"))
+    )
+    kept = keyed.join(keep, ["h", "id", "pos"], "left_semi")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "para")))
+             .alias("ps"))
+        .select(
+            "id",
+            F.array_join(F.transform("ps", lambda s: s["para"]), sep)
+            .alias(text_col),
+        )
+    )
+    # docs that lost every paragraph still appear (empty text)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select("id", F.coalesce(F.col(text_col), F.lit(""))
+                .alias(text_col))
+    )
+
+
 def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """(sha256, n_dups, keep_id) for groups with >1 member."""
     h = F.sha2(F.col(content_col).cast("string"), 256)

@@ -1,9 +1,23 @@
 from .bm25 import analyze_queries, bm25_topk, match_filter  # noqa: F401
 from .oracle import bm25_oracle  # noqa: F401
-from .phrase import match_phrase, positional_postings  # noqa: F401
+from .percolate import percolate, register_queries  # noqa: F401
+from .phrase import match_phrase, positional_postings, span_near  # noqa: F401
 from .wand import wand_topk  # noqa: F401
 from .fuzzy import fuzzy_expand, fuzzy_topk  # noqa: F401
 from .wand import topk_from_pairs  # noqa: F401
+from .aggs import (  # noqa: F401
+    cardinality_agg,
+    date_histogram_agg,
+    extended_stats_agg,
+    filters_agg,
+    histogram_agg,
+    percentiles_agg,
+    range_agg,
+    significant_terms,
+    stats_agg,
+    terms_agg,
+    top_hits_agg,
+)
 from .mlt import (  # noqa: F401
     mlt_terms,
     more_like_this,

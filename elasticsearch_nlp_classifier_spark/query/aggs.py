@@ -1,0 +1,310 @@
+"""ES-style aggregations over the engine's tables and indexes.
+
+The reference delegates every search to a hosted ElasticSearch cluster
+(``utils/elasticsearch/ElasticsearchService.java`` builds a stock
+``RestHighLevelClient`` — the full ES search surface, aggregations
+included, is what its users have available).  This module re-expresses
+the core ES aggregation families as Catalyst plans:
+
+=================  =========================================  ==========
+ES aggregation     Spark plan                                 shuffles
+=================  =========================================  ==========
+terms              groupBy(key).count → TakeOrdered(size)     1 partial
+histogram          floor(v/interval)*interval groupBy         1 partial
+date_histogram     date_trunc(unit) groupBy                   1 partial
+range              CASE bucket label groupBy                  1 partial
+filters            one pass, sum(CASE) per named filter       0 wide
+stats/extended     single agg row (moments)                   0 wide
+percentiles        exact ``percentile`` / approx t-digest-ish 1
+cardinality        exact countDistinct / HLL++ approx         1
+top_hits           row_number window per bucket               1
+significant_terms  fg vs bg df join + JLH score               2
+=================  =========================================  ==========
+
+Scale notes (100 TB):
+
+* every bucketing agg is a hash aggregate with **map-side partial
+  combine** — the shuffle carries one row per (partition, bucket), not
+  per input row; bucket-count, not data-size, bounds the wide stage.
+* top-N over buckets is ``orderBy(...).limit(n)`` → Spark's
+  ``TakeOrderedAndProject`` (per-partition heaps + driver merge of
+  n·partitions rows), never a global sort.
+* ``cardinality`` maps to ``approx_count_distinct`` — Spark's HLL++ is
+  the same sketch family ES uses, mergeable across partitions with a
+  fixed few-KB state per group.
+* ``percentiles_approx`` uses Spark's mergeable quantile sketch
+  (Greenwald-Khanna); the exact variant is for oracles / small groups.
+* ``significant_terms`` joins per-term foreground counts against the
+  corpus-wide ``term_stats`` table — both sides already aggregated, so
+  the join is bucket-sized, and the foreground side is typically small
+  enough that AQE broadcasts it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "terms_agg",
+    "histogram_agg",
+    "date_histogram_agg",
+    "range_agg",
+    "filters_agg",
+    "stats_agg",
+    "extended_stats_agg",
+    "percentiles_agg",
+    "cardinality_agg",
+    "top_hits_agg",
+    "significant_terms",
+]
+
+
+def terms_agg(df: DataFrame, field: str, size: int = 10) -> DataFrame:
+    """ES ``terms`` bucket agg: top-``size`` values of ``field`` by
+    doc_count (tie → key ascending, matching ES's deterministic order).
+
+    Returns columns ``(key, doc_count)``.
+    """
+    return (
+        df.where(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def histogram_agg(
+    df: DataFrame, field: str, interval: float,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``histogram``: fixed-width numeric buckets keyed by
+    ``floor(value / interval) * interval``.  Returns ``(key, doc_count)``
+    sorted by key (ES histogram order)."""
+    key = (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval))
+    return (
+        df.where(F.col(field).isNotNull())
+        .groupBy(key.cast("double").alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") >= min_doc_count)
+        .orderBy("key")
+    )
+
+
+def date_histogram_agg(
+    df: DataFrame, ts_field: str, unit: str = "day",
+) -> DataFrame:
+    """ES ``date_histogram`` with a calendar interval (``hour``/``day``/
+    ``week``/``month``...): buckets by ``date_trunc``.  Returns
+    ``(key_ts, doc_count)`` sorted by bucket."""
+    return (
+        df.where(F.col(ts_field).isNotNull())
+        .groupBy(F.date_trunc(unit, F.col(ts_field)).alias("key_ts"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("key_ts")
+    )
+
+
+def range_agg(
+    df: DataFrame, field: str, ranges: list[tuple[float | None, float | None]],
+) -> DataFrame:
+    """ES ``range`` agg: half-open buckets ``[from, to)``; ``None`` is
+    unbounded.  Bucket label mirrors ES ("a-b", "*-b", "a-*").  One
+    CASE-expression pass — docs falling in no range are dropped, docs in
+    overlapping ranges count once per range (ES semantics) via one
+    ``sum(CASE)`` column per range, so still a single scan."""
+    def _lbl(lo, hi):
+        return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+    def _pred(lo, hi) -> Column:
+        p = F.lit(True)
+        if lo is not None:
+            p = p & (F.col(field) >= F.lit(lo))
+        if hi is not None:
+            p = p & (F.col(field) < F.lit(hi))
+        return p & F.col(field).isNotNull()
+
+    counts = df.agg(*[
+        F.sum(F.when(_pred(lo, hi), 1).otherwise(0)).alias(_lbl(lo, hi))
+        for lo, hi in ranges
+    ])
+    # unpivot the single row into (key, doc_count) bucket rows
+    labels = [_lbl(lo, hi) for lo, hi in ranges]
+    stack = ", ".join(f"'{l}', `{l}`" for l in labels)
+    return counts.selectExpr(
+        f"stack({len(labels)}, {stack}) as (key, doc_count)"
+    ).select("key", F.col("doc_count").cast("bigint").alias("doc_count"))
+
+
+def filters_agg(df: DataFrame, named: dict[str, Column]) -> DataFrame:
+    """ES ``filters`` agg: one named bucket per predicate, all counted
+    in a single scan (``sum(CASE)`` per filter — no per-filter pass)."""
+    counts = df.agg(*[
+        F.sum(F.when(pred, 1).otherwise(0)).alias(name)
+        for name, pred in named.items()
+    ])
+    labels = list(named)
+    stack = ", ".join(f"'{l}', `{l}`" for l in labels)
+    return counts.selectExpr(
+        f"stack({len(labels)}, {stack}) as (key, doc_count)"
+    ).select("key", F.col("doc_count").cast("bigint").alias("doc_count"))
+
+
+def stats_agg(df: DataFrame, field: str) -> DataFrame:
+    """ES ``stats``: count/min/max/avg/sum in one partial-aggregated
+    pass."""
+    c = F.col(field)
+    return df.where(c.isNotNull()).agg(
+        F.count(c).alias("count"),
+        F.min(c).cast("double").alias("min"),
+        F.max(c).cast("double").alias("max"),
+        F.round(F.avg(c), 6).alias("avg"),
+        F.sum(c).cast("double").alias("sum"),
+    )
+
+
+def extended_stats_agg(df: DataFrame, field: str) -> DataFrame:
+    """ES ``extended_stats``: stats + sum_of_squares + population
+    variance/std-dev (ES reports the population moments)."""
+    c = F.col(field).cast("double")
+    return df.where(c.isNotNull()).agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.round(F.avg(c), 6).alias("avg"),
+        F.round(F.sum(c), 6).alias("sum"),
+        F.round(F.sum(c * c), 6).alias("sum_of_squares"),
+        F.round(F.var_pop(c), 6).alias("variance"),
+        F.round(F.stddev_pop(c), 6).alias("std_deviation"),
+    )
+
+
+def percentiles_agg(
+    df: DataFrame, field: str,
+    percents: tuple[float, ...] = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    exact: bool = True,
+) -> DataFrame:
+    """ES ``percentiles``.  ``exact=True`` uses Spark's exact
+    ``percentile`` (linear interpolation — matches DuckDB
+    ``quantile_cont``; holds the group in memory, oracle/small-data
+    path).  ``exact=False`` uses ``percentile_approx`` — a mergeable
+    sketch, the 100 TB path (ES itself is approximate: t-digest).
+
+    Returns one row per percent: ``(percent, value)``."""
+    c = F.col(field).cast("double")
+    fracs = [p / 100.0 for p in percents]
+    if exact:
+        vals = df.agg(F.percentile(c, F.array(*[F.lit(f) for f in fracs]))
+                      .alias("v")).select("v")
+    else:
+        vals = df.agg(
+            F.percentile_approx(c, F.array(*[F.lit(f) for f in fracs]),
+                                10_000).alias("v")
+        ).select("v")
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in percents]).alias("percent"),
+        F.col("v").alias("value"),
+    )
+    return (
+        vals.select(F.explode(pairs).alias("pv"))
+        .select(
+            F.col("pv.percent").alias("percent"),
+            F.round(F.col("pv.value"), 6).alias("value"),
+        )
+        .orderBy("percent")
+    )
+
+
+def cardinality_agg(
+    df: DataFrame, field: str, exact: bool = False, rsd: float = 0.01,
+) -> DataFrame:
+    """ES ``cardinality``: distinct-count of ``field``.  Default is the
+    HLL++ sketch (``approx_count_distinct`` — same sketch family ES
+    uses; constant memory, mergeable).  ``exact=True`` is the oracle
+    path (full distinct shuffle)."""
+    c = F.col(field)
+    agg = (F.countDistinct(c) if exact
+           else F.approx_count_distinct(c, rsd))
+    return df.agg(agg.cast("bigint").alias("value"))
+
+
+def top_hits_agg(
+    df: DataFrame, bucket_field: str, sort_field: str,
+    size: int = 3, ascending: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``top_hits`` sub-agg under a ``terms`` bucket: the top
+    ``size`` docs per bucket by ``sort_field`` (tie → ``id_col`` asc).
+
+    One shuffle on the bucket key; the window's ``row_number`` keeps a
+    running top-k per partition-local group — no global sort.  Returns
+    ``(key, rank, id, sort_value)``."""
+    s = F.asc(sort_field) if ascending else F.desc(sort_field)
+    w = Window.partitionBy(bucket_field).orderBy(s, F.asc(id_col))
+    return (
+        df.where(F.col(bucket_field).isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= size)
+        .select(
+            F.col(bucket_field).alias("key"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col(id_col).alias("id"),
+            F.col(sort_field).cast("double").alias("sort_value"),
+        )
+    )
+
+
+def significant_terms(
+    foreground: DataFrame, postings: DataFrame,
+    doc_id_col: str = "doc_id", size: int = 10,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """ES ``significant_terms``: terms over-represented in a foreground
+    doc set vs the whole corpus, scored with ES's JLH heuristic::
+
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+
+    where ``fg_rate = fg_df / fg_docs`` and ``bg_rate = df / n_docs``.
+    Terms with ``fg_rate <= bg_rate`` are excluded (ES only reports
+    positively significant terms).
+
+    ``foreground`` is any DataFrame with ``doc_id_col`` (e.g. the hits
+    of a query); ``postings`` is the logical index's ``(doc_id, term,
+    tf)`` table.  Plan: semi-join postings to the foreground ids
+    (broadcast — a foreground is query-result-sized), aggregate df per
+    term on each side, join the two bucket-sized aggregates.  Returns
+    ``(term, fg_df, bg_df, score)`` top-``size`` by score desc, term
+    asc.
+    """
+    fg_ids = foreground.select(F.col(doc_id_col).alias("doc_id")).distinct()
+    n_fg = fg_ids.count()
+    n_docs = postings.select("doc_id").distinct().count()
+    if n_fg == 0:
+        return postings.sparkSession.createDataFrame(
+            [], "term string, fg_df bigint, bg_df bigint, score double"
+        )
+    fg_df = (
+        postings.join(F.broadcast(fg_ids), "doc_id", "left_semi")
+        .groupBy("term").agg(F.countDistinct("doc_id").alias("fg_df"))
+    )
+    bg_df = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("bg_df")
+    )
+    fg_rate = F.col("fg_df") / F.lit(float(n_fg))
+    bg_rate = F.col("bg_df") / F.lit(float(n_docs))
+    return (
+        fg_df.join(bg_df, "term")
+        .where(F.col("fg_df") >= min_doc_count)
+        .withColumn(
+            "score",
+            F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6),
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.desc(F.round("score", 9)), F.asc("term"))
+        .limit(size)
+        .select("term",
+                F.col("fg_df").cast("bigint").alias("fg_df"),
+                F.col("bg_df").cast("bigint").alias("bg_df"),
+                "score")
+    )

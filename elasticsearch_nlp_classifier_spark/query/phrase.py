@@ -158,3 +158,91 @@ def match_phrase(
         .select("doc_id", "n_matches")
     )
     return live_docs(index, res) if respect_deletes else res
+
+
+def span_near(
+    index: PhysicalIndex,
+    phrase: str,
+    slop: int = 0,
+    analyzer: str = "code",
+    n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
+) -> DataFrame:
+    """Lucene ``SpanNearQuery`` (ordered): docs where the analyzed
+    terms occur **in order** within a window of
+    ``(last - first) - (n_terms - 1) <= slop`` — ``slop=0`` degrades to
+    exact phrase adjacency.  Returns ``(doc_id, n_matches)`` where
+    ``n_matches`` counts the distinct valid start positions.
+
+    Matching runs as one JVM higher-order expression per candidate doc:
+    for each start position ``p`` in slot 0, the minimal in-order chain
+    is built greedily (``array_min(filter(pos_i, q -> q > prev))``) —
+    greedy minimizes the chain's last position for a fixed start, so it
+    decides start-validity exactly; no Python in the hot path.  The
+    candidate set and decode pruning are identical to
+    :func:`match_phrase` (partition-pruned positional block scan,
+    rarest-first doc_id joins)."""
+    from ..analyzer.chain import get_analyzer
+    from ..index.deletes import live_docs
+
+    slots = get_analyzer(analyzer).tokenize(phrase)
+    spark = index.spark
+    if not slots:
+        return spark.createDataFrame([], "doc_id bigint, n_matches bigint")
+
+    pp = positional_postings(index, slots, n_buckets)
+    if len(slots) > 1:
+        pp = pp.cache()
+
+    dfs = {
+        r["term"]: int(r["cnt"])
+        for r in pp.groupBy("term").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    if any(t not in dfs for t in slots):
+        return spark.createDataFrame([], "doc_id bigint, n_matches bigint")
+
+    # rarest-first JOIN order (chain driver), but the position chain
+    # itself must follow slot order
+    order = sorted(range(len(slots)), key=lambda i: dfs[slots[i]])
+    out = pp.where(F.col("term") == slots[order[0]]).select(
+        "doc_id", F.col("positions").alias(f"pos_{order[0]}")
+    )
+    for i in order[1:]:
+        side = pp.where(F.col("term") == slots[i]).select(
+            "doc_id", F.col("positions").alias(f"pos_{i}")
+        )
+        out = out.join(side, "doc_id")
+
+    if len(slots) == 1:
+        res = out.select(
+            "doc_id",
+            F.size(f"pos_{order[0]}").cast("bigint").alias("n_matches"),
+        )
+        return live_docs(index, res) if respect_deletes else res
+
+    def _after(pv):
+        # one-arg lambda (a 2-arg lambda would make F.filter bind the
+        # second parameter to the ARRAY INDEX, clobbering the closure)
+        return lambda q: q > pv
+
+    def chain_last(p):
+        """last position of the greedy in-order chain starting at p
+        (null if any slot has no position after the previous one)."""
+        prev = p
+        for i in range(1, len(slots)):
+            prev = F.array_min(F.filter(F.col(f"pos_{i}"), _after(prev)))
+        return prev
+
+    window_ok = F.filter(
+        F.col("pos_0"),
+        lambda p: chain_last(p).isNotNull()
+        & ((chain_last(p) - p - F.lit(len(slots) - 1)) <= F.lit(slop)),
+    )
+    res = (
+        out.withColumn("n_matches", F.size(window_ok).cast("bigint"))
+        .where(F.col("n_matches") > 0)
+        .select("doc_id", "n_matches")
+    )
+    return live_docs(index, res) if respect_deletes else res

@@ -1,0 +1,225 @@
+"""ES-style aggregations pinned against DuckDB over the driver testdata.
+
+The reference delegates search to a stock ES client (the full
+aggregation surface); these tests pin each agg family's bucket keys,
+counts and metric values to an independent SQL evaluation.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_nlp_classifier_spark.query import (
+    cardinality_agg,
+    date_histogram_agg,
+    extended_stats_agg,
+    filters_agg,
+    histogram_agg,
+    percentiles_agg,
+    range_agg,
+    significant_terms,
+    stats_agg,
+    terms_agg,
+    top_hits_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+EVENTS = f"{SF}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(EVENTS).cache()
+
+
+def _pd(df, sort_cols):
+    return (df.toPandas().sort_values(sort_cols)
+            .reset_index(drop=True))
+
+
+def test_terms_agg(docs):
+    got = terms_agg(docs, "lang", size=5).toPandas()
+    want = duckdb.sql(f"""
+        SELECT lang AS key, count(*)::BIGINT AS doc_count
+        FROM read_parquet('{DOCS}') WHERE lang IS NOT NULL
+        GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_histogram_agg(docs):
+    got = histogram_agg(docs, "n_chars", 100.0).toPandas()
+    want = duckdb.sql(f"""
+        SELECT (floor(n_chars / 100.0) * 100.0)::DOUBLE AS key,
+               count(*)::BIGINT AS doc_count
+        FROM read_parquet('{DOCS}') WHERE n_chars IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_date_histogram_agg(events):
+    got = date_histogram_agg(events, "ts", "hour").toPandas()
+    got["key_ts"] = pd.to_datetime(got["key_ts"])
+    want = duckdb.sql(f"""
+        SELECT date_trunc('hour', ts) AS key_ts,
+               count(*)::BIGINT AS doc_count
+        FROM read_parquet('{EVENTS}') GROUP BY 1 ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_range_agg(docs):
+    got = _pd(range_agg(docs, "n_chars",
+                        [(None, 100.0), (100.0, 300.0), (300.0, None)]),
+              ["key"])
+    want = duckdb.sql(f"""
+        SELECT * FROM (
+          SELECT '*-100.0' AS key,
+                 sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)::BIGINT
+                 AS doc_count FROM read_parquet('{DOCS}')
+          UNION ALL
+          SELECT '100.0-300.0',
+                 sum(CASE WHEN n_chars >= 100 AND n_chars < 300
+                     THEN 1 ELSE 0 END)::BIGINT FROM read_parquet('{DOCS}')
+          UNION ALL
+          SELECT '300.0-*',
+                 sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT
+          FROM read_parquet('{DOCS}')
+        ) ORDER BY key
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_filters_agg(docs):
+    got = _pd(filters_agg(docs, {
+        "short": F.col("n_chars") < 150,
+        "long": F.col("n_chars") >= 150,
+    }), ["key"])
+    want = duckdb.sql(f"""
+        SELECT * FROM (
+          SELECT 'long' AS key,
+                 sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END)::BIGINT
+                 AS doc_count FROM read_parquet('{DOCS}')
+          UNION ALL
+          SELECT 'short',
+                 sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT
+          FROM read_parquet('{DOCS}')
+        ) ORDER BY key
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stats_and_extended_stats(events):
+    got = stats_agg(events, "value").toPandas()
+    want = duckdb.sql(f"""
+        SELECT count(value)::BIGINT AS count, min(value)::DOUBLE AS min,
+               max(value)::DOUBLE AS max, round(avg(value), 6) AS avg,
+               sum(value)::DOUBLE AS sum
+        FROM read_parquet('{EVENTS}') WHERE value IS NOT NULL
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  atol=1e-6)
+
+    got_e = extended_stats_agg(events, "value").toPandas()
+    want_e = duckdb.sql(f"""
+        SELECT count(value)::BIGINT AS count, min(value)::DOUBLE AS min,
+               max(value)::DOUBLE AS max, round(avg(value), 6) AS avg,
+               round(sum(value), 6) AS sum,
+               round(sum(value * value), 6) AS sum_of_squares,
+               round(var_pop(value), 6) AS variance,
+               round(stddev_pop(value), 6) AS std_deviation
+        FROM read_parquet('{EVENTS}') WHERE value IS NOT NULL
+    """).df()
+    pd.testing.assert_frame_equal(got_e, want_e, check_dtype=False,
+                                  atol=1e-5)
+
+
+def test_percentiles_exact_vs_duckdb(events):
+    got = percentiles_agg(events, "value",
+                          percents=(5.0, 50.0, 95.0)).toPandas()
+    want = duckdb.sql(f"""
+        SELECT * FROM (
+          SELECT 5.0 AS percent,
+                 round(quantile_cont(value, 0.05), 6) AS value
+          FROM read_parquet('{EVENTS}')
+          UNION ALL
+          SELECT 50.0, round(quantile_cont(value, 0.50), 6)
+          FROM read_parquet('{EVENTS}')
+          UNION ALL
+          SELECT 95.0, round(quantile_cont(value, 0.95), 6)
+          FROM read_parquet('{EVENTS}')
+        ) ORDER BY percent
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  atol=1e-6)
+
+
+def test_percentiles_approx_close_to_exact(events):
+    exact = percentiles_agg(events, "value",
+                            percents=(50.0,)).toPandas()["value"][0]
+    approx = percentiles_agg(events, "value", percents=(50.0,),
+                             exact=False).toPandas()["value"][0]
+    spread = events.agg(
+        (F.max("value") - F.min("value")).alias("r")).collect()[0]["r"]
+    assert abs(approx - exact) <= 0.05 * spread
+
+
+def test_cardinality(events):
+    exact = cardinality_agg(events, "user_id",
+                            exact=True).collect()[0]["value"]
+    want = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{EVENTS}')"
+    ).fetchone()[0]
+    assert exact == want
+    approx = cardinality_agg(events, "user_id").collect()[0]["value"]
+    assert abs(approx - want) <= max(2, 0.05 * want)
+
+
+def test_top_hits_agg(docs):
+    got = _pd(top_hits_agg(docs, "lang", "n_chars", size=2),
+              ["key", "rank"])
+    want = duckdb.sql(f"""
+        SELECT lang AS key, rank, doc_id AS id,
+               n_chars::DOUBLE AS sort_value
+        FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank
+          FROM read_parquet('{DOCS}') WHERE lang IS NOT NULL
+        ) WHERE rank <= 2 ORDER BY key, rank
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_significant_terms_jlh(spark, docs):
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+
+    idx = build_logical_index(docs, text_col="text",
+                              analyzer="simple_code",
+                              doc_id_col="doc_id")
+    fg = docs.where(F.col("lang") == "en").select("doc_id")
+    got = significant_terms(fg, idx.postings, size=5)
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+    # JLH math spot-check on the top term, recomputed independently
+    n_fg = fg.count()
+    n_docs = docs.select("doc_id").distinct().count()
+    top = rows[0]
+    fg_rate = top["fg_df"] / n_fg
+    bg_rate = top["bg_df"] / n_docs
+    assert top["score"] == pytest.approx(
+        (fg_rate - bg_rate) * (fg_rate / bg_rate), abs=1e-6)
+    # positively significant only, sorted by score desc
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)

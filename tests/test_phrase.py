@@ -133,3 +133,76 @@ def test_non_positional_index_refuses_phrase(spark, docs, tmp_path_factory):
     assert not ix.has_positions
     with pytest.raises(ValueError):
         match_phrase(ix, "quick brown", analyzer="simple_code")
+
+
+# --- span_near (Lucene ordered SpanNearQuery semantics) ---------------------
+
+import re as _re
+
+
+def _toks(text):
+    return _re.findall(r"[a-z0-9]+", text.lower())
+
+
+def _span_near_spec(text, terms, slop):
+    """Exhaustive spec: count start positions p0 of terms[0] for which
+    strictly-increasing positions of the remaining terms exist with
+    (last - p0) - (n-1) <= slop."""
+    toks = _toks(text)
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+    if any(not pos[t] for t in terms):
+        return 0
+
+    def ok_from(prev, rest):
+        if not rest:
+            return prev
+        cands = [p for p in pos[rest[0]] if p > prev]
+        best = None
+        for c in cands:
+            last = ok_from(c, rest[1:])
+            if last is not None and (best is None or last < best):
+                best = last
+        return best
+
+    n = 0
+    for p0 in pos[terms[0]]:
+        last = ok_from(p0, terms[1:])
+        if last is not None and (last - p0) - (len(terms) - 1) <= slop:
+            n += 1
+    return n
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("quick brown", 0),
+    ("quick fox", 0),
+    ("quick fox", 1),
+    ("the fox", 2),
+    ("the quick fox", 1),
+    ("quick brown fox", 0),
+    ("brown the", 3),
+])
+def test_span_near_matches_spec(pos_index, phrase, slop):
+    from elasticsearch_nlp_classifier_spark.query import span_near
+
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in span_near(pos_index, phrase, slop=slop,
+                           analyzer="simple_code").collect()
+    }
+    terms = _toks(phrase)
+    want = {
+        did: _span_near_spec(text, terms, slop)
+        for did, text in DOCS
+        if _span_near_spec(text, terms, slop) > 0
+    }
+    assert got == want
+
+
+def test_span_near_slop0_equals_match_phrase(pos_index):
+    from elasticsearch_nlp_classifier_spark.query import span_near
+
+    a = sorted(match_phrase(pos_index, "quick brown fox",
+                            analyzer="simple_code").collect())
+    b = sorted(span_near(pos_index, "quick brown fox", slop=0,
+                         analyzer="simple_code").collect())
+    assert a == b
