@@ -1113,6 +1113,59 @@ def q_dedup_paragraphs(spark, sf_dir):
     return dedup_paragraphs(docs)
 
 
+def q_bool_query(spark, sf_dir):
+    """ES bool query, ranked: scored must + boosted should, single
+    broadcast clause join + one aggregation."""
+    from elasticsearch_nlp_classifier_spark.query import bool_query_topk
+
+    idx = _logical_index(spark, sf_dir)
+    out = bool_query_topk(
+        idx, must=["data"], should=[("value", 2.0)],
+        analyzer="simple_code", k=10,
+    )
+    return out.select("rank", "doc_id",
+                      F.round("score", 6).alias("score_r6"))
+
+
+def q_highlight(spark, sf_dir):
+    """ES highlighting: one fragment around the first match, terms
+    wrapped in <em> tags (pure JVM expressions)."""
+    from elasticsearch_nlp_classifier_spark.query import highlight
+
+    docs = _docs(spark, sf_dir)
+    return highlight(
+        docs, "data value", analyzer="simple_code",
+        fragment_size=150, lead=40,
+    ).select("doc_id", "highlight")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs: k-means-cell-restricted
+    exact cosine (cost Σ|cell|², never n²).  Centroid training is
+    seeded numpy iteration (not SQL-expressible), so the cell
+    assignment is MATERIALIZED and the oracle re-derives the
+    within-cell pairs + exact cosine independently in SQL."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        semantic_dedup_pairs,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_train_centroids(emb, dim=64, n_cells=8, iters=3)
+    ivf_assign(emb, cents, "embedding").select(
+        "vec_id", "cid"
+    ).write.mode("overwrite").parquet(
+        f"{_oracle_scratch()}/semdedup_cells.parquet"
+    )
+    pairs = semantic_dedup_pairs(emb, cents, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_r6")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1185,6 +1238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": q_agg_cardinality,
         "agg_top_hits": q_agg_top_hits,
         "agg_significant_terms": q_agg_significant_terms,
+        "bool_query": q_bool_query,
+        "highlight": q_highlight,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2045,6 +2101,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, fg_df, bg_df, score FROM scored
             WHERE score > 0
             ORDER BY score DESC, term ASC LIMIT 10""",
+        "bool_query": f"""
+            WITH {_BM25_BASE},
+            clause(term, clause, boost) AS (VALUES
+              ('data', 'must', 1.0), ('value', 'should', 2.0)),
+            per_term AS (
+              SELECT tf.doc_id, c.clause,
+                     c.boost * ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                                  / (s.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                / (SELECT avgdl FROM corpus))) AS contrib
+              FROM tf JOIN clause c USING (term)
+              JOIN stats s USING (term) JOIN dl USING (doc_id)
+            ),
+            agg AS (
+              SELECT doc_id, sum(contrib) AS score,
+                     count(CASE WHEN clause = 'must' THEN 1 END) AS n_must
+              FROM per_term GROUP BY doc_id
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC,
+                                      doc_id ASC)::BIGINT AS rank,
+                   doc_id, round(score, 6) AS score_r6
+            FROM agg WHERE n_must = 1
+            ORDER BY rank LIMIT 10""",
+        "highlight": """
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     least(nullif(strpos(lower(coalesce(text, '')),
+                                         'data'), 0),
+                           nullif(strpos(lower(coalesce(text, '')),
+                                         'value'), 0)) AS first
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN first IS NOT NULL THEN
+                     regexp_replace(
+                       substring(text, greatest(1, first - 40), 150),
+                       '\\b(data|value)\\b', '<em>\\1</em>', 'gi')
+                   END AS highlight
+            FROM d""",
+        "semantic_dedup": """
+            WITH cells AS (
+              SELECT * FROM
+              read_parquet('{SCRATCH}/semdedup_cells.parquet/*.parquet')
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                                ea.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                                  eb.embedding::DOUBLE[])))
+                     AS cos
+              FROM cells a JOIN cells b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+            )
+            SELECT id_a, id_b, round(cos, 6) AS cos_r6
+            FROM pairs WHERE cos >= 0.4""",
         # mm_feature_extract: fake decoder -> rows-only check (codec
         # libs absent in this environment)
     }

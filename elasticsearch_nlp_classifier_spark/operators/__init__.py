@@ -21,6 +21,8 @@ from .similarity import (  # noqa: F401
     ivf_train_centroids,
     lsh_candidates,
     lsh_cosine_topk,
+    semantic_dedup,
+    semantic_dedup_pairs,
 )
 from .textstats import (  # noqa: F401
     bpe_ish_token_count,

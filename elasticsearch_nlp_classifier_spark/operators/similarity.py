@@ -424,3 +424,64 @@ def cosine_near_dup_pairs(
     return scored.where(F.col("cos") >= threshold).select(
         "id_a", "id_b", "cos"
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the
+    embedding space (spherical k-means cells — reuse
+    ``ivf_train_centroids``), then compare **only within a cell**:
+    ``(id_a, id_b, cos)`` with ``id_a < id_b`` and ``cos >= threshold``.
+
+    This is the scalable shape of embedding dedup for web-scale
+    corpora (Abbas et al., "SemDeDup", 2023): the all-pairs comparison
+    is restricted to k-means cells, so cost is Σ|cell|² instead of n²,
+    and each cell's self-join co-locates on one shuffle key (``cid``).
+    Near-duplicate pairs that straddle a cell boundary are missed by
+    construction — the paper's (accepted) recall trade-off; raise
+    ``n_cells`` for smaller cells and cheaper joins, lower it for
+    higher recall.  Deterministic given the seeded centroids."""
+    assigned = ivf_assign(embeddings, centroids, vec_col, n_probe=1)
+    a = assigned.select(
+        "cid", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        "cid", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 5,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Keep-first semantic dedup: drop every row whose embedding is
+    within ``threshold`` cosine of a lower-id row in the same k-means
+    cell; returns the surviving rows of ``embeddings``.  One broadcast
+    anti-join against the (sparse) duplicate-id set."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, dim, n_cells, iters, id_col, vec_col
+        )
+    pairs = semantic_dedup_pairs(
+        embeddings, centroids, threshold, id_col, vec_col
+    )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(dups, id_col, "left_anti")

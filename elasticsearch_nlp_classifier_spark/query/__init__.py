@@ -1,4 +1,10 @@
-from .bm25 import analyze_queries, bm25_topk, match_filter  # noqa: F401
+from .bm25 import (  # noqa: F401
+    analyze_queries,
+    bm25_topk,
+    bool_query_topk,
+    match_filter,
+)
+from .highlight import highlight  # noqa: F401
 from .oracle import bm25_oracle  # noqa: F401
 from .percolate import percolate, register_queries  # noqa: F401
 from .phrase import match_phrase, positional_postings, span_near  # noqa: F401

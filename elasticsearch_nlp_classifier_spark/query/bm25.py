@@ -105,6 +105,111 @@ def bm25_topk(
     )
 
 
+def bool_query_topk(
+    index: LogicalIndex,
+    must: list[str] | None = None,
+    should: list[tuple[str, float]] | None = None,
+    must_not: list[str] | None = None,
+    filter_terms: list[str] | None = None,
+    minimum_should_match: int | None = None,
+    k: int = 10,
+    analyzer: str = "code",
+) -> DataFrame:
+    """ES ``bool`` query, ranked: ``(rank, doc_id, score)``.
+
+    ES scoring semantics:
+
+    - ``must`` terms are all required and contribute BM25 score;
+    - ``should`` terms are optional, each contributing
+      ``boost × BM25`` when present; with no must/filter clause at
+      least ``minimum_should_match`` (default 1) of them must match
+      (default 0 when a must/filter clause exists);
+    - ``filter_terms`` are required but score 0 (ES filter context);
+    - ``must_not`` terms exclude a doc outright.
+
+    One plan: every clause term goes into one broadcast join against
+    the postings, per-doc clause counts and the boosted score come out
+    of a single hash aggregation, and ``must_not`` is a broadcast
+    anti-join — corpus scanned once regardless of clause count.
+    """
+    from ..analyzer.chain import get_analyzer
+
+    tok = get_analyzer(analyzer).tokenize
+    # each clause string analyzes to term queries: every token of a
+    # must/filter string is required; every token of a should string
+    # carries that string's boost.  Duplicate terms collapse per clause.
+    must = sorted({t for s in (must or []) for t in tok(s)})
+    should_map: dict[str, float] = {}
+    for s, b in (should or []):
+        for t in tok(s):
+            should_map[t] = max(should_map.get(t, 0.0), float(b))
+    should = sorted(should_map.items())
+    must_not = sorted({t for s in (must_not or []) for t in tok(s)})
+    filter_terms = sorted({t for s in (filter_terms or [])
+                           for t in tok(s)})
+    if minimum_should_match is None:
+        minimum_should_match = 0 if (must or filter_terms) else 1
+    spark = index.postings.sparkSession
+    chain_terms: list[tuple[str, str, float]] = (
+        [(t, "must", 1.0) for t in must]
+        + [(t, "should", b) for t, b in should]
+        + [(t, "filter", 0.0) for t in filter_terms]
+    )
+    if not chain_terms:
+        return spark.createDataFrame(
+            [], "rank bigint, doc_id bigint, score double"
+        )
+    clause_df = spark.createDataFrame(
+        chain_terms, "term string, clause string, boost double"
+    )
+    stats = index.corpus_stats
+    terms = clause_df.join(index.term_stats, "term", "left").withColumn(
+        "idf", idf_col(F.col("df"), stats["doc_count"])
+    )
+
+    avgdl = F.lit(float(stats["avgdl"]) or 1.0)
+    per_term = (
+        index.postings.join(
+            F.broadcast(terms.select("term", "clause", "boost", "idf")),
+            "term",
+        )
+        .withColumn(
+            "contrib",
+            F.col("boost") * F.col("idf") * F.col("tf")
+            / (F.col("tf")
+               + F.lit(K1) * (F.lit(1.0 - B)
+                              + F.lit(B) * F.col("dl") / avgdl)),
+        )
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count(F.when(F.col("clause") == "must", 1)).alias("n_must"),
+        F.count(F.when(F.col("clause") == "should", 1)).alias("n_should"),
+        F.count(F.when(F.col("clause") == "filter", 1)).alias("n_filter"),
+    )
+    ok = agg.where(
+        (F.col("n_must") == F.lit(len(must)))
+        & (F.col("n_filter") == F.lit(len(filter_terms)))
+        & (F.col("n_should") >= F.lit(minimum_should_match))
+    )
+    if must_not:
+        mn = spark.createDataFrame(
+            [(t,) for t in must_not], "term string"
+        )
+        excluded = (
+            index.postings.join(F.broadcast(mn), "term")
+            .select("doc_id").distinct()
+        )
+        ok = ok.join(excluded, "doc_id", "left_anti")
+    w = Window.orderBy(F.desc(F.round("score", 9)), F.asc("doc_id"))
+    return (
+        ok.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("rank").cast("bigint").alias("rank"),
+                "doc_id", "score")
+    )
+
+
 def match_filter(
     index: LogicalIndex, query_text: str, analyzer: str = "code"
 ) -> DataFrame:

@@ -352,3 +352,53 @@ def test_ivf_assign_partitions_and_recall(spark):
         a = set(approx[approx.query_id == qid].vec_id)
         recalls.append(len(a & b) / len(b))
     assert sum(recalls) / len(recalls) >= 0.6  # probing half the cells
+
+
+def test_semantic_dedup_pairs_within_cell_exact(spark):
+    """SemDeDup pairs == brute cosine pairs restricted to same cell
+    (numpy oracle), and keep-first dedup drops exactly the id_b set."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        semantic_dedup, semantic_dedup_pairs,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.similarity import (
+        ivf_assign, ivf_train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # plant 3 exact copies -> guaranteed same cell, cos == 1
+    copies = emb.where(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    emb = emb.unionByName(copies).cache()
+    cents = ivf_train_centroids(emb, dim=64, n_cells=8, iters=3)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in semantic_dedup_pairs(emb, cents,
+                                      threshold=0.4).collect()
+    }
+
+    pdf = ivf_assign(emb, cents, "embedding").toPandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ids, cids = pdf.vec_id.to_numpy(), pdf.cid.to_numpy()
+    want = {}
+    n = len(pdf)
+    for i in range(n):
+        for j in range(n):
+            a, b = ids[i], ids[j]
+            if a < b and cids[i] == cids[j] and sims[i, j] >= 0.4:
+                want[(a, b)] = sims[i, j]
+    assert set(got) == set(want)
+    for k_ in got:
+        assert got[k_] == pytest.approx(want[k_], abs=1e-9)
+
+    # planted copies are near-dups of their originals at cos ~ 1
+    assert all((v, v + 10_000) in got for v in range(3))
+
+    kept = semantic_dedup(emb, dim=64, n_cells=8, iters=3,
+                          threshold=0.9999, centroids=cents)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert all(v + 10_000 not in kept_ids for v in range(3))
+    assert all(v in kept_ids for v in range(3))
