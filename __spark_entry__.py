@@ -1166,6 +1166,49 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_collapse(spark, sf_dir):
+    """ES field collapsing: best hit per lang bucket, global top-3."""
+    from elasticsearch_nlp_classifier_spark.query import collapse_topk
+
+    return collapse_topk(_docs(spark, sf_dir), "lang", "n_chars", k=3)
+
+
+def q_search_after(spark, sf_dir):
+    """ES search_after keyset pagination: page 2 (rows 11-20) of the
+    (n_chars desc, doc_id asc) order — cursor filter, no offset scan.
+    The oracle's OFFSET form is the semantic twin at page depth 1."""
+    from elasticsearch_nlp_classifier_spark.query import search_after
+
+    hits = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    p1 = search_after(hits, None, "score", "doc_id", size=10).collect()
+    cursor = (p1[-1]["sort_value"], p1[-1]["id"])
+    return search_after(hits, cursor, "score", "doc_id", size=10)
+
+
+def q_composite_agg(spark, sf_dir):
+    """ES composite agg: page 2 of (event_type, user_id) buckets in
+    key order via the after-key cursor."""
+    from elasticsearch_nlp_classifier_spark.query import composite_agg
+
+    ev = _events(spark, sf_dir)
+    p1 = composite_agg(ev, ["event_type", "user_id"], size=10).collect()
+    after = (p1[-1]["event_type"], p1[-1]["user_id"])
+    return composite_agg(ev, ["event_type", "user_id"], size=10,
+                         after=after)
+
+
+def q_doc_chunks(spark, sf_dir):
+    """LLM-pipeline chunking: overlapping 32-token windows (stride 28)
+    over whitespace tokens — pure JVM sequence/posexplode/slice."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_docs(spark, sf_dir), 32, 4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1241,6 +1284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_query": q_bool_query,
         "highlight": q_highlight,
         "semantic_dedup": q_semantic_dedup,
+        "collapse": q_collapse,
+        "search_after": q_search_after,
+        "composite_agg": q_composite_agg,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2161,6 +2208,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cos, 6) AS cos_r6
             FROM pairs WHERE cos >= 0.4""",
+        "collapse": """
+            WITH best AS (
+              SELECT lang AS key, doc_id AS id,
+                     n_chars::DOUBLE AS sort_value,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY round(n_chars, 9) DESC, doc_id ASC) AS rn
+              FROM documents WHERE lang IS NOT NULL
+            )
+            SELECT row_number() OVER (ORDER BY round(sort_value, 9) DESC,
+                                      id ASC)::BIGINT AS rank,
+                   key, id, sort_value
+            FROM best WHERE rn = 1 ORDER BY rank LIMIT 3""",
+        "search_after": """
+            SELECT doc_id AS id, n_chars::DOUBLE AS sort_value
+            FROM documents
+            ORDER BY round(n_chars, 9) DESC, doc_id ASC
+            LIMIT 10 OFFSET 10""",
+        "composite_agg": """
+            SELECT event_type, user_id, count(*)::BIGINT AS doc_count
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10 OFFSET 10""",
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            n AS (
+              SELECT id, toks,
+                     greatest(1, ceil((len(toks) - 4) / 28.0)::INT)
+                     AS n_chunks
+              FROM t WHERE len(toks) > 0
+            ),
+            c AS (
+              SELECT id, toks, unnest(range(n_chunks)) AS chunk_id
+              FROM n
+            )
+            SELECT id, chunk_id::BIGINT AS chunk_id,
+                   array_to_string(
+                     toks[chunk_id * 28 + 1 : chunk_id * 28 + 32], ' ')
+                   AS chunk_text,
+                   len(toks[chunk_id * 28 + 1 : chunk_id * 28 + 32])
+                   ::BIGINT AS n_tokens
+            FROM c""",
         # mm_feature_extract: fake decoder -> rows-only check (codec
         # libs absent in this environment)
     }

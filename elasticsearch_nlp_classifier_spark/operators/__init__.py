@@ -11,6 +11,7 @@ from .dedup import (  # noqa: F401
     simhash_near_dup_pairs,
     simhash_signatures,
 )
+from .chunk import chunk_documents  # noqa: F401
 from .multimodal import extract_features, frame_sample_plan, synthetic_media  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_near_dup_pairs,

@@ -1,0 +1,129 @@
+"""ES search-surface conveniences: field collapsing, search_after
+pagination, composite aggregation.
+
+All three are thin Catalyst plans over an already-scored hit set or a
+raw table — no Python in the row path, each with a direct SQL twin for
+the oracle gate.
+
+Scale notes:
+
+* ``collapse_topk`` — one shuffle on the collapse key (window top-1
+  per group), then ``TakeOrderedAndProject`` for the global cut; never
+  a global sort.
+* ``search_after`` — keyset pagination: a *filter* on the sort key
+  tuple instead of ES's from+size deep-paging (which must materialize
+  ``from+size`` rows per shard at any depth; the keyset filter pushes
+  down and reads forward only).  This is the shape that survives
+  paging through a 100 TB result set.
+* ``composite_agg`` — ES's scalable bucket pagination: buckets ordered
+  by the full source-key tuple, ``after`` continues from a key tuple,
+  one partial-aggregated groupBy + the same keyset filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["collapse_topk", "search_after", "composite_agg"]
+
+
+def collapse_topk(
+    hits: DataFrame,
+    collapse_field: str,
+    sort_field: str = "score",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES field collapsing: keep only the best hit per
+    ``collapse_field`` value (by ``sort_field`` desc, tie → id asc),
+    then return the global top-``k`` of the collapsed set.
+
+    Returns ``(rank, key, id, sort_value)``."""
+    w_g = Window.partitionBy(collapse_field).orderBy(
+        F.desc(F.round(F.col(sort_field), 9)), F.asc(id_col)
+    )
+    best = (
+        hits.where(F.col(collapse_field).isNotNull())
+        .withColumn("_rn", F.row_number().over(w_g))
+        .where(F.col("_rn") == 1)
+    )
+    w = Window.orderBy(
+        F.desc(F.round(F.col(sort_field), 9)), F.asc(id_col)
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col(collapse_field).alias("key"),
+            F.col(id_col).alias("id"),
+            F.col(sort_field).cast("double").alias("sort_value"),
+        )
+    )
+
+
+def search_after(
+    hits: DataFrame,
+    after: tuple | None,
+    sort_field: str = "score",
+    id_col: str = "doc_id",
+    size: int = 10,
+) -> DataFrame:
+    """ES ``search_after`` keyset pagination over a scored hit set:
+    the next ``size`` hits strictly after the ``(sort_value, id)``
+    cursor in (sort desc, id asc) order.  ``after=None`` is the first
+    page.  Returns ``(id, sort_value)`` — the last row is the next
+    cursor.
+
+    The cursor comparison is one boolean filter (pushes down; no
+    offset materialization at any depth)."""
+    s = F.round(F.col(sort_field), 9)
+    if after is not None:
+        a_sort, a_id = after
+        cursor: Column = (s < F.lit(round(float(a_sort), 9))) | (
+            (s == F.lit(round(float(a_sort), 9)))
+            & (F.col(id_col) > F.lit(a_id))
+        )
+        hits = hits.where(cursor)
+    return (
+        hits.orderBy(s.desc(), F.col(id_col).asc())
+        .limit(size)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(sort_field).cast("double").alias("sort_value"),
+        )
+    )
+
+
+def composite_agg(
+    df: DataFrame,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """ES ``composite`` agg: multi-source buckets ``(key_1 ... key_n,
+    doc_count)`` in full key-tuple ascending order, paginated with an
+    ``after`` key tuple.  The pagination cursor is a keyset filter on
+    the bucket key, so each page is one partial-aggregated groupBy +
+    TakeOrdered — no state carried between pages."""
+    out = df
+    for s_col in sources:
+        out = out.where(F.col(s_col).isNotNull())
+    agg = out.groupBy(*sources).agg(F.count(F.lit(1)).alias("doc_count"))
+    if after is not None:
+        if len(after) != len(sources):
+            raise ValueError("after tuple must match sources")
+        # lexicographic 'strictly greater than cursor'
+        cond = F.lit(False)
+        for i in range(len(sources), 0, -1):
+            c = F.col(sources[i - 1]) > F.lit(after[i - 1])
+            for j in range(i - 1):
+                c = c & (F.col(sources[j]) == F.lit(after[j]))
+            cond = cond | c
+        agg = agg.where(cond)
+    return (
+        agg.orderBy(*[F.asc(s_col) for s_col in sources])
+        .limit(size)
+        .select(*sources, F.col("doc_count").cast("bigint"))
+    )
