@@ -1,3 +1,4 @@
+from .dataprep import run_dataprep  # noqa: F401
 from .jobspec import (  # noqa: F401
     DatasetSpec,
     PipelineSpec,

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Training-data preparation job — spark-submit entrypoint for the
+full pipeline (quality gate → PII redaction → dedup chain → chunking
+→ split), with per-stage lineage in {output}/lineage.jsonl:
+
+    spark-submit --py-files engine.zip jobs/dataprep.py \
+        --input /data/documents.parquet --output /data/prepared \
+        --max-tokens 2048 --overlap 64 --near-dup-threshold 0.7 \
+        --paragraph-dedup
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--max-tokens", type=int, default=256)
+    ap.add_argument("--overlap", type=int, default=16)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.7)
+    ap.add_argument("--paragraph-dedup", action="store_true")
+    ap.add_argument("--train-frac", type=float, default=0.95)
+    args = ap.parse_args()
+
+    from elasticsearch_nlp_classifier_spark.plans import run_dataprep
+    from elasticsearch_nlp_classifier_spark.session import get_spark
+
+    spark = get_spark(app_name="dataprep")
+    docs = spark.read.parquet(args.input)
+    out = run_dataprep(
+        docs, args.output,
+        text_col=args.text_col, id_col=args.id_col,
+        max_tokens=args.max_tokens, overlap=args.overlap,
+        near_dup_threshold=args.near_dup_threshold,
+        paragraph_dedup=args.paragraph_dedup,
+        splits={"train": args.train_frac, "val": 1 - args.train_frac},
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

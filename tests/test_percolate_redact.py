@@ -178,3 +178,49 @@ def test_dedup_paragraphs_vs_duckdb(spark):
     assert by_id[1] == "unique one content"
     assert by_id[3] == ""
     assert by_id[4] == PARA_DOCS[4][1]
+
+
+# --- streaming percolation (alerting) ------------------------------------------
+
+def test_percolate_alerts_stream_matches_batch(spark, tmp_path_factory):
+    """Two micro-batches of docs percolated at ingest == batch
+    percolate of the full set; replay (same batch id) does not
+    duplicate alerts."""
+    from elasticsearch_nlp_classifier_spark.streaming import (
+        percolate_alerts_stream,
+        read_alerts,
+    )
+
+    src = tmp_path_factory.mktemp("alert_src")
+    alerts_dir = str(tmp_path_factory.mktemp("alerts") / "log")
+    all_docs = spark.read.parquet(DOCS)
+    b1 = all_docs.where("doc_id < 250")
+    b2 = all_docs.where("doc_id >= 250")
+    reg = register_queries(
+        spark, [(1, "data value"), (2, "table")],
+        analyzer="simple_code", operator="and",
+    )
+
+    b1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    q = percolate_alerts_stream(
+        spark, f"{src}/*.parquet/", reg, alerts_dir,
+        analyzer="simple_code",
+    )
+    q.awaitTermination()
+    b2.coalesce(1).write.parquet(str(src / "b2.parquet"))
+    q2 = percolate_alerts_stream(
+        spark, f"{src}/*.parquet/", reg, alerts_dir,
+        analyzer="simple_code",
+    )
+    q2.awaitTermination()
+
+    got = sorted(
+        (r["doc_id"], r["query_id"], r["matched_terms"])
+        for r in read_alerts(spark, alerts_dir).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["query_id"], r["matched_terms"])
+        for r in percolate(all_docs, reg,
+                           analyzer="simple_code").collect()
+    )
+    assert got == want and len(got) > 0

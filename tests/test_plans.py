@@ -167,3 +167,58 @@ tasks:
     df = spec.datasets["cooking"].load(spark)
     assert dict(df.dtypes)["ingredients"] == "array<string>"
     assert df.count() == 3
+
+
+def test_dataprep_pipeline_end_to_end(spark, tmp_path):
+    """Full data-prep run over docs + planted exact/near dups: dup rows
+    removed, chunks bounded, splits disjoint+exhaustive, lineage
+    written per stage, and no doc straddles train/val."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_nlp_classifier_spark.plans import run_dataprep
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = docs.where("doc_id < 3").withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    near = docs.where("doc_id between 3 and 5").withColumn(
+        "doc_id", F.col("doc_id") + 20_000
+    ).withColumn("text", F.concat("text", F.lit(" tail")))
+    full = docs.unionByName(exact).unionByName(near)
+
+    out_dir = str(tmp_path / "prep")
+    res = run_dataprep(
+        full, out_dir, max_tokens=32, overlap=4,
+        near_dup_threshold=0.5,
+        # permissive gate: the synthetic docs are short
+        quality_thresholds={"min_words": 1, "min_mean_word_len": 0.0,
+                            "max_symbol_word_ratio": 1.0,
+                            "min_alpha_word_frac": 0.0},
+    )
+    stages = [r["stage"] for r in res["records"]]
+    assert stages == ["quality_gate", "pii_redact", "exact_dedup",
+                      "near_dedup", "chunk", "split_write"]
+    by = {r["stage"]: r for r in res["records"]}
+    # planted exact dups removed (keep-first)
+    assert (by["exact_dedup"]["rows_in"]
+            - by["exact_dedup"]["rows_out"]) >= 3
+    # planted near dups clustered away
+    assert (by["near_dedup"]["rows_in"]
+            - by["near_dedup"]["rows_out"]) >= 3
+    # lineage file mirrors the records
+    lines = [json.loads(l) for l in
+             open(f"{out_dir}/lineage.jsonl")]
+    assert [l["stage"] for l in lines] == ["input"] + stages
+
+    train = spark.read.parquet(f"{out_dir}/train")
+    val = spark.read.parquet(f"{out_dir}/val")
+    assert train.count() + val.count() == by["chunk"]["rows_out"]
+    assert train.where("n_tokens > 32").count() == 0
+    # split by doc id -> no document leaks across splits
+    t_ids = {r["id"] for r in train.select("id").distinct().collect()}
+    v_ids = {r["id"] for r in val.select("id").distinct().collect()}
+    assert not (t_ids & v_ids)
+    # kept canonical ids, dropped planted copies
+    assert not any(i >= 10_000 for i in t_ids | v_ids)
