@@ -1209,6 +1209,57 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), 32, 4)
 
 
+def q_function_score(spark, sf_dir):
+    """ES function_score (field_value_factor, ln1p, boost_mode=sum):
+    BM25 relevance blended with a document-length prior."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        bm25_topk,
+        function_score,
+    )
+
+    idx = _logical_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(1, "data value")], "query_id int, query_text string"
+    )
+    scored = bm25_topk(idx, q, k=10_000_000,
+                       analyzer="simple_code").select("doc_id", "score")
+    hits = scored.join(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"
+    )
+    fs = function_score(hits, "n_chars", factor=0.001, modifier="ln1p",
+                        boost_mode="sum")
+    w = Window.orderBy(F.desc(F.round("score", 9)), F.asc("doc_id"))
+    return (
+        fs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(F.col("rank").cast("bigint").alias("rank"), "doc_id",
+                F.round("score", 6).alias("score_r6"))
+    )
+
+
+def q_rescore_phrase(spark, sf_dir):
+    """ES rescore: WAND BM25 top-50 window re-scored with exact-phrase
+    match counts (1×bm25 + 2×n_matches), re-ranked top-10."""
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query import rescore_phrase
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="rescore_ix_") + "/idx"
+    index = build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code",
+        with_positions=True,
+    )
+    res = rescore_phrase(index, "data value", window_size=50, k=10,
+                         query_weight=1.0, rescore_weight=2.0,
+                         analyzer="simple_code")
+    return res.select("rank", "doc_id",
+                      F.round("score", 6).alias("score_r6"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1288,6 +1339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         "composite_agg": q_composite_agg,
         "doc_chunks": q_doc_chunks,
+        "function_score": q_function_score,
+        "rescore_phrase": q_rescore_phrase,
     }
 
 
@@ -2255,6 +2308,73 @@ def oracle_sql() -> dict[str, str]:
                    len(toks[chunk_id * 28 + 1 : chunk_id * 28 + 32])
                    ::BIGINT AS n_tokens
             FROM c""",
+        "function_score": f"""
+            WITH {_BM25_BASE},
+            qterms(term) AS (VALUES ('data'), ('value')),
+            bm AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                            / (s.df + 0.5))
+                         * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                    / (SELECT avgdl FROM corpus))))
+                     AS score
+              FROM tf JOIN qterms USING (term)
+              JOIN stats s USING (term) JOIN dl USING (doc_id)
+              GROUP BY tf.doc_id
+            ),
+            fs AS (
+              SELECT bm.doc_id,
+                     bm.score + ln(1 + d.n_chars * 0.001) AS score
+              FROM bm JOIN documents d USING (doc_id)
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC,
+                                      doc_id ASC)::BIGINT AS rank,
+                   doc_id, round(score, 6) AS score_r6
+            FROM fs ORDER BY rank LIMIT 10""",
+        "rescore_phrase": f"""
+            WITH {_BM25_BASE},
+            qterms(term) AS (VALUES ('data'), ('value')),
+            bm AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                            / (s.df + 0.5))
+                         * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                    / (SELECT avgdl FROM corpus))))
+                     AS bm25
+              FROM tf JOIN qterms USING (term)
+              JOIN stats s USING (term) JOIN dl USING (doc_id)
+              GROUP BY tf.doc_id
+            ),
+            win AS (
+              SELECT doc_id, bm25,
+                     row_number() OVER (ORDER BY round(bm25, 9) DESC,
+                                        doc_id ASC) AS prim
+              FROM bm
+            ),
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            ),
+            ph AS (
+              SELECT p0.doc_id, count(*)::DOUBLE AS n_matches
+              FROM pos p0
+              JOIN pos p1 ON p0.doc_id = p1.doc_id
+                         AND p1.pos = p0.pos + 1
+              WHERE p0.term = 'data' AND p1.term = 'value'
+              GROUP BY 1
+            ),
+            resc AS (
+              SELECT w2.doc_id,
+                     1.0 * w2.bm25
+                     + 2.0 * coalesce(ph.n_matches, 0) AS score
+              FROM win w2 LEFT JOIN ph USING (doc_id)
+              WHERE w2.prim <= 50
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC,
+                                      doc_id ASC)::BIGINT AS rank,
+                   doc_id, round(score, 6) AS score_r6
+            FROM resc ORDER BY rank LIMIT 10""",
         # mm_feature_extract: fake decoder -> rows-only check (codec
         # libs absent in this environment)
     }

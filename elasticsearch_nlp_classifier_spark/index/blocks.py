@@ -760,3 +760,45 @@ def build_physical_index(
     idx.postings.unpersist()
     ts.unpersist()
     return PhysicalIndex(out_path, spark)
+
+
+def index_stats(index: PhysicalIndex) -> dict:
+    """ES ``_stats``-style index report: docs/terms/postings counts,
+    on-disk bytes per component, block/bucket layout, and compression
+    ratio (varbyte payload bytes vs 8-byte-int equivalent).  One
+    metadata-only aggregation over the blocks table plus a filesystem
+    walk — no posting decode."""
+    import os as _os
+
+    def _du(p: str) -> int:
+        total = 0
+        for root, _, files in _os.walk(p):
+            total += sum(
+                _os.path.getsize(_os.path.join(root, f)) for f in files
+            )
+        return total
+
+    agg = index.blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.countDistinct("tb").alias("n_buckets"),
+        F.sum("n").alias("n_postings"),
+        F.countDistinct("term").alias("n_terms"),
+        F.sum(F.length("docs_vb")).alias("docs_vb_bytes"),
+        F.sum(F.length("tfs_vb")).alias("tfs_vb_bytes"),
+    ).collect()[0]
+    cs = index.corpus_stats
+    payload = int(agg["docs_vb_bytes"]) + int(agg["tfs_vb_bytes"])
+    return {
+        "doc_count": cs["doc_count"],
+        "n_terms": int(agg["n_terms"]),
+        "n_postings": int(agg["n_postings"]),
+        "n_blocks": int(agg["n_blocks"]),
+        "n_buckets": int(agg["n_buckets"]),
+        "bytes_blocks": _du(f"{index.path}/blocks"),
+        "bytes_term_stats": _du(f"{index.path}/term_stats"),
+        "varbyte_payload_bytes": payload,
+        "compression_ratio": round(
+            (int(agg["n_postings"]) * 16) / max(1, payload), 3
+        ),
+        "has_positions": index.has_positions,
+    }

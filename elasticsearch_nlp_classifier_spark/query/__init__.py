@@ -7,6 +7,7 @@ from .bm25 import (  # noqa: F401
 from .highlight import highlight  # noqa: F401
 from .oracle import bm25_oracle  # noqa: F401
 from .percolate import percolate, register_queries  # noqa: F401
+from .rescore import function_score, rescore_phrase  # noqa: F401
 from .search import collapse_topk, composite_agg, search_after  # noqa: F401
 from .phrase import match_phrase, positional_postings, span_near  # noqa: F401
 from .wand import wand_topk  # noqa: F401

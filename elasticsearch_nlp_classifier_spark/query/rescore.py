@@ -1,0 +1,104 @@
+"""ES function_score and rescore: post-retrieval score shaping.
+
+``function_score`` re-weights a scored hit set with a document-signal
+function (the common ``field_value_factor`` form: ``score ×
+factor·f(field)``) — one projection over the hits, no extra scan.
+
+``rescore`` is ES's two-phase ranking: take the cheap retriever's top
+``window_size`` hits, re-score only that window with an expensive
+secondary query (here: phrase/proximity match), and combine
+``query_weight × primary + rescore_weight × secondary``.  The whole
+point is scale: the expensive scorer touches ``window_size`` rows, not
+the corpus — the same top-k-then-refine shape as the ANN exact-rerank
+paths in ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["function_score", "rescore_phrase"]
+
+
+_MODIFIERS = {
+    "none": lambda c: c,
+    "log1p": lambda c: F.log(10.0, c + F.lit(1.0)),  # ES log1p = log10(1+x)
+    "ln1p": lambda c: F.log(c + F.lit(1.0)),
+    "sqrt": F.sqrt,
+}
+
+
+def function_score(
+    hits: DataFrame,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    boost_mode: str = "multiply",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``function_score`` with ``field_value_factor``: combine the
+    query score with ``modifier(field × factor)`` (ES applies the
+    factor before the modifier).  ``boost_mode`` is ``multiply`` or
+    ``sum`` (the two common modes)."""
+    if modifier not in _MODIFIERS:
+        raise ValueError(f"unknown modifier {modifier!r}")
+    fv: Column = _MODIFIERS[modifier](
+        F.col(field).cast("double") * F.lit(float(factor))
+    )
+    combined = (
+        F.col(score_col) * fv if boost_mode == "multiply"
+        else F.col(score_col) + fv
+    )
+    return hits.withColumn(score_col, combined)
+
+
+def rescore_phrase(
+    index,
+    query: str,
+    window_size: int = 50,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    analyzer: str = "code",
+) -> DataFrame:
+    """Two-phase ranking: WAND BM25 retrieves the top ``window_size``
+    docs; only that window is re-scored with the exact-phrase match
+    count and re-ranked by ``query_weight × bm25 + rescore_weight ×
+    n_phrase_matches``.  Returns ``(rank, doc_id, score)``.
+
+    The phrase scorer's positional decode is pruned to the phrase
+    terms AND the window's doc set never leaves the cluster — the
+    rescore join is window-sized (broadcast)."""
+    import pandas as pd
+
+    from .phrase import match_phrase
+    from .wand import wand_topk
+
+    spark = index.spark
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "query_text": [query],
+                      "k": [window_size]})
+    )
+    primary = wand_topk(index, q, analyzer=analyzer).select(
+        "doc_id", F.col("score").alias("bm25")
+    )
+    phrases = match_phrase(index, query, analyzer=analyzer).select(
+        "doc_id", F.col("n_matches").cast("double").alias("n_phrase")
+    )
+    combined = (
+        primary.join(F.broadcast(phrases), "doc_id", "left")
+        .withColumn(
+            "score",
+            F.lit(float(query_weight)) * F.col("bm25")
+            + F.lit(float(rescore_weight))
+            * F.coalesce(F.col("n_phrase"), F.lit(0.0)),
+        )
+    )
+    w = Window.orderBy(F.desc(F.round("score", 9)), F.asc("doc_id"))
+    return (
+        combined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("rank").cast("bigint").alias("rank"),
+                "doc_id", "score")
+    )

@@ -132,3 +132,17 @@ def test_checkpoint_resume_identical(spark, corpus_sf_tiny, logical, tmp_path_fa
     ]
     assert "postings" in stages and "build_done" in stages
     assert stages.count("blocks_bucket") == 4
+
+
+def test_index_stats_report(physical):
+    """_stats-style report: counts consistent with the decoded index,
+    compression ratio > 1 (varbyte beats raw 8-byte ints)."""
+    from elasticsearch_nlp_classifier_spark.index import index_stats
+
+    s = index_stats(physical)
+    assert s["doc_count"] == physical.corpus_stats["doc_count"]
+    assert s["n_postings"] == physical.logical_postings().count()
+    assert s["n_terms"] == physical.term_stats.count()
+    assert s["bytes_blocks"] > 0 and s["bytes_term_stats"] > 0
+    assert s["compression_ratio"] > 1.0
+    assert s["n_blocks"] >= s["n_buckets"] > 0

@@ -1,0 +1,76 @@
+"""function_score and two-phase rescore semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_nlp_classifier_spark.index import build_logical_index
+from elasticsearch_nlp_classifier_spark.query import (
+    bm25_topk,
+    function_score,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_function_score_modifiers(spark):
+    hits = spark.createDataFrame(
+        [(1, 2.0, 99.0), (2, 3.0, 0.0)], "doc_id bigint, score double, f double"
+    )
+    got = {r["doc_id"]: r["score"] for r in
+           function_score(hits, "f", factor=0.1, modifier="ln1p",
+                          boost_mode="sum").collect()}
+    assert got[1] == pytest.approx(2.0 + math.log(1 + 9.9))
+    assert got[2] == pytest.approx(3.0 + math.log(1.0))
+
+    got_m = {r["doc_id"]: r["score"] for r in
+             function_score(hits, "f", factor=2.0, modifier="sqrt",
+                            boost_mode="multiply").collect()}
+    assert got_m[1] == pytest.approx(2.0 * math.sqrt(198.0))
+    # ES log1p is log10
+    got_l = {r["doc_id"]: r["score"] for r in
+             function_score(hits, "f", modifier="log1p",
+                            boost_mode="sum").collect()}
+    assert got_l[1] == pytest.approx(2.0 + math.log10(100.0))
+
+    with pytest.raises(ValueError):
+        function_score(hits, "f", modifier="exp")
+
+
+def test_rescore_phrase_reorders_within_window(spark, docs,
+                                               tmp_path_factory):
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query import rescore_phrase
+    from elasticsearch_nlp_classifier_spark.query.phrase import (
+        match_phrase,
+    )
+
+    out = str(tmp_path_factory.mktemp("ridx") / "idx")
+    index = build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code",
+        with_positions=True,
+    )
+    res = rescore_phrase(index, "data value", window_size=50, k=10,
+                         query_weight=1.0, rescore_weight=100.0,
+                         analyzer="simple_code").collect()
+    assert len(res) == 10
+    # with a dominant rescore weight, every phrase-matching doc in the
+    # window outranks every non-matching one
+    phrase_docs = {r["doc_id"] for r in
+                   match_phrase(index, "data value",
+                                analyzer="simple_code").collect()}
+    ranks_phrase = [r["rank"] for r in res if r["doc_id"] in phrase_docs]
+    ranks_other = [r["rank"] for r in res if r["doc_id"] not in phrase_docs]
+    assert ranks_phrase and (not ranks_other
+                             or max(ranks_phrase) < min(ranks_other))
+    # scores are the weighted combination, strictly rank-ordered
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
