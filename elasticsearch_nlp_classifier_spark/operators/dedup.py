@@ -70,10 +70,14 @@ def dedup_paragraphs(
     length filter drops them — same contract as quality filtering).
     Empty/whitespace paragraphs are kept verbatim (they're structure,
     not content)."""
+    import re as _re
+
     paras = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            # split() takes a regex; sep is a literal separator
+            F.split(F.coalesce(F.col(text_col), F.lit("")),
+                    _re.escape(sep))
         ).alias("pos", "para"),
     )
     keyed = paras.withColumn("h", F.xxhash64("para"))

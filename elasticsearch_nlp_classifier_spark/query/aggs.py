@@ -259,6 +259,7 @@ def significant_terms(
     foreground: DataFrame, postings: DataFrame,
     doc_id_col: str = "doc_id", size: int = 10,
     min_doc_count: int = 2,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """ES ``significant_terms``: terms over-represented in a foreground
     doc set vs the whole corpus, scored with ES's JLH heuristic::
@@ -276,10 +277,15 @@ def significant_terms(
     term on each side, join the two bucket-sized aggregates.  Returns
     ``(term, fg_df, bg_df, score)`` top-``size`` by score desc, term
     asc.
+
+    Pass ``n_docs`` (e.g. the index's ``corpus_stats["doc_count"]``)
+    to skip the corpus-wide distinct count — at scale that count is a
+    full postings scan the index already paid for at build time.
     """
     fg_ids = foreground.select(F.col(doc_id_col).alias("doc_id")).distinct()
     n_fg = fg_ids.count()
-    n_docs = postings.select("doc_id").distinct().count()
+    if n_docs is None:
+        n_docs = postings.select("doc_id").distinct().count()
     if n_fg == 0:
         return postings.sparkSession.createDataFrame(
             [], "term string, fg_df bigint, bg_df bigint, score double"
