@@ -711,10 +711,11 @@ def q_text_lang_id(spark, sf_dir):
 
 
 def q_mm_feature_extract(spark, sf_dir):
-    """Multimodal plumbing: opaque binary payloads -> fixed-dim feature
-    vectors via mapInPandas (deterministic fake decoder — codec libs
-    absent; Spark-side schema/batching/partitioning is real).
-    Rows-only check."""
+    """Multimodal decode: opaque binary payloads -> fixed-dim feature
+    vectors via mapInPandas, using the REAL pure-numpy codecs
+    (BMP / WAV-PCM16 / Y4M — operators/codecs.py); header truth is
+    parsed from the payload itself.  Rows-only check (binary decode is
+    not SQL-expressible; the codecs are roundtrip-pinned in pytest)."""
     from elasticsearch_nlp_classifier_spark.operators.multimodal import (
         extract_features, synthetic_media,
     )
@@ -2375,8 +2376,9 @@ def oracle_sql() -> dict[str, str]:
                                       doc_id ASC)::BIGINT AS rank,
                    doc_id, round(score, 6) AS score_r6
             FROM resc ORDER BY rank LIMIT 10""",
-        # mm_feature_extract: fake decoder -> rows-only check (codec
-        # libs absent in this environment)
+        # mm_feature_extract: real pure-numpy BMP/WAV/Y4M decode ->
+        # rows-only check (binary header parsing + FFT features are not
+        # SQL-expressible; codecs roundtrip-pinned in pytest)
     }
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}

@@ -12,7 +12,13 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
 )
 from .chunk import chunk_documents  # noqa: F401
-from .multimodal import extract_features, frame_sample_plan, synthetic_media  # noqa: F401
+from .multimodal import (  # noqa: F401
+    extract_features,
+    extract_frames,
+    frame_sample_plan,
+    resize_images,
+    synthetic_media,
+)
 from .similarity import (  # noqa: F401
     cosine_near_dup_pairs,
     cosine_topk,

@@ -197,26 +197,104 @@ def test_textstats(spark, docs):
     assert fp.rolling_fp.nunique() == len(fp)
 
 
-def test_multimodal_plumbing(spark):
+def test_codec_roundtrips():
+    """Pure-numpy BMP/WAV/Y4M codecs: encode -> decode is identity, and
+    decoders reject malformed payloads."""
+    import numpy as np
+
+    from elasticsearch_nlp_classifier_spark.operators.codecs import (
+        decode_bmp, decode_wav, decode_y4m,
+        encode_bmp, encode_wav, encode_y4m, resize_image,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)  # odd w -> padding
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    samples = rng.integers(-32768, 32767, 501, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and (out == samples).all()
+
+    frames = rng.integers(0, 256, (4, 12, 16), dtype=np.uint8)
+    fr, fps = decode_y4m(encode_y4m(frames, fps=30))
+    assert fps == 30 and (fr == frames).all()
+
+    # exact area-mean downscale: 4x4 blocks of a constant image
+    const = np.full((16, 16, 3), 100, dtype=np.uint8)
+    small = resize_image(const, 4, 4)
+    assert small.shape == (4, 4, 3) and (small == 100).all()
+    # nearest-neighbor path (non-divisible target) keeps dtype/shape
+    nn = resize_image(px, 5, 7)
+    assert nn.shape == (7, 5, 3) and nn.dtype == np.uint8
+
+    for bad in (b"", b"BMnot-a-real-bmp", b"RIFFxxxxWAVE", b"YUV4MPEG2 W0\n"):
+        with pytest.raises(ValueError):
+            decode_bmp(bad)
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+        with pytest.raises(ValueError):
+            decode_y4m(bad)
+
+
+def test_multimodal_real_decode(spark):
+    import numpy as np
+
     media = synthetic_media(spark, 32)
-    feats = extract_features(media).toPandas()
+    feats = extract_features(media).toPandas()  # default = real_decode
     assert len(feats) == 32
     assert all(len(f) == 16 for f in feats.features)
     # deterministic: same payload -> same features
     feats2 = extract_features(media).toPandas()
     assert feats.features.map(tuple).tolist() == feats2.features.map(tuple).tolist()
 
+    # features reflect decoded payload truth: image dims come from the
+    # BMP header and must match the synthetic meta
+    meta = media.select("doc_id", "kind", "meta.*").toPandas().set_index("doc_id")
+    for _, r in feats.iterrows():
+        m = meta.loc[r.doc_id]
+        if r.kind == "image":
+            assert (r.features[0], r.features[1]) == (m.width, m.height)
+        elif r.kind == "video":
+            assert r.features[0] == m.frames
+            # moving-bar clips have nonzero temporal motion
+            assert r.features[6] > 0
+        else:
+            samples_dur = r.features[0]
+            assert 0.04 < samples_dur < 0.15  # synthetic 50-110 ms clips
+            assert r.features[1] > 0.1        # sine RMS
+
+
+def test_multimodal_resize_and_frames(spark):
     from elasticsearch_nlp_classifier_spark.operators import frame_sample_plan
+    from elasticsearch_nlp_classifier_spark.operators.multimodal import (
+        extract_frames, resize_images,
+    )
 
-    plan = frame_sample_plan(media, every_nth=24).toPandas()
-    assert (plan.frame_idx % 24 == 0).all()
-    assert len(plan) > 0
+    media = synthetic_media(spark, 18)
+    resized = resize_images(media, 8, 6)
+    rp = extract_features(resized).toPandas()
+    for _, r in rp[rp.kind == "image"].iterrows():
+        assert (r.features[0], r.features[1]) == (8, 6)  # decoded BMP dims
+    # non-image rows pass through byte-identical
+    orig_audio = media.where("kind = 'audio'").select("doc_id", "payload").toPandas()
+    res_audio = resized.where("kind = 'audio'").select("doc_id", "payload").toPandas()
+    assert orig_audio.set_index("doc_id").payload.map(bytes).to_dict() == \
+        res_audio.set_index("doc_id").payload.map(bytes).to_dict()
 
-    from elasticsearch_nlp_classifier_spark.operators.multimodal import real_decode
+    # metadata-only plan rows == real decoded frame rows (every_nth=2)
+    plan = frame_sample_plan(media, every_nth=2).toPandas()
+    real = extract_frames(media, every_nth=2).toPandas()
+    assert sorted(map(tuple, plan[["doc_id", "frame_idx"]].values.tolist())) == \
+        sorted(map(tuple, real[["doc_id", "frame_idx"]].values.tolist()))
+    # each extracted frame is a decodable image whose features match the
+    # source frame (moving bar -> bright column present)
+    from pyspark.sql import functions as F
 
-    # executor-side NotImplementedError surfaces as a PythonException
-    with pytest.raises(Exception, match="no image/audio codec libraries"):
-        extract_features(media, decode_with=real_decode).count()
+    frame_imgs = extract_frames(media, every_nth=2).select(
+        "doc_id", F.lit("image").alias("kind"), "meta", "payload"
+    )
+    fr_feats = extract_features(frame_imgs).toPandas()
+    assert (fr_feats.features.map(lambda f: f[13]) == 255).all()  # luma max
 
 
 def test_cosine_near_dup_lsh_recall_vs_brute(spark):
