@@ -1261,6 +1261,46 @@ def q_rescore_phrase(spark, sf_dir):
                       F.round("score", 6).alias("score_r6"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C n-gram collision):
+    eval set = every 41st document, report per (doc, eval item) word-6-
+    gram collisions + coverage fraction.  Broadcast eval shingles; one
+    narrow corpus shingle explode — no corpus-sized shuffle."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        ngram_contamination,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    rep = ngram_contamination(docs, ev, n=6)
+    return rep.select(
+        "id", "eval_id",
+        F.col("n_collisions").cast("bigint").alias("n_collisions"),
+        F.col("eval_ngrams").cast("bigint").alias("eval_ngrams"),
+        F.round("overlap_frac", 6).alias("overlap_r6"),
+    )
+
+
+def q_pack_mapping(spark, sf_dir):
+    """LLM-training sequence packing map (concat-and-chunk at L=64,
+    1 separator slot per doc): (seq_id, id, doc_off, seq_off, n_toks).
+    The doc-order prefix-sum runs distributed (range repartition +
+    per-partition offsets — no single-task global window); the SQL twin
+    is the window form."""
+    from elasticsearch_nlp_classifier_spark.operators import pack_mapping
+
+    docs = _docs(spark, sf_dir)
+    return pack_mapping(docs, seq_len=64, sep_tokens=1).select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "id",
+        F.col("doc_off").cast("bigint").alias("doc_off"),
+        F.col("seq_off").cast("bigint").alias("seq_off"),
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1342,6 +1382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "function_score": q_function_score,
         "rescore_phrase": q_rescore_phrase,
+        "decontaminate": q_decontaminate,
+        "pack_mapping": q_pack_mapping,
     }
 
 
@@ -2376,6 +2418,62 @@ def oracle_sql() -> dict[str, str]:
                                       doc_id ASC)::BIGINT AS rank,
                    doc_id, round(score, 6) AS score_r6
             FROM resc ORDER BY rank LIMIT 10""",
+        "decontaminate": """
+            WITH dt AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> '') AS w
+              FROM documents
+            ),
+            dsh0 AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 6
+                     THEN [array_to_string(w[i:i+5], ' ')
+                           for i in range(1, len(w)-4)]
+                     ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM dt
+            ),
+            dsh AS (SELECT DISTINCT doc_id, shingle FROM dsh0
+                    WHERE shingle <> ''),
+            esh AS (SELECT doc_id AS eval_id, shingle FROM dsh
+                    WHERE doc_id % 41 = 0),
+            esz AS (SELECT eval_id, count(*)::BIGINT AS eval_ngrams
+                    FROM esh GROUP BY 1),
+            hits AS (
+              SELECT d.doc_id AS id, e.eval_id,
+                     count(*)::BIGINT AS n_collisions
+              FROM dsh d JOIN esh e USING (shingle)
+              GROUP BY 1, 2
+            )
+            SELECT id, eval_id, n_collisions, eval_ngrams,
+                   round(n_collisions::DOUBLE / eval_ngrams, 6) AS overlap_r6
+            FROM hits JOIN esz USING (eval_id)""",
+        "pack_mapping": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> ''))::BIGINT AS nt
+              FROM documents
+            ),
+            nz AS (SELECT * FROM toks WHERE nt > 0),
+            offs AS (
+              SELECT id, nt,
+                     coalesce(sum(nt + 1) OVER (ORDER BY id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS off
+              FROM nz
+            ),
+            ex AS (
+              SELECT id, nt, off,
+                     unnest(range(off // 64, (off + nt - 1) // 64 + 1))
+                       AS seq_id
+              FROM offs
+            )
+            SELECT seq_id::BIGINT AS seq_id, id,
+                   (greatest(off, seq_id * 64) - off)::BIGINT AS doc_off,
+                   (greatest(off, seq_id * 64) - seq_id * 64)::BIGINT
+                     AS seq_off,
+                   (least(off + nt, seq_id * 64 + 64)
+                    - greatest(off, seq_id * 64))::BIGINT AS n_toks
+            FROM ex""",
         # mm_feature_extract: real pure-numpy BMP/WAV/Y4M decode ->
         # rows-only check (binary header parsing + FFT features are not
         # SQL-expressible; codecs roundtrip-pinned in pytest)

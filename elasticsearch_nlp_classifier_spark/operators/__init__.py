@@ -12,6 +12,8 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
 )
 from .chunk import chunk_documents  # noqa: F401
+from .decontaminate import decontaminate, ngram_contamination  # noqa: F401
+from .packing import pack_mapping, pack_tokens  # noqa: F401
 from .multimodal import (  # noqa: F401
     extract_features,
     extract_frames,
