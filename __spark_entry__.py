@@ -1261,6 +1261,61 @@ def q_rescore_phrase(spark, sf_dir):
                       F.round("score", 6).alias("score_r6"))
 
 
+def q_dis_max(spark, sf_dir):
+    """ES dis_max over two match sub-queries, tie_breaker=0.3 — one
+    postings scan, per-(doc, sub-query) hash agg, max+tie combine."""
+    from elasticsearch_nlp_classifier_spark.query import dis_max_topk
+
+    idx = _logical_index(spark, sf_dir)
+    res = dis_max_topk(idx, ["data value table", "key hash merge"],
+                       tie_breaker=0.3, k=10, analyzer="simple_code")
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score_r6"))
+
+
+def q_multi_match(spark, sf_dir):
+    """ES multi_match best_fields over (text, source^2.0) with
+    tie_breaker=0.2 — one scan per field index, dis_max combine."""
+    from elasticsearch_nlp_classifier_spark.index import build_logical_index
+    from elasticsearch_nlp_classifier_spark.query import multi_match_topk
+
+    docs = _docs(spark, sf_dir)
+    idx_text = build_logical_index(docs, text_col="text",
+                                   analyzer="simple_code",
+                                   doc_id_col="doc_id")
+    idx_source = build_logical_index(docs, text_col="source",
+                                     analyzer="simple_code",
+                                     doc_id_col="doc_id")
+    res = multi_match_topk(
+        {"text": idx_text, "source": idx_source},
+        "src7 data value",
+        field_boosts={"source": 2.0},
+        mode="best_fields", tie_breaker=0.2, k=10, analyzer="simple_code",
+    )
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score_r6"))
+
+
+def q_constant_score(spark, sf_dir):
+    """ES constant_score: filter-context match, fixed boost score."""
+    from elasticsearch_nlp_classifier_spark.query import constant_score_topk
+
+    idx = _logical_index(spark, sf_dir)
+    res = constant_score_topk(idx, "data value", boost=1.5, k=10,
+                              analyzer="simple_code")
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score_r6"))
+
+
+def q_boosting(spark, sf_dir):
+    """ES boosting query: positive match scored, negative matches
+    demoted by negative_boost=0.4 (not excluded)."""
+    from elasticsearch_nlp_classifier_spark.query import boosting_topk
+
+    idx = _logical_index(spark, sf_dir)
+    res = boosting_topk(idx, positive="data value table",
+                        negative="slow batch", negative_boost=0.4,
+                        k=10, analyzer="simple_code")
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score_r6"))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix-C n-gram collision):
     eval set = every 41st document, report per (doc, eval item) word-6-
@@ -1384,6 +1439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_phrase": q_rescore_phrase,
         "decontaminate": q_decontaminate,
         "pack_mapping": q_pack_mapping,
+        "dis_max": q_dis_max,
+        "multi_match": q_multi_match,
+        "constant_score": q_constant_score,
+        "boosting": q_boosting,
     }
 
 
@@ -2418,6 +2477,136 @@ def oracle_sql() -> dict[str, str]:
                                       doc_id ASC)::BIGINT AS rank,
                    doc_id, round(score, 6) AS score_r6
             FROM resc ORDER BY rank LIMIT 10""",
+        "dis_max": "WITH " + _BM25_BASE + """,
+            qs(qidx, q) AS (VALUES (0, 'data value table'),
+                                   (1, 'key hash merge')),
+            qt AS (
+              SELECT DISTINCT qidx,
+                     unnest(list_filter(
+                       string_split_regex(lower(q), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+              FROM qs
+            ),
+            contrib AS (
+              SELECT tf.doc_id, qt.qidx,
+                     ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                            / (s.df + 0.5))
+                       * tf.tf
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                          / (SELECT avgdl FROM corpus))) AS c
+              FROM tf JOIN qt USING (term) JOIN stats s USING (term)
+              JOIN dl USING (doc_id)
+            ),
+            perq AS (SELECT doc_id, qidx, sum(c) AS qscore
+                     FROM contrib GROUP BY 1, 2),
+            scores AS (
+              SELECT doc_id,
+                     max(qscore) + 0.3 * (sum(qscore) - max(qscore)) AS score
+              FROM perq GROUP BY 1
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC,
+                                      doc_id ASC)::BIGINT AS rank,
+                   doc_id, round(score, 6) AS score_r6
+            FROM scores ORDER BY rank LIMIT 10""",
+        "multi_match": "WITH " + _BM25_BASE + """,
+            qt AS (
+              SELECT DISTINCT unnest(list_filter(
+                string_split_regex(lower('src7 data value'), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+            ),
+            tscore AS (
+              SELECT tf.doc_id, sum(
+                     ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                            / (s.df + 0.5))
+                       * tf.tf
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                          / (SELECT avgdl FROM corpus)))) AS fscore
+              FROM tf JOIN qt USING (term) JOIN stats s USING (term)
+              JOIN dl USING (doc_id)
+              GROUP BY 1
+            ),
+            stoks AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(lower(source), '[^a-z0-9]+'),
+                x -> x <> '') AS w
+              FROM documents
+            ),
+            stf AS (
+              SELECT doc_id, unnest(w) AS term, 1::BIGINT AS tf,
+                     len(w)::BIGINT AS dl
+              FROM stoks
+            ),
+            sstats AS (SELECT term, count(*)::BIGINT AS df
+                       FROM stf GROUP BY 1),
+            scorpus AS (
+              SELECT count(*)::BIGINT AS n, avg(dl)::DOUBLE AS avgdl
+              FROM (SELECT doc_id, max(dl) AS dl FROM stf GROUP BY 1)
+            ),
+            sscore AS (
+              SELECT stf.doc_id, 2.0 * sum(
+                     ln(1 + ((SELECT n FROM scorpus) - ss.df + 0.5)
+                            / (ss.df + 0.5))
+                       * stf.tf
+                       / (stf.tf + 1.2 * (0.25 + 0.75 * stf.dl
+                          / (SELECT avgdl FROM scorpus)))) AS fscore
+              FROM stf JOIN qt USING (term) JOIN sstats ss USING (term)
+              GROUP BY 1
+            ),
+            uni AS (SELECT * FROM tscore UNION ALL SELECT * FROM sscore),
+            scores AS (
+              SELECT doc_id,
+                     max(fscore) + 0.2 * (sum(fscore) - max(fscore)) AS score
+              FROM uni GROUP BY 1
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC,
+                                      doc_id ASC)::BIGINT AS rank,
+                   doc_id, round(score, 6) AS score_r6
+            FROM scores ORDER BY rank LIMIT 10""",
+        "constant_score": "WITH " + _TF + """,
+            qt AS (
+              SELECT DISTINCT unnest(list_filter(
+                string_split_regex(lower('data value'), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM tf JOIN qt USING (term)
+            )
+            SELECT row_number() OVER (ORDER BY doc_id ASC)::BIGINT AS rank,
+                   doc_id, 1.5 AS score_r6
+            FROM matched ORDER BY rank LIMIT 10""",
+        "boosting": "WITH " + _BM25_BASE + """,
+            qt AS (
+              SELECT DISTINCT unnest(list_filter(
+                string_split_regex(lower('data value table'), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+            ),
+            nt AS (
+              SELECT DISTINCT unnest(list_filter(
+                string_split_regex(lower('slow batch'), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+            ),
+            pos AS (
+              SELECT tf.doc_id, sum(
+                     ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                            / (s.df + 0.5))
+                       * tf.tf
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                          / (SELECT avgdl FROM corpus)))) AS score
+              FROM tf JOIN qt USING (term) JOIN stats s USING (term)
+              JOIN dl USING (doc_id)
+              GROUP BY 1
+            ),
+            neg AS (SELECT DISTINCT doc_id FROM tf JOIN nt USING (term)),
+            scores AS (
+              SELECT p.doc_id,
+                     p.score * CASE WHEN n.doc_id IS NULL
+                                    THEN 1.0 ELSE 0.4 END AS score
+              FROM pos p LEFT JOIN neg n USING (doc_id)
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC,
+                                      doc_id ASC)::BIGINT AS rank,
+                   doc_id, round(score, 6) AS score_r6
+            FROM scores ORDER BY rank LIMIT 10""",
         "decontaminate": """
             WITH dt AS (
               SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),

@@ -4,6 +4,12 @@ from .bm25 import (  # noqa: F401
     bool_query_topk,
     match_filter,
 )
+from .compound import (  # noqa: F401
+    boosting_topk,
+    constant_score_topk,
+    dis_max_topk,
+    multi_match_topk,
+)
 from .highlight import highlight  # noqa: F401
 from .oracle import bm25_oracle  # noqa: F401
 from .percolate import percolate, register_queries  # noqa: F401
