@@ -1316,6 +1316,92 @@ def q_boosting(spark, sf_dir):
     return res.select("rank", "doc_id", F.round("score", 6).alias("score_r6"))
 
 
+def q_lm_bigram_score(spark, sf_dir):
+    """KenLM-style bigram-LM quality scoring (self-trained, add-0.5
+    smoothing): per-doc avg log-prob + perplexity — built-ins only,
+    two count shuffles + one scoring join."""
+    from elasticsearch_nlp_classifier_spark.operators import bigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    sc = bigram_logprob(docs, "text", "doc_id", alpha=0.5)
+    return sc.select(
+        "id",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.round("avg_logp", 6).alias("avg_logp_r6"),
+        F.round("ppl", 6).alias("ppl_r6"),
+    )
+
+
+def q_bpe_word_histogram(spark, sf_dir):
+    """BPE training's distributed stage: the corpus word histogram (one
+    explode + one map-side-combined groupBy).  The driver-side merge
+    loop + encode are pytest-gated (iterative, not SQL)."""
+    from elasticsearch_nlp_classifier_spark.operators import word_histogram
+
+    docs = _docs(spark, sf_dir)
+    return word_histogram(docs, "text").select(
+        "word", F.col("c").cast("bigint").alias("c")
+    )
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval: BM25 top-50 and cosine top-50
+    (query = embedding of vec 0) fused by reciprocal-rank fusion
+    (rank_constant 60).  Both input rankings re-ranked on round(·,9)
+    for cross-engine stability; fusion is a union of two bounded
+    frames + one hash agg."""
+    from elasticsearch_nlp_classifier_spark.operators import cosine_topk
+    from elasticsearch_nlp_classifier_spark.query import bm25_topk, rrf_fuse
+
+    idx = _logical_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(1, "data value table")], "query_id int, query_text string"
+    )
+    scored = bm25_topk(idx, q, k=10_000_000, analyzer="simple_code")
+    wl = Window.orderBy(F.desc(F.round("score", 9)), F.asc("doc_id"))
+    lex = (
+        scored.withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= 50).select("rank", "doc_id")
+    )
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    # query_id -1 dodges cosine_topk's self-match exclusion so vec 0
+    # ranks first (cos = 1), matching the SQL twin
+    qdf = spark.createDataFrame(
+        [(-1, [float(x) for x in qvec])],
+        "query_id bigint, query_vec array<double>",
+    )
+    cos = cosine_topk(emb, qdf, k=10_000_000)
+    wv = Window.orderBy(F.desc(F.round("cos", 9)), F.asc("vec_id"))
+    vec = (
+        cos.withColumn("rank", F.row_number().over(wv))
+        .where(F.col("rank") <= 50)
+        .select("rank", F.col("vec_id").alias("doc_id"))
+    )
+    fused = rrf_fuse([lex, vec], rank_constant=60, k=10)
+    return fused.select("rank", "doc_id",
+                        F.round("score", 6).alias("score_r6"))
+
+
+def q_agg_terms_subs(spark, sf_dir):
+    """ES terms agg with metric sub-aggregations (one collector pass:
+    doc_count + every sub-metric in a single hash aggregation)."""
+    from elasticsearch_nlp_classifier_spark.query.aggs import terms_agg_subs
+
+    docs = _docs(spark, sf_dir)
+    out = terms_agg_subs(
+        docs, "lang",
+        {"avg_chars": F.avg("n_chars"), "max_chars": F.max("n_chars")},
+        size=10,
+    )
+    return out.select(
+        "key",
+        F.col("doc_count").cast("bigint").alias("doc_count"),
+        F.round("avg_chars", 6).alias("avg_chars_r6"),
+        F.col("max_chars").cast("bigint").alias("max_chars"),
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix-C n-gram collision):
     eval set = every 41st document, report per (doc, eval item) word-6-
@@ -1443,6 +1529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match": q_multi_match,
         "constant_score": q_constant_score,
         "boosting": q_boosting,
+        "lm_bigram_score": q_lm_bigram_score,
+        "bpe_word_histogram": q_bpe_word_histogram,
+        "hybrid_rrf": q_hybrid_rrf,
+        "agg_terms_subs": q_agg_terms_subs,
     }
 
 
@@ -2607,6 +2697,101 @@ def oracle_sql() -> dict[str, str]:
                                       doc_id ASC)::BIGINT AS rank,
                    doc_id, round(score, 6) AS score_r6
             FROM scores ORDER BY rank LIMIT 10""",
+        "lm_bigram_score": """
+            WITH toksl AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            unic AS (
+              SELECT term, count(*)::BIGINT AS c
+              FROM (SELECT unnest(w) AS term FROM toksl) GROUP BY 1
+            ),
+            vv AS (SELECT count(*)::BIGINT AS v FROM unic),
+            trans AS (
+              -- parallel unnests of equal length zip row-wise in DuckDB
+              SELECT doc_id, unnest(w[1:len(w) - 1]) AS t1,
+                     unnest(w[2:len(w)]) AS t2
+              FROM toksl WHERE len(w) >= 2
+            ),
+            bic AS (SELECT t1, t2, count(*)::BIGINT AS c
+                    FROM trans GROUP BY 1, 2),
+            lp AS (
+              SELECT tr.doc_id,
+                     ln((coalesce(b.c, 0) + 0.5)
+                        / (u.c + 0.5 * (SELECT v FROM vv))) AS logp
+              FROM trans tr
+              LEFT JOIN bic b ON b.t1 = tr.t1 AND b.t2 = tr.t2
+              JOIN unic u ON u.term = tr.t1
+            )
+            SELECT doc_id AS id, count(*)::BIGINT AS n_transitions,
+                   round(avg(logp), 6) AS avg_logp_r6,
+                   round(exp(-avg(logp)), 6) AS ppl_r6
+            FROM lp GROUP BY 1""",
+        "bpe_word_histogram": """
+            SELECT word, count(*)::BIGINT AS c
+            FROM (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(text), '\\s+'),
+                x -> x <> '')) AS word
+              FROM documents
+            ) GROUP BY 1""",
+        "hybrid_rrf": "WITH " + _BM25_BASE + """,
+            qt AS (
+              SELECT DISTINCT unnest(list_filter(
+                string_split_regex(lower('data value table'), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+            ),
+            lscore AS (
+              SELECT tf.doc_id, sum(
+                     ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                            / (s.df + 0.5))
+                       * tf.tf
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                          / (SELECT avgdl FROM corpus)))) AS score
+              FROM tf JOIN qt USING (term) JOIN stats s USING (term)
+              JOIN dl USING (doc_id)
+              GROUP BY 1
+            ),
+            lexr AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+              FROM lscore
+            ),
+            qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+            vscore AS (
+              SELECT e.vec_id AS doc_id,
+                     list_dot_product(e.embedding::DOUBLE[], qv.v::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(qv.v::DOUBLE[],
+                                                  qv.v::DOUBLE[]))) AS cos
+              FROM embeddings e, qv
+            ),
+            vecr AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY round(cos, 9) DESC, doc_id ASC) AS rank
+              FROM vscore
+            ),
+            uni AS (
+              SELECT doc_id, 1.0 / (60 + rank) AS rrf FROM lexr
+              WHERE rank <= 50
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rank) AS rrf FROM vecr
+              WHERE rank <= 50
+            ),
+            fused AS (SELECT doc_id, sum(rrf) AS score FROM uni GROUP BY 1)
+            SELECT row_number() OVER (ORDER BY round(score, 12) DESC,
+                                      doc_id ASC)::BIGINT AS rank,
+                   doc_id, round(score, 6) AS score_r6
+            FROM fused ORDER BY rank LIMIT 10""",
+        "agg_terms_subs": """
+            SELECT lang AS key, count(*)::BIGINT AS doc_count,
+                   round(avg(n_chars), 6) AS avg_chars_r6,
+                   max(n_chars)::BIGINT AS max_chars
+            FROM documents WHERE lang IS NOT NULL
+            GROUP BY 1
+            ORDER BY doc_count DESC, key ASC LIMIT 10""",
         "decontaminate": """
             WITH dt AS (
               SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),

@@ -12,7 +12,9 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
 )
 from .chunk import chunk_documents  # noqa: F401
+from .bpe import bpe_encode, train_bpe, word_histogram  # noqa: F401
 from .decontaminate import decontaminate, ngram_contamination  # noqa: F401
+from .lm import bigram_logprob, perplexity_filter  # noqa: F401
 from .packing import pack_mapping, pack_tokens  # noqa: F401
 from .multimodal import (  # noqa: F401
     extract_features,

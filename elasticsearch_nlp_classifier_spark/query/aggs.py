@@ -75,6 +75,34 @@ def terms_agg(df: DataFrame, field: str, size: int = 10) -> DataFrame:
     )
 
 
+def terms_agg_subs(
+    df: DataFrame, field: str, subs: dict[str, Column], size: int = 10,
+) -> DataFrame:
+    """ES ``terms`` agg with SUB-AGGREGATIONS: top-``size`` buckets by
+    doc_count (tie → key ASC), each carrying named metric
+    sub-aggregations computed over the bucket's docs, e.g.::
+
+        terms_agg_subs(df, "lang",
+                       {"avg_chars": F.avg("n_chars"),
+                        "max_chars": F.max("n_chars")})
+
+    One hash aggregation computes doc_count and every sub-metric
+    together (partial/final, map-side combined) — buckets and metrics
+    never require a second scan, exactly how ES computes sub-aggs in
+    one collector pass.  Returns ``(key, doc_count, <sub names...>)``.
+    """
+    aggs = [F.count(F.lit(1)).alias("doc_count")] + [
+        c.alias(name) for name, c in subs.items()
+    ]
+    return (
+        df.where(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("key"))
+        .agg(*aggs)
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
 def histogram_agg(
     df: DataFrame, field: str, interval: float,
     min_doc_count: int = 1,
