@@ -1402,6 +1402,48 @@ def q_agg_terms_subs(spark, sf_dir):
     )
 
 
+def q_resample_mix(spark, sf_dir):
+    """Domain-mix resampling to target lang weights {en:.5, fr:.25,
+    de:.25} (es/zh dropped): per-group acceptance rates from one tiny
+    counts agg, applied as a broadcast join + md5-hash threshold on the
+    scan — the corpus never shuffles."""
+    from elasticsearch_nlp_classifier_spark.operators import resample_to_mix
+
+    docs = _docs(spark, sf_dir)
+    kept = resample_to_mix(
+        docs, "lang", {"en": 0.5, "fr": 0.25, "de": 0.25},
+        id_col="doc_id", salt="mix",
+    )
+    return kept.select("doc_id", "lang")
+
+
+def q_knn_filtered(spark, sf_dir):
+    """ES kNN-with-filter: restriction (docs with lang='en') applies
+    BEFORE scoring — a semi-join under the top-k, so every result
+    matches the filter (never a post-filtered remnant)."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        cosine_topk_filtered,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    allowed = docs.where(F.col("lang") == "en").select("doc_id")
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = cosine_topk_filtered(emb, allowed, queries, k=5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc("vec_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                "vec_id", F.round("cos", 6).alias("cos_r6"))
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix-C n-gram collision):
     eval set = every 41st document, report per (doc, eval item) word-6-
@@ -1533,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_word_histogram": q_bpe_word_histogram,
         "hybrid_rrf": q_hybrid_rrf,
         "agg_terms_subs": q_agg_terms_subs,
+        "resample_mix": q_resample_mix,
+        "knn_filtered": q_knn_filtered,
     }
 
 
@@ -2792,6 +2836,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE lang IS NOT NULL
             GROUP BY 1
             ORDER BY doc_count DESC, key ASC LIMIT 10""",
+        "resample_mix": f"""
+            WITH cnt AS (SELECT lang AS g, count(*)::BIGINT AS n
+                         FROM documents GROUP BY 1),
+            tgt(g, p) AS (VALUES ('en', 0.5), ('fr', 0.25), ('de', 0.25)),
+            j AS (SELECT tgt.g, p, n FROM tgt JOIN cnt USING (g)
+                  WHERE n > 0),
+            nout AS (SELECT min(n / p) AS no FROM j),
+            rates AS (SELECT g, least(1.0, p * (SELECT no FROM nout) / n)
+                        AS r FROM j)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates ON rates.g = d.lang
+            WHERE {_hash_u("d.doc_id", "mix")} < rates.r""",
+        "knn_filtered": """
+            WITH allowed AS (SELECT doc_id FROM documents
+                             WHERE lang = 'en'),
+            q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 2
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[],
+                                                  q.qv::DOUBLE[]))) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+                AND e.vec_id IN (SELECT doc_id FROM allowed)
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos, 9) DESC, vec_id ASC) AS rank,
+                     round(cos, 6) AS cos_r6
+              FROM scored
+            )
+            SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
+            FROM ranked WHERE rank <= 5""",
         "decontaminate": """
             WITH dt AS (
               SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),

@@ -26,6 +26,7 @@ from .multimodal import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_near_dup_pairs,
     cosine_topk,
+    cosine_topk_filtered,
     embedding_cosine_dup_pairs,
     ivf_candidates,
     ivf_cosine_topk,
@@ -54,6 +55,7 @@ from .sampling import (  # noqa: F401
     hash_split_sql,
     hash_uniform,
     hash_uniform_sql,
+    resample_to_mix,
     stratified_exact_n,
     stratified_sample,
     uniform_top_n,

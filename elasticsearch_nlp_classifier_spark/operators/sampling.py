@@ -171,3 +171,54 @@ def uniform_top_n(
     return df.orderBy(
         hash_uniform(id_col, salt).asc(), F.col(id_col).asc()
     ).limit(n)
+
+
+def resample_to_mix(
+    df: DataFrame,
+    group_col: str,
+    target_weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample to a TARGET DOMAIN MIX (the data-mixture step of LLM
+    pipelines): keep per-group acceptance rates such that the output's
+    group distribution matches ``target_weights``, maximizing retained
+    rows without upsampling.
+
+    Math: with group sizes n_g and normalized targets p_g, the largest
+    achievable output is N = min_g n_g / p_g (the scarcest group is
+    kept whole); each group's acceptance rate is r_g = p_g·N / n_g.
+    Rows pass if ``hash_uniform(id) < r_g`` — deterministic and
+    reshard-stable like every sampler here.  Groups absent from
+    ``target_weights`` are dropped.
+
+    Scale shape: one map-side-combined counts aggregation (|groups|
+    rows, collected), then a broadcast join of the rate table and a
+    hash-threshold filter on the scan — the corpus itself never
+    shuffles.  Expected (not exact) counts per group; the exact-count
+    variant is ``stratified_exact_n``.
+    """
+    total = float(sum(target_weights.values()))
+    if total <= 0:
+        raise ValueError("target_weights must sum to a positive number")
+    p = {g: w / total for g, w in target_weights.items()}
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    present = {g: p[g] for g in p if counts.get(g) and p[g] > 0}
+    if not present:
+        return df.limit(0)
+    n_out = min(counts[g] / pg for g, pg in present.items())
+    rates = [(g, min(1.0, pg * n_out / counts[g]))
+             for g, pg in present.items()]
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        rates, f"{group_col} string, _rate double"
+    )
+    return (
+        df.join(F.broadcast(rate_df), group_col)
+        .where(hash_uniform(id_col, salt) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -485,3 +485,27 @@ def semantic_dedup(
     )
     dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return embeddings.join(dups, id_col, "left_anti")
+
+
+def cosine_topk_filtered(
+    embeddings: DataFrame,
+    allowed_ids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES kNN-with-filter semantics: the filter applies DURING search
+    (pre-filter), so the top-k always holds k matching docs — never the
+    post-filtered remnant of an unfiltered top-k.  ``allowed_ids`` is
+    one id column; the restriction is a semi-join pushed below the
+    scoring (AQE broadcasts it when it is small — the usual case for a
+    selective filter; an unselective huge id set degrades to a shuffle
+    semi-join rather than an executor-OOM broadcast), then the standard
+    exact top-k."""
+    fcol = allowed_ids.columns[0]
+    allowed = allowed_ids.select(F.col(fcol).alias(id_col))
+    return cosine_topk(
+        embeddings.join(allowed, id_col, "left_semi"),
+        queries, k=k, id_col=id_col, vec_col=vec_col,
+    )

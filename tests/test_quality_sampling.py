@@ -196,3 +196,55 @@ def test_uniform_top_n(ids):
     # a different salt draws a different sample
     s3 = uniform_top_n(ids, 100, salt="other").toPandas().doc_id.tolist()
     assert set(s3) != set(s1)
+
+
+def test_resample_to_mix(spark):
+    import pyspark.sql.functions as F
+
+    from elasticsearch_nlp_classifier_spark.operators import resample_to_mix
+
+    rows = (
+        [(i, "en") for i in range(400)]
+        + [(1000 + i, "fr") for i in range(100)]
+        + [(2000 + i, "de") for i in range(60)]
+        + [(3000 + i, "zh") for i in range(50)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    kept = resample_to_mix(docs, "lang", {"en": 0.5, "fr": 0.25, "de": 0.25})
+    counts = {r.lang: r.n for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # scarcest group relative to target: de (60 / .25 = 240 = n_out min)
+    # -> kept whole; en rate = .5*240/400 = .3, fr rate = .25*240/100 = .6
+    assert counts["de"] == 60
+    assert "zh" not in counts                     # not in target -> dropped
+    assert abs(counts["en"] - 120) < 40           # hash-binomial around 120
+    assert abs(counts["fr"] - 60) < 30
+    # deterministic: identical output on re-run
+    again = {r.lang: r.n for r in
+             resample_to_mix(docs, "lang",
+                             {"en": 0.5, "fr": 0.25, "de": 0.25})
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        resample_to_mix(docs, "lang", {"en": 0.0})
+
+
+def test_cosine_topk_filtered_prefilter_semantics(spark):
+    from elasticsearch_nlp_classifier_spark.operators import (
+        cosine_topk_filtered,
+    )
+
+    # vecs 1..3 are closest to the query but EXCLUDED by the filter;
+    # a post-filter of an unfiltered top-3 would come back near-empty
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) / 10.0]) for i in range(1, 9)],
+        "vec_id bigint, embedding array<double>",
+    )
+    allowed = spark.createDataFrame([(i,) for i in (4, 5, 6, 7, 8)],
+                                    "id bigint")
+    q = spark.createDataFrame([(-1, [1.0, 0.0])],
+                              "query_id bigint, query_vec array<double>")
+    out = cosine_topk_filtered(emb, allowed, q, k=3).collect()
+    assert [r.vec_id for r in out] == [4, 5, 6]   # k full matches, in-filter
