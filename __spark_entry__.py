@@ -1402,6 +1402,25 @@ def q_agg_terms_subs(spark, sf_dir):
     )
 
 
+def q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester over the corpus bigram LM: candidates from a
+    distributed vocabulary scan (levenshtein<=2, top-3 per position),
+    phrases re-ranked by start-unigram + bigram LM + per-edit channel
+    prior.  Re-ranked on round(score,9) for cross-engine stability."""
+    from elasticsearch_nlp_classifier_spark.query import phrase_suggest
+
+    docs = _docs(spark, sf_dir)
+    out = phrase_suggest(docs, "valu tabl", max_candidates=3, max_edits=2,
+                         k=10_000, alpha=0.5, error_rate=0.2)
+    w = Window.orderBy(F.desc(F.round("score", 9)), F.asc("suggestion"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(F.col("rank").cast("bigint").alias("rank"), "suggestion",
+                F.round("score", 6).alias("score_r6"))
+    )
+
+
 def q_resample_mix(spark, sf_dir):
     """Domain-mix resampling to target lang weights {en:.5, fr:.25,
     de:.25} (es/zh dropped): per-group acceptance rates from one tiny
@@ -1577,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_subs": q_agg_terms_subs,
         "resample_mix": q_resample_mix,
         "knn_filtered": q_knn_filtered,
+        "phrase_suggest": q_phrase_suggest,
     }
 
 
@@ -2836,6 +2856,69 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE lang IS NOT NULL
             GROUP BY 1
             ORDER BY doc_count DESC, key ASC LIMIT 10""",
+        "phrase_suggest": """
+            WITH toksl AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            unic AS (
+              SELECT term, count(*)::BIGINT AS c
+              FROM (SELECT unnest(w) AS term FROM toksl) GROUP BY 1
+            ),
+            vv AS (SELECT count(*)::BIGINT AS v, sum(c)::DOUBLE AS total
+                   FROM unic),
+            trans AS (
+              SELECT unnest(w[1:len(w) - 1]) AS t1,
+                     unnest(w[2:len(w)]) AS t2
+              FROM toksl WHERE len(w) >= 2
+            ),
+            bic AS (SELECT t1, t2, count(*)::BIGINT AS c
+                    FROM trans GROUP BY 1, 2),
+            inp(pos, itok) AS (VALUES (0, 'valu'), (1, 'tabl')),
+            cand AS (
+              SELECT pos, itok, term, c,
+                     levenshtein(term, itok)::BIGINT AS dist
+              FROM unic, inp
+              WHERE abs(length(term) - length(itok)) <= 2
+                AND levenshtein(term, itok) <= 2
+            ),
+            top3 AS (
+              SELECT pos, term, dist FROM (
+                SELECT pos, term, dist, row_number() OVER (
+                  PARTITION BY pos
+                  ORDER BY dist ASC, c DESC, term ASC) AS rk
+                FROM cand
+              ) WHERE rk <= 3
+            ),
+            -- the original token is always a candidate (distance 0)
+            cands AS (
+              SELECT pos, term, min(dist) AS dist FROM (
+                SELECT pos, term, dist FROM top3
+                UNION ALL
+                SELECT pos, itok AS term, 0::BIGINT AS dist FROM inp
+              ) GROUP BY 1, 2
+            ),
+            cwc AS (
+              SELECT cands.pos, cands.term, cands.dist,
+                     coalesce(unic.c, 0) AS c
+              FROM cands LEFT JOIN unic USING (term)
+            ),
+            phrases AS (
+              SELECT a.term AS w1, b.term AS w2,
+                     ln((a.c + 0.5) / ((SELECT total FROM vv)
+                        + 0.5 * (SELECT v FROM vv)))
+                     + ln((coalesce(bc.c, 0) + 0.5)
+                          / (a.c + 0.5 * (SELECT v FROM vv)))
+                     + (a.dist + b.dist) * ln(0.2) AS score
+              FROM cwc a JOIN cwc b ON a.pos = 0 AND b.pos = 1
+              LEFT JOIN bic bc ON bc.t1 = a.term AND bc.t2 = b.term
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC,
+                                      (w1 || ' ' || w2) ASC)::BIGINT AS rank,
+                   w1 || ' ' || w2 AS suggestion,
+                   round(score, 6) AS score_r6
+            FROM phrases ORDER BY rank LIMIT 5""",
         "resample_mix": f"""
             WITH cnt AS (SELECT lang AS g, count(*)::BIGINT AS n
                          FROM documents GROUP BY 1),

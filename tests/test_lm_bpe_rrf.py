@@ -194,3 +194,33 @@ def test_terms_agg_subs(spark):
     assert [(r.key, r.doc_count, r.avg_v, r.max_v) for r in got] == [
         ("b", 3, 7.0, 9), ("a", 2, 15.0, 20)
     ]
+
+# ------------------------------------------------------- phrase suggest
+
+def test_phrase_suggest_corrects_typos(spark):
+    from elasticsearch_nlp_classifier_spark.query import phrase_suggest
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)]
+        + [(100, "a dog ran in the park")],
+        "doc_id bigint, text string",
+    )
+    top = phrase_suggest(docs, "teh cat szt", k=3).collect()
+    assert top[0].suggestion == "the cat sat"
+    # the (typo'd) input phrase is itself a scored candidate, outranked
+    all_sugs = [r.suggestion for r in
+                phrase_suggest(docs, "teh cat", k=25).collect()]
+    assert "the cat" in all_sugs and "teh cat" in all_sugs
+    assert all_sugs.index("the cat") < all_sugs.index("teh cat")
+
+    # clean input: the original phrase wins (LM likes it, zero penalty)
+    clean = phrase_suggest(docs, "the cat sat", k=1).collect()
+    assert clean[0].suggestion == "the cat sat"
+
+    # single token: start-unigram prior beats the error penalty
+    one = phrase_suggest(docs, "teh", k=2).collect()
+    assert one[0].suggestion == "the"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="1-8 tokens"):
+        phrase_suggest(docs, "")
