@@ -1402,6 +1402,74 @@ def q_agg_terms_subs(spark, sf_dir):
     )
 
 
+def q_explain_bm25(spark, sf_dir):
+    """ES _explain API: per-term BM25 breakdown for one (query, doc)
+    pair, including non-matching clauses (matched=false, null posting
+    stats).  Doc filter pushed into the postings scan."""
+    from elasticsearch_nlp_classifier_spark.query.bm25 import explain_score
+
+    idx = _logical_index(spark, sf_dir)
+    ex = explain_score(idx, "data value zzzunseen", doc_id=5,
+                       analyzer="simple_code")
+    return ex.select(
+        "term", "matched",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("dl").cast("bigint").alias("dl"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round("idf", 6).alias("idf_r6"),
+        F.round("tf_hat", 6).alias("tf_hat_r6"),
+        F.round("contrib", 6).alias("contrib_r6"),
+    )
+
+
+def q_synonym_match(spark, sf_dir):
+    """Synonym token filter (canonicalize mode, index-time): docs
+    matching 'quick' after {fast,slow} => quick rewriting — pure
+    higher-order expressions on the token array."""
+    from elasticsearch_nlp_classifier_spark.analyzer.synonyms import (
+        canonicalize_tokens,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.textstats import (
+        words_col,
+    )
+
+    docs = _docs(spark, sf_dir)
+    canon = {"fast": "quick", "slow": "quick"}
+    toks = canonicalize_tokens(words_col(F.col("text")), canon)
+    return docs.where(F.array_contains(toks, "quick")).select("doc_id")
+
+
+def q_multi_index_bm25(spark, sf_dir):
+    """Multi-index search (ES alias over indices): the corpus split
+    into two disjoint indexes by doc_id parity, searched through
+    union_indexes with MERGED global stats — rank- and score-identical
+    to the single-index BM25 (the oracle is the same BM25 SQL)."""
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index, union_indexes,
+    )
+    from elasticsearch_nlp_classifier_spark.query import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    ix_even = build_logical_index(docs.where(F.col("doc_id") % 2 == 0),
+                                  text_col="text", analyzer="simple_code",
+                                  doc_id_col="doc_id")
+    ix_odd = build_logical_index(docs.where(F.col("doc_id") % 2 == 1),
+                                 text_col="text", analyzer="simple_code",
+                                 doc_id_col="doc_id")
+    merged = union_indexes([ix_even, ix_odd])
+    q = spark.createDataFrame(
+        [(1, "data value table")], "query_id int, query_text string"
+    )
+    scored = bm25_topk(merged, q, k=10_000_000, analyzer="simple_code")
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(F.col("rank").cast("bigint").alias("rank"), "doc_id",
+                F.round("score", 6).alias("score_r6"))
+    )
+
+
 def q_phrase_suggest(spark, sf_dir):
     """ES phrase suggester over the corpus bigram LM: candidates from a
     distributed vocabulary scan (levenshtein<=2, top-3 per position),
@@ -1597,6 +1665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mix": q_resample_mix,
         "knn_filtered": q_knn_filtered,
         "phrase_suggest": q_phrase_suggest,
+        "explain_bm25": q_explain_bm25,
+        "synonym_match": q_synonym_match,
+        "multi_index_bm25": q_multi_index_bm25,
     }
 
 
@@ -2856,6 +2927,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE lang IS NOT NULL
             GROUP BY 1
             ORDER BY doc_count DESC, key ASC LIMIT 10""",
+        "explain_bm25": "WITH " + _BM25_BASE + """,
+            qt AS (
+              SELECT DISTINCT unnest(list_filter(
+                string_split_regex(lower('data value zzzunseen'),
+                                   '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+            ),
+            hit AS (
+              SELECT tf.term, tf.tf, dl.dl
+              FROM tf JOIN dl USING (doc_id)
+              WHERE tf.doc_id = 5
+            ),
+            ex AS (
+              SELECT qt.term,
+                     hit.tf IS NOT NULL AS matched,
+                     hit.tf, hit.dl, s.df,
+                     ln(1 + ((SELECT n FROM corpus)
+                             - coalesce(s.df, 0) + 0.5)
+                        / (coalesce(s.df, 0) + 0.5)) AS idf,
+                     hit.tf / (hit.tf + 1.2 * (0.25 + 0.75 * hit.dl
+                       / (SELECT avgdl FROM corpus))) AS tf_hat
+              FROM qt
+              LEFT JOIN hit USING (term)
+              LEFT JOIN stats s USING (term)
+            )
+            SELECT term, matched, tf, dl, df,
+                   round(idf, 6) AS idf_r6,
+                   round(tf_hat, 6) AS tf_hat_r6,
+                   round(idf * tf_hat, 6) AS contrib_r6
+            FROM ex ORDER BY term""",
+        "synonym_match": """
+            SELECT doc_id FROM (
+              SELECT doc_id, list_transform(
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> ''),
+                t -> CASE WHEN t = 'fast' THEN 'quick'
+                          WHEN t = 'slow' THEN 'quick'
+                          ELSE t END) AS toks
+              FROM documents
+            ) WHERE list_contains(toks, 'quick')""",
+        # union of two disjoint half-indexes with merged stats ==
+        # single-index BM25: same SQL twin as a7_bm25_topk
+        "multi_index_bm25":
+            "WITH " + _BM25_SQL.replace("{QUERY}", "data value table"),
         "phrase_suggest": """
             WITH toksl AS (
               SELECT doc_id, list_filter(

@@ -262,3 +262,33 @@ def term_vector_tokens(index: LogicalIndex, distinct: bool = False) -> DataFrame
 def vocabulary(index: LogicalIndex) -> DataFrame:
     """Sorted distinct token set (A5, `Vocabulary.java:11-43`)."""
     return index.term_stats.select("term").orderBy("term")
+
+
+def union_indexes(indexes: list[LogicalIndex]) -> LogicalIndex:
+    """Multi-index search (ES ``GET idx1,idx2/_search`` / alias over
+    several indices): one LogicalIndex whose postings are the union and
+    whose term/corpus statistics are the MERGED global stats — so BM25
+    idf/avgdl are computed across all indices, exactly like ES scoring
+    across a multi-index request (with default search_type, stats are
+    per-shard-group merged).
+
+    Doc ids must be disjoint across indexes (same contract as ES
+    distinct _index/_id pairs; enforced cheaply at query time by the
+    first aggregation).  Cost: unions are plan-level concatenations —
+    term_stats re-aggregates |union vocab| rows, no postings shuffle.
+    """
+    if not indexes:
+        raise ValueError("union_indexes needs at least one index")
+    postings = indexes[0].postings
+    stats = indexes[0].term_stats
+    lengths = indexes[0].doc_lengths
+    for ix in indexes[1:]:
+        postings = postings.unionByName(ix.postings)
+        stats = stats.unionByName(ix.term_stats)
+        lengths = lengths.unionByName(ix.doc_lengths)
+    merged_stats = stats.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("ttf").alias("ttf")
+    )
+    return LogicalIndex(
+        postings=postings, term_stats=merged_stats, doc_lengths=lengths
+    )

@@ -222,3 +222,47 @@ def match_filter(
         index.postings.join(F.broadcast(terms), "term")
         .select("doc_id").distinct()
     )
+
+
+def explain_score(
+    index: LogicalIndex,
+    query_text: str,
+    doc_id: int,
+    analyzer: str = "code",
+) -> DataFrame:
+    """ES ``_explain`` API: the per-term BM25 breakdown for one
+    (query, doc) pair — ``(term, tf, dl, df, idf, tf_hat, contrib)``,
+    one row per query term present in the doc, plus matched=false terms
+    carried with null posting stats (ES reports non-matching clauses
+    too).  The doc filter is pushed into the postings scan (partition/
+    predicate pruning applies); the query-term probe is broadcast —
+    nothing corpus-sized moves."""
+    from ..analyzer.chain import get_analyzer
+
+    stats = index.corpus_stats
+    terms = sorted(set(get_analyzer(analyzer).tokenize(query_text)))
+    spark = index.postings.sparkSession
+    probe = spark.createDataFrame([(t,) for t in terms], "term string")
+    avgdl = F.lit(float(stats["avgdl"]) or 1.0)
+    hit = (
+        index.postings.where(F.col("doc_id") == doc_id)
+        .join(F.broadcast(probe), "term")
+        .select("term", "tf", "dl")
+    )
+    joined = (
+        probe.join(hit, "term", "left")
+        .join(index.term_stats.select("term", "df"), "term", "left")
+        .withColumn("idf", idf_col(F.coalesce(F.col("df"), F.lit(0)),
+                                   stats["doc_count"]))
+        .withColumn(
+            "tf_hat",
+            F.col("tf") / (F.col("tf") + F.lit(K1)
+                           * (F.lit(1.0 - B)
+                              + F.lit(B) * F.col("dl") / avgdl)),
+        )
+        .withColumn("contrib", F.col("idf") * F.col("tf_hat"))
+        .withColumn("matched", F.col("tf").isNotNull())
+    )
+    return joined.select(
+        "term", "matched", "tf", "dl", "df", "idf", "tf_hat", "contrib"
+    ).orderBy("term")

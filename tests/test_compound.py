@@ -122,3 +122,65 @@ def test_boosting_demotes_not_excludes(idx):
     for d in got:
         if d != 2:
             assert got[d] == pytest.approx(base[d], rel=1e-12)
+
+
+def test_explain_score_matches_bm25(spark, idx):
+    from elasticsearch_nlp_classifier_spark.query.bm25 import explain_score
+
+    base = _scores(idx, "spark join zzznothere")
+    ex = explain_score(idx, "spark join zzznothere", doc_id=1,
+                       analyzer="simple_code").collect()
+    by_term = {r.term: r for r in ex}
+    assert set(by_term) == {"spark", "join", "zzznothere"}
+    assert by_term["zzznothere"].matched is False
+    assert by_term["zzznothere"].tf is None and by_term["zzznothere"].contrib is None
+    got = sum(r.contrib for r in ex if r.matched)
+    assert got == pytest.approx(base[1], rel=1e-12)
+
+
+def test_synonym_filters(spark):
+    from elasticsearch_nlp_classifier_spark.analyzer.synonyms import (
+        canonicalize_tokens, expand_query_terms, expand_tokens,
+    )
+
+    df = spark.createDataFrame([(["fast", "car", "slow"],)], "toks array<string>")
+    canon = df.select(
+        canonicalize_tokens(F.col("toks"),
+                            {"fast": "quick", "slow": "quick"}).alias("t")
+    ).head().t
+    assert canon == ["quick", "car", "quick"]
+    exp = df.select(
+        expand_tokens(F.col("toks"), {"fast": ["quick", "rapid"]}).alias("t")
+    ).head().t
+    assert exp == ["fast", "quick", "rapid", "car", "slow"]
+    assert expand_query_terms(["fast", "car"], {"fast": ["quick"]}) == [
+        "car", "fast", "quick"
+    ]
+    # no-op dictionaries pass tokens through
+    assert df.select(canonicalize_tokens(F.col("toks"), {}).alias("t")
+                     ).head().t == ["fast", "car", "slow"]
+
+
+def test_union_indexes_equals_single(spark):
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index, union_indexes,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string, source string")
+    whole = build_logical_index(docs, text_col="text",
+                                analyzer="simple_code", doc_id_col="doc_id")
+    halves = [
+        build_logical_index(docs.where(F.col("doc_id") % 2 == p),
+                            text_col="text", analyzer="simple_code",
+                            doc_id_col="doc_id")
+        for p in (0, 1)
+    ]
+    merged = union_indexes(halves)
+    assert merged.corpus_stats == whole.corpus_stats
+    a, b = _scores(whole, "spark join table"), _scores(merged, "spark join table")
+    assert set(a) == set(b)
+    for d in a:
+        assert b[d] == pytest.approx(a[d], rel=1e-12)
+
+    with pytest.raises(ValueError, match="at least one index"):
+        union_indexes([])
