@@ -7,13 +7,18 @@ observability contract as the index builder (``index/blocks.py``
 lineage), so a 100 TB run is debuggable stage by stage:
 
 1. **quality gate** — Gopher shape/repetition thresholds
-2. **PII redaction** — emails/IPs/phones masked in place
-3. **paragraph dedup** (optional) — corpus-wide boilerplate strip
-4. **exact dedup** — sha256 keep-first
-5. **near dedup** — MinHash-LSH pairs → connected components →
+2. **perplexity filter** (optional) — corpus bigram-LM outlier cut
+3. **PII redaction** — emails/IPs/phones masked in place
+4. **paragraph dedup** (optional) — corpus-wide boilerplate strip
+5. **exact dedup** — sha256 keep-first
+6. **near dedup** — MinHash-LSH pairs → connected components →
    keep one doc per cluster
-6. **chunking** — overlapping token windows sized for the trainer
-7. **split** — deterministic hash split (train/val/…)
+7. **decontamination** (optional) — n-gram collision vs an eval set
+8. **domain mix** (optional) — resample to target group weights
+9. **chunking** — overlapping token windows sized for the trainer
+10. **split** — deterministic hash split (train/val/…)
+11. **packing map** (optional) — concat-and-chunk sequence assignments
+    written per split (``{out_dir}/{split}_packing``)
 
 Stage boundaries are materialization points only where an iterative
 algorithm needs one (the component closure); everything else stays one
@@ -52,19 +57,29 @@ def run_dataprep(
     splits: dict[str, float] | None = None,
     paragraph_dedup: bool = False,
     quality_thresholds: dict | None = None,
+    eval_docs: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    target_mix: dict[str, float] | None = None,
+    mix_group_col: str = "source",
+    max_ppl: float | None = None,
+    pack_seq_len: int | None = None,
 ) -> dict:
     """Run the pipeline and write one parquet dataset per split under
     ``{out_dir}/{split}``.  Returns the lineage records (also appended
     to ``lineage.jsonl``)."""
     from ..operators import (
         chunk_documents,
+        decontaminate,
         dedup_by_clusters,
         dedup_paragraphs,
         exact_dedup,
         gopher_quality,
         hash_split,
         minhash_lsh_pairs,
+        pack_mapping,
+        perplexity_filter,
         redact_pii,
+        resample_to_mix,
     )
 
     splits = splits or {"train": 0.95, "val": 0.05}
@@ -90,6 +105,13 @@ def run_dataprep(
         return df.join(keep, id_col, "left_semi")
 
     cur, n = stage("quality_gate", _quality, docs, n)
+    if max_ppl is not None:
+        cur, n = stage(
+            "perplexity_filter",
+            lambda d: perplexity_filter(d, text_col, id_col,
+                                        max_ppl=max_ppl),
+            cur, n,
+        )
     cur, n = stage("pii_redact",
                    lambda d: redact_pii(d, text_col), cur, n)
     if paragraph_dedup:
@@ -109,6 +131,20 @@ def run_dataprep(
         return dedup_by_clusters(d, pairs, id_col)
 
     cur, n = stage("near_dedup", _near, cur, n)
+    if eval_docs is not None:
+        cur, n = stage(
+            "decontaminate",
+            lambda d: decontaminate(d, eval_docs, text_col, id_col,
+                                    n=decontaminate_n),
+            cur, n,
+        )
+    if target_mix:
+        cur, n = stage(
+            "domain_mix",
+            lambda d: resample_to_mix(d, mix_group_col, target_mix,
+                                      id_col=id_col),
+            cur, n,
+        )
     cur, n = stage(
         "chunk",
         lambda d: chunk_documents(d, max_tokens, overlap, text_col,
@@ -128,4 +164,30 @@ def run_dataprep(
                f"rows_{k}": v for k, v in counts.items()}}
     _log(out_dir, **rec)
     records.append(rec)
+    if pack_seq_len:
+        # pack each split's chunks into fixed-length training sequences;
+        # chunk order key = (doc id, chunk_id) packed into one int64
+        # (chunk_id < 2^20 — chunk counts per doc are bounded by the
+        # chunker's max_tokens floor long before that)
+        t0 = time.time()
+        pack_rows = {}
+        for name in splits:
+            part = cur.sparkSession.read.parquet(f"{out_dir}/{name}")
+            keyed = part.select(
+                (F.col("id") * F.lit(1 << 20)
+                 + F.col("chunk_id")).alias("pack_id"),
+                "chunk_text",
+            )
+            mapping = pack_mapping(keyed, text_col="chunk_text",
+                                   id_col="pack_id", seq_len=pack_seq_len)
+            mapping.write.mode("overwrite").parquet(
+                f"{out_dir}/{name}_packing"
+            )
+            pack_rows[name] = mapping.count()
+        rec = {"stage": "packing_map", "rows_in": sum(counts.values()),
+               "rows_out": sum(pack_rows.values()),
+               "wall_s": round(time.time() - t0, 2),
+               **{f"rows_{k}": v for k, v in pack_rows.items()}}
+        _log(out_dir, **rec)
+        records.append(rec)
     return {"records": records, "splits": counts}

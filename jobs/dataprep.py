@@ -30,6 +30,18 @@ def main() -> None:
     ap.add_argument("--near-dup-threshold", type=float, default=0.7)
     ap.add_argument("--paragraph-dedup", action="store_true")
     ap.add_argument("--train-frac", type=float, default=0.95)
+    ap.add_argument("--eval-set", default=None,
+                    help="parquet of (eval_id, text) to decontaminate "
+                         "against (n-gram collision)")
+    ap.add_argument("--decontaminate-n", type=int, default=13)
+    ap.add_argument("--target-mix", default=None,
+                    help='JSON dict of group -> weight, e.g. '
+                         '\'{"web": 0.6, "code": 0.4}\'')
+    ap.add_argument("--mix-group-col", default="source")
+    ap.add_argument("--max-ppl", type=float, default=None,
+                    help="bigram-LM perplexity cut (omit to skip)")
+    ap.add_argument("--pack-seq-len", type=int, default=None,
+                    help="write per-split packing maps at this length")
     args = ap.parse_args()
 
     from elasticsearch_nlp_classifier_spark.plans import run_dataprep
@@ -37,6 +49,8 @@ def main() -> None:
 
     spark = get_spark(app_name="dataprep")
     docs = spark.read.parquet(args.input)
+    eval_docs = (spark.read.parquet(args.eval_set)
+                 if args.eval_set else None)
     out = run_dataprep(
         docs, args.output,
         text_col=args.text_col, id_col=args.id_col,
@@ -44,6 +58,11 @@ def main() -> None:
         near_dup_threshold=args.near_dup_threshold,
         paragraph_dedup=args.paragraph_dedup,
         splits={"train": args.train_frac, "val": 1 - args.train_frac},
+        eval_docs=eval_docs, decontaminate_n=args.decontaminate_n,
+        target_mix=json.loads(args.target_mix) if args.target_mix else None,
+        mix_group_col=args.mix_group_col,
+        max_ppl=args.max_ppl,
+        pack_seq_len=args.pack_seq_len,
     )
     print(json.dumps(out))
 

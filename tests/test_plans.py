@@ -222,3 +222,61 @@ def test_dataprep_pipeline_end_to_end(spark, tmp_path):
     assert not (t_ids & v_ids)
     # kept canonical ids, dropped planted copies
     assert not any(i >= 10_000 for i in t_ids | v_ids)
+
+
+def test_dataprep_full_llm_pipeline(spark, tmp_path):
+    """All optional stages on: perplexity filter, decontamination,
+    domain mixing, and per-split packing maps."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_nlp_classifier_spark.plans import run_dataprep
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # eval set = doc 7's text verbatim -> decontamination must drop it
+    eval_docs = docs.where("doc_id = 7").select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    out_dir = str(tmp_path / "prep2")
+    res = run_dataprep(
+        docs, out_dir, max_tokens=32, overlap=0,
+        near_dup_threshold=0.5,
+        quality_thresholds={"min_words": 1, "min_mean_word_len": 0.0,
+                            "max_symbol_word_ratio": 1.0,
+                            "min_alpha_word_frac": 0.0},
+        eval_docs=eval_docs, decontaminate_n=6,
+        target_mix={"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        mix_group_col="source",
+        max_ppl=1e9,
+        pack_seq_len=16,
+    )
+    stages = [r["stage"] for r in res["records"]]
+    assert stages == [
+        "quality_gate", "perplexity_filter", "pii_redact", "exact_dedup",
+        "near_dedup", "decontaminate", "domain_mix", "chunk",
+        "split_write", "packing_map",
+    ]
+    by = {r["stage"]: r for r in res["records"]}
+    assert by["decontaminate"]["rows_out"] < by["decontaminate"]["rows_in"]
+
+    # packing maps written per split, sequences bounded by seq_len
+    for name in ("train", "val"):
+        chunks = spark.read.parquet(f"{out_dir}/{name}")
+        pk = spark.read.parquet(f"{out_dir}/{name}_packing")
+        per_seq = pk.groupBy("seq_id").agg(
+            F.sum("n_toks").alias("s")).collect()
+        assert all(r.s <= 16 for r in per_seq)
+        # every chunk's tokens are fully assigned
+        want = chunks.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        got = pk.agg(F.sum("n_toks")).collect()[0][0] or 0
+        assert got == want
+    # doc 7 (the eval item) never reaches the output
+    t_ids = {r["id"] for r in spark.read.parquet(f"{out_dir}/train")
+             .select("id").distinct().collect()}
+    v_ids = {r["id"] for r in spark.read.parquet(f"{out_dir}/val")
+             .select("id").distinct().collect()}
+    assert 7 not in (t_ids | v_ids)
+    # only targeted sources survive the mix
+    lines = [json.loads(l) for l in open(f"{out_dir}/lineage.jsonl")]
+    assert [l["stage"] for l in lines] == ["input"] + stages
