@@ -1402,6 +1402,25 @@ def q_agg_terms_subs(spark, sf_dir):
     )
 
 
+def q_web_clean(spark, sf_dir):
+    """Web-text cleaning: docs wrapped in deterministic HTML chrome
+    (tags + script + entities + a combining-accent suffix) must come
+    back as NFC-normalized visible text.  strip_html is RE2-safe JVM
+    regex (replayed verbatim in the oracle); NFC via unicodedata ==
+    DuckDB nfc_normalize."""
+    from elasticsearch_nlp_classifier_spark.operators import clean_web_docs
+
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<div class=x><p>"), F.col("text"),
+            F.lit("</p><script>var a=1;</script>&amp; cafe\u0301</div>"),
+        ).alias("text"),
+    )
+    return clean_web_docs(wrapped).select("doc_id", "text")
+
+
 def q_explain_bm25(spark, sf_dir):
     """ES _explain API: per-term BM25 breakdown for one (query, doc)
     pair, including non-matching clauses (matched=false, null posting
@@ -1668,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_bm25": q_explain_bm25,
         "synonym_match": q_synonym_match,
         "multi_index_bm25": q_multi_index_bm25,
+        "web_clean": q_web_clean,
     }
 
 
@@ -2927,6 +2947,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE lang IS NOT NULL
             GROUP BY 1
             ORDER BY doc_count DESC, key ASC LIMIT 10""",
+        "web_clean": """
+            WITH wrapped AS (
+              SELECT doc_id, '<div class=x><p>' || text ||
+                     '</p><script>var a=1;</script>&amp; cafe' ||
+                     chr(769) || '</div>' AS t
+              FROM documents
+            ),
+            s1 AS (SELECT doc_id, regexp_replace(t,
+                     '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+                   FROM wrapped),
+            s2 AS (SELECT doc_id, regexp_replace(t,
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(t,
+                     '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+            s4 AS (SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(t,
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', chr(39)), '&nbsp;', ' '),
+                       '&amp;', '&') AS t
+                   FROM s3)
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(t, '\\s+', ' ', 'g')))
+                     AS text
+            FROM s4""",
         "explain_bm25": "WITH " + _BM25_BASE + """,
             qt AS (
               SELECT DISTINCT unnest(list_filter(

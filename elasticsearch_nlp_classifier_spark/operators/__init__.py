@@ -16,6 +16,7 @@ from .bpe import bpe_encode, train_bpe, word_histogram  # noqa: F401
 from .decontaminate import decontaminate, ngram_contamination  # noqa: F401
 from .lm import bigram_logprob, perplexity_filter  # noqa: F401
 from .packing import pack_mapping, pack_tokens  # noqa: F401
+from .webclean import clean_web_docs, normalize_unicode, strip_html  # noqa: F401
 from .multimodal import (  # noqa: F401
     extract_features,
     extract_frames,

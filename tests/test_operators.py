@@ -480,3 +480,44 @@ def test_semantic_dedup_pairs_within_cell_exact(spark):
     kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
     assert all(v + 10_000 not in kept_ids for v in range(3))
     assert all(v in kept_ids for v in range(3))
+
+
+def test_web_clean(spark):
+    from elasticsearch_nlp_classifier_spark.operators import (
+        clean_web_docs, normalize_unicode, strip_html,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><head><style>p{color:red}</style></head>"
+                "<body><p>Hello   <b>world</b></p>"
+                "<script>alert('x');\nmore()</script>"
+                "&lt;tag&gt; &amp;amp; &nbsp;done</body></html>"),
+            (2, "no markup at all"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.t for r in
+           df.select("doc_id", strip_html("text").alias("t")).collect()}
+    assert got[1] == "Hello world <tag> &amp; done"  # amp decoded LAST
+    assert got[2] == "no markup at all"
+    assert got[3] is None
+
+    # NFC: combining accent composes; NFKC also folds compatibility
+    nf = spark.createDataFrame([(1, "café ﬁne")],
+                               "doc_id bigint, text string")
+    nfc = normalize_unicode(nf).head().text
+    assert nfc == "café ﬁne"          # é composed, ligature kept
+    nfkc = normalize_unicode(nf, form="NFKC").head().text
+    assert nfkc == "café fine"              # ligature folded
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown normalization"):
+        normalize_unicode(nf, form="XXX")
+
+    both = clean_web_docs(
+        spark.createDataFrame([(1, "<p>café</p>")],
+                              "doc_id bigint, text string")
+    ).head().text
+    assert both == "café"
