@@ -1,5 +1,9 @@
 """Synonym token filter — the ES analysis-chain feature
-(``synonym``/``synonym_graph``), in its two standard modes:
+(``synonym``/``synonym_graph``) available on any index the reference's
+client writes to (its own chain — reference
+`src/main/java/com/jamesmcguigan/nlp/utils/tokenize/NLPTokenizer.java` —
+stops at stopwords+stemming; this completes the standard filter set),
+in its two standard modes:
 
 - **canonicalize** (contraction, ``a, b => c``): rewrite every synonym
   to its canonical form.  Applied at INDEX time (and identically at

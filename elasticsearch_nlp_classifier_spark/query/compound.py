@@ -1,11 +1,15 @@
 """Compound ES query types composed over the logical index: dis_max,
 multi_match, constant_score, boosting.
 
-The reference talks to a stock ES endpoint
-(`utils/elasticsearch/ElasticsearchService.java`), so its users have the
-whole compound-query surface; these re-express the remaining core types
-over the same BM25 contribution machinery as ``bm25.py`` (identical
-idf/tf_hat spec, float64, (score DESC, doc_id ASC) ranking).
+The reference talks to a stock ES endpoint through
+``QueryBuilders`` (reference
+`src/main/java/com/jamesmcguigan/nlp/v1/classifier/OpenNLPClassifierES.java:14`
+imports the whole builder surface;
+`utils/elasticsearch/ESClient.java` is a plain RestHighLevelClient), so
+its users have every compound query type; these re-express the
+remaining core types over the same BM25 contribution machinery as
+``bm25.py`` (identical idf/tf_hat spec, float64,
+(score DESC, doc_id ASC) ranking).
 
 Scale shape: every operator here is ONE corpus postings scan — the
 clause/term table is broadcast, per-doc scores come out of a single

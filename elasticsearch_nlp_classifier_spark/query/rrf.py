@@ -1,5 +1,8 @@
 """Reciprocal-rank fusion (RRF) — hybrid lexical+vector search, the
-retrieval pattern ES ships as ``rank: {rrf: ...}``.
+retrieval pattern ES ships as ``rank: {rrf: ...}`` (available to any
+user of the reference's stock client,
+`utils/elasticsearch/ESClient.java`; the engine supplies both
+retrievers natively: WAND BM25 + ANN cosine).
 
     rrf_score(d) = Σ_over_rankings  weight_r / (rank_constant + rank_r(d))
 
