@@ -1590,6 +1590,194 @@ def q_pack_mapping(spark, sf_dir):
     )
 
 
+def q_regexp_bm25(spark, sf_dir):
+    """Lucene regexp query: anchored dictionary-probe expansion
+    (`term rlike '^(?:pat)$'`, cap 50 by term ASC) + the WAND core —
+    same family as prefix/wildcard (`RestHighLevelClient` surface,
+    `utils/elasticsearch/ElasticsearchService.java`)."""
+    from elasticsearch_nlp_classifier_spark.query.mlt import regexp_topk
+
+    index = _physical_index(spark, sf_dir)
+    return _rank10(
+        regexp_topk(index, "dat[a-z]*", k=50).select("doc_id", "score")
+    )
+
+
+def q_suggest_completion(spark, sf_dir):
+    """ES completion suggester: prefix-matched vocabulary ranked by
+    weight (df) DESC, term ASC — dictionary-only probe."""
+    from elasticsearch_nlp_classifier_spark.query.mlt import (
+        completion_suggest,
+    )
+
+    index = _physical_index(spark, sf_dir)
+    return completion_suggest(index, "s", n=5)
+
+
+def q_match_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix: exact slots + last-token prefix
+    expansion (cap 50 by term ASC), adjacency over positional
+    postings; n_matches counts distinct valid starts."""
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query.phrase import (
+        match_phrase_prefix,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="mpp_ix_") + "/idx"
+    index = build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code",
+        with_positions=True,
+    )
+    return match_phrase_prefix(index, "data val", analyzer="simple_code")
+
+
+def q_decay_score(spark, sf_dir):
+    """ES function_score gauss decay (origin/scale/decay reference
+    math) composed over BM25 hits — decay value from n_chars."""
+    from elasticsearch_nlp_classifier_spark.query import bm25_topk
+    from elasticsearch_nlp_classifier_spark.query.rescore import decay_score
+
+    idx = _logical_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(1, "data value table")], "query_id int, query_text string"
+    )
+    scored = bm25_topk(idx, q, k=10_000_000, analyzer="simple_code")
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    hits = scored.join(docs, "doc_id")
+    decayed = decay_score(
+        hits, "n_chars", origin=200.0, scale=100.0, decay=0.5, fn="gauss"
+    )
+    return _rank10(decayed.select("doc_id", "score"))
+
+
+def q_random_score(spark, sf_dir):
+    """ES function_score random_score: deterministic per-doc
+    uniform-[0,1) (seeded md5) added to the BM25 score — reproducible
+    across engines, so the oracle recomputes it exactly."""
+    from elasticsearch_nlp_classifier_spark.query import bm25_topk
+    from elasticsearch_nlp_classifier_spark.query.rescore import random_score
+
+    idx = _logical_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(1, "data value table")], "query_id int, query_text string"
+    )
+    scored = bm25_topk(idx, q, k=10_000_000, analyzer="simple_code")
+    rnd = random_score(scored, seed="rs", boost_mode="sum")
+    return _rank10(rnd.select("doc_id", "score"))
+
+
+def q_msearch(spark, sf_dir):
+    """ES _msearch: one batched WAND pass over N independent queries —
+    per-query top-10, one index scan for the whole batch."""
+    import pandas as pd
+
+    from elasticsearch_nlp_classifier_spark.query.wand import wand_topk
+
+    index = _physical_index(spark, sf_dir)
+    q = pd.DataFrame({
+        "query_id": [1, 2],
+        "query_text": ["data value table", "hash join merge"],
+    })
+    scored = wand_topk(index, q, k=50, analyzer="simple_code")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank2", F.row_number().over(w))
+        .where(F.col("rank2") <= 10)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("rank2").cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score_r6"),
+        )
+    )
+
+
+def q_agg_date_range(spark, sf_dir):
+    """ES date_range agg: half-open ISO-bounded buckets over events.ts."""
+    from elasticsearch_nlp_classifier_spark.query import date_range_agg
+
+    return date_range_agg(
+        _events(spark, sf_dir), "ts",
+        [(None, "2024-01-10 00:00:00"),
+         ("2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+         ("2024-01-20 00:00:00", None)],
+    )
+
+
+def q_agg_filters(spark, sf_dir):
+    """ES filters agg: named predicate buckets in one sum(CASE) scan."""
+    from elasticsearch_nlp_classifier_spark.query import filters_agg
+
+    docs = _docs(spark, sf_dir)
+    return filters_agg(docs, {
+        "short": F.col("n_chars") < 100,
+        "en": F.col("lang") == "en",
+        "long_de": (F.col("n_chars") >= 300) & (F.col("lang") == "de"),
+    })
+
+
+def q_agg_missing(spark, sf_dir):
+    """ES missing + value_count aggs over a field with planted nulls
+    (doc_id % 7 == 0 → null, declared identically in the oracle)."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        missing_agg,
+        value_count_agg,
+    )
+
+    d = _docs(spark, sf_dir).withColumn(
+        "kw",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    return missing_agg(d, "kw").crossJoin(value_count_agg(d, "kw"))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain census over synthesized URLs (domain extracted by the
+    RE2-safe host regex — the pipeline's cheapest curation key)."""
+    from elasticsearch_nlp_classifier_spark.operators.domains import (
+        domain_stats,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/docs/"),
+                 F.col("doc_id").cast("string")),
+    )
+    return domain_stats(docs, "url", size_col="n_chars")
+
+
+def q_domain_quota(spark, sf_dir):
+    """Blocklist filter + per-domain quota (deterministic hash rank,
+    cap 10/domain) — the domain-curation pair every web pipeline runs
+    before content-level work."""
+    from elasticsearch_nlp_classifier_spark.operators.domains import (
+        domain_quota,
+        filter_blocked_domains,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/docs/"),
+                 F.col("doc_id").cast("string")),
+    )
+    kept = filter_blocked_domains(
+        docs, "url",
+        ["src1.example.com", "src3.example.com"],
+    )
+    return domain_quota(kept, "url", 10, id_col="doc_id").select("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1662,6 +1850,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": q_agg_cardinality,
         "agg_top_hits": q_agg_top_hits,
         "agg_significant_terms": q_agg_significant_terms,
+        "agg_date_range": q_agg_date_range,
+        "agg_filters": q_agg_filters,
+        "agg_missing": q_agg_missing,
+        "regexp_bm25": q_regexp_bm25,
+        "suggest_completion": q_suggest_completion,
+        "match_phrase_prefix": q_match_phrase_prefix,
+        "decay_score": q_decay_score,
+        "random_score": q_random_score,
+        "msearch": q_msearch,
+        "domain_stats": q_domain_stats,
+        "domain_quota": q_domain_quota,
         "bool_query": q_bool_query,
         "highlight": q_highlight,
         "semantic_dedup": q_semantic_dedup,
@@ -2009,6 +2208,86 @@ qt AS (SELECT term FROM stats WHERE term LIKE 'tab%'
        ORDER BY term LIMIT 50),
 """ + _BM25_TAIL
 
+# regexp-query twin: anchored RE2 over the dictionary, term ASC cap 50
+_REGEXP_SQL = _BM25_BASE + """,
+qt AS (SELECT term FROM stats
+       WHERE regexp_matches(term, '^(?:dat[a-z]*)$')
+       ORDER BY term LIMIT 50),
+""" + _BM25_TAIL
+
+# gauss-decay function_score twin: BM25('data value table') × the ES
+# reference decay curve on n_chars (origin 200, scale 100, decay 0.5)
+_DECAY_SQL = _BM25_BASE + """,
+qt AS (SELECT DISTINCT unnest(list_filter(
+         string_split_regex(lower('data value table'), '[^a-z0-9]+'),
+         x -> x <> '')) AS term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM corpus) - s.df + 0.5) / (s.df + 0.5))
+           * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM corpus)))
+           AS c
+  FROM tf
+  JOIN qt USING (term)
+  JOIN stats s USING (term)
+  JOIN dl USING (doc_id)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY 1),
+dist AS (
+  SELECT doc_id, greatest(abs(n_chars - 200.0) - 0.0, 0.0) AS d
+  FROM documents
+),
+decayed AS (
+  SELECT s.doc_id,
+         s.score * exp(-(dist.d * dist.d)
+                       / (2.0 * (-(100.0 * 100.0) / (2.0 * ln(0.5)))))
+           AS score
+  FROM scores s JOIN dist USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS rank,
+         round(score, 6) AS score_r6
+  FROM decayed
+)
+SELECT rank::BIGINT AS rank, doc_id, score_r6 FROM ranked WHERE rank <= 10"""
+
+# msearch twin: per-query BM25 ranking over a 2-query batch
+_MSEARCH_SQL = _BM25_BASE + """,
+queries(query_id, qtext) AS (
+  VALUES (1, 'data value table'), (2, 'hash join merge')
+),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(
+           string_split_regex(lower(qtext), '[^a-z0-9]+'),
+           x -> x <> '')) AS term
+  FROM queries
+),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1 + ((SELECT n FROM corpus) - s.df + 0.5) / (s.df + 0.5))
+           * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM corpus)))
+           AS c
+  FROM tf
+  JOIN qt USING (term)
+  JOIN stats s USING (term)
+  JOIN dl USING (doc_id)
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id ASC)
+           AS rank,
+         round(score, 6) AS score_r6
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score_r6
+FROM ranked WHERE rank <= 10"""
+
 _SUGGEST_SQL = f"""
 WITH {_TF},
 stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
@@ -2045,6 +2324,10 @@ def _quality_repetition_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from elasticsearch_nlp_classifier_spark.operators.domains import (
+        DOMAIN_RX as _DOMAIN_RX_SQL,
+    )
+
     sqls = {
         "a1_term_freq": f"WITH {_TF} SELECT doc_id, term, tf FROM tf",
         "a2_a3_term_stats": f"""
@@ -2368,6 +2651,103 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id >= 100 AND doc_id < 300 AND NOT (lang = 'en')""",
         "fuzzy_bm25": "WITH " + _FUZZY_BM25_SQL,
         "wand_deletes": "WITH " + _WAND_DELETES_SQL,
+        "regexp_bm25": "WITH " + _REGEXP_SQL,
+        "decay_score": "WITH " + _DECAY_SQL,
+        "msearch": "WITH " + _MSEARCH_SQL,
+        "random_score": "WITH " + _BM25_SQL.replace(
+            "{QUERY}", "data value table"
+        ).replace(
+            "round(score, 9)",
+            f"round(score + {_hash_u('doc_id', 'rs')}, 9)",
+        ).replace(
+            "round(score, 6)",
+            f"round(score + {_hash_u('doc_id', 'rs')}, 6)",
+        ),
+        "suggest_completion": f"""
+            WITH {_TF},
+            stats AS (SELECT term, count(*)::BIGINT AS df
+                      FROM tf GROUP BY 1)
+            SELECT term, df AS weight FROM stats WHERE term LIKE 's%'
+            ORDER BY weight DESC, term ASC LIMIT 5""",
+        "match_phrase_prefix": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            ),
+            exp AS (
+              SELECT DISTINCT term FROM pos WHERE term LIKE 'val%'
+              ORDER BY term LIMIT 50
+            )
+            SELECT p0.doc_id, count(DISTINCT p0.pos)::BIGINT AS n_matches
+            FROM pos p0
+            JOIN pos p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+            WHERE p0.term = 'data' AND p1.term IN (SELECT term FROM exp)
+            GROUP BY 1""",
+        "agg_date_range": """
+            WITH c AS (
+              SELECT
+                sum(CASE WHEN ts IS NOT NULL
+                         AND ts < TIMESTAMP '2024-01-10 00:00:00'
+                    THEN 1 ELSE 0 END) AS b1,
+                sum(CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+                         AND ts < TIMESTAMP '2024-01-20 00:00:00'
+                    THEN 1 ELSE 0 END) AS b2,
+                sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                    THEN 1 ELSE 0 END) AS b3
+              FROM events)
+            SELECT '*-2024-01-10 00:00:00' AS key,
+                   b1::BIGINT AS doc_count FROM c
+            UNION ALL
+            SELECT '2024-01-10 00:00:00-2024-01-20 00:00:00', b2::BIGINT
+            FROM c
+            UNION ALL
+            SELECT '2024-01-20 00:00:00-*', b3::BIGINT FROM c""",
+        "agg_filters": """
+            WITH c AS (
+              SELECT
+                sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS k1,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS k2,
+                sum(CASE WHEN n_chars >= 300 AND lang = 'de'
+                    THEN 1 ELSE 0 END) AS k3
+              FROM documents)
+            SELECT 'short' AS key, k1::BIGINT AS doc_count FROM c
+            UNION ALL SELECT 'en', k2::BIGINT FROM c
+            UNION ALL SELECT 'long_de', k3::BIGINT FROM c""",
+        "agg_missing": """
+            SELECT sum(CASE WHEN kw IS NULL OR kw = ''
+                       THEN 1 ELSE 0 END)::BIGINT AS doc_count,
+                   count(kw)::BIGINT AS value_count
+            FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL
+                              ELSE lang END AS kw
+                  FROM documents)""",
+        "domain_stats": f"""
+            SELECT lower(regexp_extract(
+                     'https://' || source || '.example.com/docs/'
+                       || doc_id::VARCHAR,
+                     '{_DOMAIN_RX_SQL}', 1)) AS domain,
+                   count(*)::BIGINT AS doc_count,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY 1""",
+        "domain_quota": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     lower(regexp_extract(
+                       'https://' || source || '.example.com/docs/'
+                         || doc_id::VARCHAR,
+                       '{_DOMAIN_RX_SQL}', 1)) AS domain
+              FROM documents),
+            f AS (SELECT * FROM u
+                  WHERE domain NOT IN ('src1.example.com',
+                                       'src3.example.com')),
+            r AS (SELECT doc_id,
+                         row_number() OVER (
+                           PARTITION BY domain
+                           ORDER BY {_hash_u('doc_id', 'quota')} ASC,
+                                    doc_id ASC) AS rk
+                  FROM f)
+            SELECT doc_id FROM r WHERE rk <= 10""",
         "mlt_topk": "WITH " + _MLT_SQL,
         "prefix_bm25": "WITH " + _PREFIX_SQL,
         "suggest_terms": _SUGGEST_SQL,

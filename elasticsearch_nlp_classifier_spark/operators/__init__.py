@@ -12,6 +12,13 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
 )
 from .chunk import chunk_documents  # noqa: F401
+from .domains import (  # noqa: F401
+    domain_quota,
+    domain_stats,
+    extract_domain,
+    filter_blocked_domains,
+    registered_domain,
+)
 from .bpe import bpe_encode, train_bpe, word_histogram  # noqa: F401
 from .decontaminate import decontaminate, ngram_contamination  # noqa: F401
 from .lm import bigram_logprob, perplexity_filter  # noqa: F401

@@ -24,20 +24,27 @@ from .wand import topk_from_pairs  # noqa: F401
 from .aggs import (  # noqa: F401
     cardinality_agg,
     date_histogram_agg,
+    date_range_agg,
     extended_stats_agg,
     filters_agg,
     histogram_agg,
+    missing_agg,
     percentiles_agg,
     range_agg,
     significant_terms,
     stats_agg,
     terms_agg,
     top_hits_agg,
+    value_count_agg,
 )
 from .mlt import (  # noqa: F401
+    completion_suggest,
     mlt_terms,
     more_like_this,
     prefix_topk,
+    regexp_topk,
     suggest_terms,
     wildcard_topk,
 )
+from .phrase import match_phrase_prefix  # noqa: F401
+from .rescore import decay_score, random_score  # noqa: F401

@@ -50,7 +50,10 @@ __all__ = [
     "histogram_agg",
     "date_histogram_agg",
     "range_agg",
+    "date_range_agg",
     "filters_agg",
+    "missing_agg",
+    "value_count_agg",
     "stats_agg",
     "extended_stats_agg",
     "percentiles_agg",
@@ -173,6 +176,56 @@ def filters_agg(df: DataFrame, named: dict[str, Column]) -> DataFrame:
         for name, pred in named.items()
     ])
     labels = list(named)
+    stack = ", ".join(f"'{l}', `{l}`" for l in labels)
+    return counts.selectExpr(
+        f"stack({len(labels)}, {stack}) as (key, doc_count)"
+    ).select("key", F.col("doc_count").cast("bigint").alias("doc_count"))
+
+
+def missing_agg(df: DataFrame, field: str) -> DataFrame:
+    """ES ``missing`` agg: how many docs lack a value for ``field``
+    (null; '' counts as missing too for string fields, matching the
+    reference's empty-string-as-default CSV convention).  One
+    ``sum(CASE)`` over the scan."""
+    c = F.col(field)
+    miss = c.isNull() | (c.cast("string") == F.lit(""))
+    return df.agg(
+        F.sum(F.when(miss, 1).otherwise(0)).cast("bigint")
+        .alias("doc_count")
+    )
+
+
+def value_count_agg(df: DataFrame, field: str) -> DataFrame:
+    """ES ``value_count`` agg: number of non-null values extracted for
+    the field (not distinct — plain count)."""
+    return df.agg(F.count(field).cast("bigint").alias("value_count"))
+
+
+def date_range_agg(
+    df: DataFrame, ts_field: str,
+    ranges: list[tuple[str | None, str | None]],
+) -> DataFrame:
+    """ES ``date_range`` agg: half-open ``[from, to)`` buckets over a
+    timestamp field; bounds are ISO strings, ``None`` unbounded.  Same
+    single-scan ``sum(CASE)`` shape as :func:`range_agg` (ES's
+    date_range IS range with date parsing)."""
+    def _lbl(lo, hi):
+        return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+    def _pred(lo, hi) -> Column:
+        c = F.col(ts_field)
+        p = c.isNotNull()
+        if lo is not None:
+            p = p & (c >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            p = p & (c < F.to_timestamp(F.lit(hi)))
+        return p
+
+    counts = df.agg(*[
+        F.sum(F.when(_pred(lo, hi), 1).otherwise(0)).alias(_lbl(lo, hi))
+        for lo, hi in ranges
+    ])
+    labels = [_lbl(lo, hi) for lo, hi in ranges]
     stack = ", ".join(f"'{l}', `{l}`" for l in labels)
     return counts.selectExpr(
         f"stack({len(labels)}, {stack}) as (key, doc_count)"

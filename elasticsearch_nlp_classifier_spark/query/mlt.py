@@ -93,6 +93,59 @@ def wildcard_topk(
     )
 
 
+def regexp_topk(
+    index: PhysicalIndex,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    query_id: int = 0,
+    n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
+) -> DataFrame:
+    """Lucene/ES ``regexp`` query: the pattern (implicitly anchored at
+    both ends, per Lucene semantics) is evaluated over the term
+    dictionary only — never over postings — and the expansion set
+    (capped ``max_expansions`` by term ASC) is scored through the
+    shared WAND core with each term's own IDF.
+
+    Scale shape: identical to ``prefix``/``wildcard`` — the dictionary
+    probe is a filter over the (vocabulary-sized) term_stats table, and
+    everything after it is a standard pruned block scan."""
+    rx = "^(?:" + pattern + ")$"
+    rows = (
+        index.term_stats.where(F.col("term").rlike(rx))
+        .select("term").orderBy("term").limit(max_expansions).collect()
+    )
+    pairs = [(query_id, r["term"]) for r in rows]
+    return topk_from_pairs(
+        index, pairs, {query_id: k}, n_buckets=n_buckets,
+        deleted=_deleted(index, respect_deletes),
+    )
+
+
+def completion_suggest(
+    index: PhysicalIndex,
+    prefix: str,
+    n: int = 5,
+) -> DataFrame:
+    """ES completion suggester over the indexed vocabulary: terms
+    starting with ``prefix``, ranked by weight DESC then term ASC.
+
+    ES's completion field stores explicit per-suggestion weights in an
+    FST; with the index itself as the suggestion source, document
+    frequency is the natural weight (the same default ES applies when
+    suggestions are derived from indexed terms).  The probe is a
+    pushdown ``startswith`` filter on the term dictionary — vocabulary-
+    sized, never postings-sized — so at 100 TB it touches only
+    term_stats."""
+    return (
+        index.term_stats.where(F.col("term").startswith(prefix))
+        .select("term", F.col("df").cast("bigint").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(n)
+    )
+
+
 def suggest_terms(
     index: PhysicalIndex,
     term: str,

@@ -160,6 +160,100 @@ def match_phrase(
     return live_docs(index, res) if respect_deletes else res
 
 
+def match_phrase_prefix(
+    index: PhysicalIndex,
+    phrase: str,
+    analyzer: str = "code",
+    max_expansions: int = 50,
+    n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the analyzed phrase must appear as
+    consecutive tokens, with the LAST token treated as a prefix —
+    expanded against the term dictionary (capped ``max_expansions`` by
+    term ASC, Lucene's expansion order).  Returns ``(doc_id,
+    n_matches)`` where ``n_matches`` counts valid start positions (a
+    start is valid if ANY expansion follows the exact slots — multiple
+    expansions at one start count once, matching Lucene's span
+    semantics).
+
+    Scale shape: the dictionary probe touches term_stats only; the
+    positional decode is pruned to ``exact slots + expansion set``; the
+    per-doc merge of expansion positions is one hash aggregation over
+    candidate docs (``flatten(collect_list)``), and adjacency runs as a
+    JVM higher-order expression — identical cost model to
+    :func:`match_phrase` plus the bounded expansion union.
+    """
+    from ..analyzer.chain import get_analyzer
+    from ..index.deletes import live_docs
+
+    slots = get_analyzer(analyzer).tokenize(phrase)
+    spark = index.spark
+    empty = spark.createDataFrame([], "doc_id bigint, n_matches bigint")
+    if not slots:
+        return empty
+    prefix, exact = slots[-1], slots[:-1]
+    exp = [
+        r["term"]
+        for r in index.term_stats.where(F.col("term").startswith(prefix))
+        .select("term").orderBy("term").limit(max_expansions).collect()
+    ]
+    if not exp:
+        return empty
+
+    pp = positional_postings(index, sorted(set(exact) | set(exp)),
+                             n_buckets).cache()
+    # last slot: per-doc union of every expansion's positions
+    last = (
+        pp.where(F.col("term").isin(exp))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias("pos_last")
+        )
+    )
+    if not exact:
+        res = last.select(
+            "doc_id", F.size("pos_last").cast("bigint").alias("n_matches")
+        )
+        return live_docs(index, res) if respect_deletes else res
+
+    present = {
+        r["term"]
+        for r in pp.select("term").distinct().collect()
+    }
+    if any(t not in present for t in exact):
+        return empty
+    out = pp.where(F.col("term") == exact[0]).select(
+        "doc_id", F.col("positions").alias("pos_0")
+    )
+    for i, t in enumerate(exact[1:], start=1):
+        side = pp.where(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"pos_{i}")
+        )
+        out = out.join(side, "doc_id")
+    out = out.join(last, "doc_id")
+
+    n_last = len(exact)  # the prefix slot's offset from the start
+    match_starts = F.filter(
+        F.col("pos_0"),
+        lambda p: reduce(
+            lambda acc, i: acc & F.array_contains(
+                F.col(f"pos_{i}"), p + F.lit(i)
+            ),
+            range(1, len(exact)),
+            F.array_contains(F.col("pos_last"), p + F.lit(n_last)),
+        ),
+    )
+    res = (
+        out.withColumn("n_matches", F.size(match_starts).cast("bigint"))
+        .where(F.col("n_matches") > 0)
+        .select("doc_id", "n_matches")
+    )
+    return live_docs(index, res) if respect_deletes else res
+
+
 def span_near(
     index: PhysicalIndex,
     phrase: str,

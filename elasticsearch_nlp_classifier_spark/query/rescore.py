@@ -18,7 +18,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["function_score", "rescore_phrase"]
+__all__ = [
+    "function_score", "rescore_phrase", "decay_score", "random_score",
+]
 
 
 _MODIFIERS = {
@@ -49,6 +51,76 @@ def function_score(
     combined = (
         F.col(score_col) * fv if boost_mode == "multiply"
         else F.col(score_col) + fv
+    )
+    return hits.withColumn(score_col, combined)
+
+
+def decay_score(
+    hits: DataFrame,
+    field: str,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    offset: float = 0.0,
+    fn: str = "gauss",
+    boost_mode: str = "multiply",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``function_score`` decay functions (``gauss``/``exp``/
+    ``linear``) on a numeric field: the decay value is 1.0 at
+    ``origin`` (± ``offset``) and exactly ``decay`` at distance
+    ``scale``, falling per the chosen curve (ES reference math):
+
+    - gauss:  ``exp(-d² / 2σ²)`` with ``σ² = -scale² / (2 ln decay)``
+    - exp:    ``exp(λ d)``       with ``λ = ln(decay) / scale``
+    - linear: ``max(0, (s - d) / s)`` with ``s = scale / (1 - decay)``
+
+    where ``d = max(0, |x - origin| - offset)``.  Pure JVM column
+    arithmetic over the hit set — one projection, no extra scan, so it
+    composes with any retriever at any scale."""
+    import math
+
+    x = F.col(field).cast("double")
+    d = F.greatest(
+        F.abs(x - F.lit(float(origin))) - F.lit(float(offset)), F.lit(0.0)
+    )
+    if fn == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        dv: Column = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif fn == "exp":
+        lam = math.log(decay) / scale
+        dv = F.exp(F.lit(lam) * d)
+    elif fn == "linear":
+        s = scale / (1.0 - decay)
+        dv = F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+    else:
+        raise ValueError(f"unknown decay function {fn!r}")
+    combined = (
+        F.col(score_col) * dv if boost_mode == "multiply"
+        else F.col(score_col) + dv
+    )
+    return hits.withColumn(score_col, combined)
+
+
+def random_score(
+    hits: DataFrame,
+    seed: str = "",
+    id_col: str = "doc_id",
+    boost_mode: str = "multiply",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``function_score`` ``random_score``: a deterministic
+    uniform-[0,1) draw per document, reproducible across runs/engines
+    for a fixed ``seed`` + ``field`` (ES requires exactly that pairing
+    for consistent scoring).  Reuses the engine's md5-threshold hash
+    (``operators/sampling.hash_uniform``) so the DuckDB oracle computes
+    the identical value."""
+    from ..operators.sampling import hash_uniform
+
+    rv = hash_uniform(F.col(id_col), salt=seed)
+    combined = (
+        F.col(score_col) * rv if boost_mode == "multiply"
+        else F.col(score_col) + rv
     )
     return hits.withColumn(score_col, combined)
 

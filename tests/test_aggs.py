@@ -223,3 +223,38 @@ def test_significant_terms_jlh(spark, docs):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_missing_and_value_count_agg(spark):
+    from elasticsearch_nlp_classifier_spark.query import (
+        missing_agg,
+        value_count_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, ""), (4, "b")], "id bigint, f string"
+    )
+    assert missing_agg(df, "f").collect()[0]["doc_count"] == 2
+    # value_count counts non-null extracted values ('' IS a value to ES)
+    assert value_count_agg(df, "f").collect()[0]["value_count"] == 3
+
+
+def test_date_range_agg_buckets(spark):
+    from elasticsearch_nlp_classifier_spark.query import date_range_agg
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00"), (2, "2024-01-15 12:00:00"),
+         (3, "2024-01-25 00:00:00"), (4, None)],
+        "id bigint, t string",
+    ).select("id", F.to_timestamp("t").alias("ts"))
+    got = {r["key"]: r["doc_count"] for r in date_range_agg(
+        df, "ts",
+        [(None, "2024-01-10 00:00:00"),
+         ("2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+         ("2024-01-20 00:00:00", None)],
+    ).collect()}
+    assert got == {
+        "*-2024-01-10 00:00:00": 1,
+        "2024-01-10 00:00:00-2024-01-20 00:00:00": 1,
+        "2024-01-20 00:00:00-*": 1,
+    }

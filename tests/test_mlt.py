@@ -94,3 +94,34 @@ def test_mlt_include_self_ranks_source_first(index):
         index, 2, k=3, max_query_terms=4, include_self=True
     ).toPandas()
     assert out.doc_id.iloc[0] == 2
+
+
+def test_regexp_topk_anchored_expansion(index):
+    from elasticsearch_nlp_classifier_spark.query.mlt import regexp_topk
+
+    got = regexp_topk(index, "spark(s|le)?", k=10).toPandas()
+    # expansion = {spark, sparks, sparkle}; 'sparkling' excluded by the
+    # implicit full anchor (Lucene regexp semantics)
+    exp = ["spark", "sparkle", "sparks"]
+    want = topk_from_pairs(index, [(0, t) for t in exp], {0: 10}).toPandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+    # doc 5 matches only via 'sparkling' -> must NOT rank
+    assert 5 not in set(got.doc_id)
+
+
+def test_completion_suggest_weight_then_term(index):
+    from elasticsearch_nlp_classifier_spark.query.mlt import (
+        completion_suggest,
+    )
+
+    got = completion_suggest(index, "spark", n=10).toPandas()
+    # weights are doc freqs; order weight DESC then term ASC
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.where(
+            F.col("term").startswith("spark")
+        ).collect()
+    }
+    want = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(zip(got.term, got.weight)) == want
+    assert list(got.columns) == ["term", "weight"]

@@ -206,3 +206,40 @@ def test_span_near_slop0_equals_match_phrase(pos_index):
     b = sorted(span_near(pos_index, "quick brown fox", slop=0,
                          analyzer="simple_code").collect())
     assert a == b
+
+
+def test_match_phrase_prefix_expands_last_token(pos_index):
+    from elasticsearch_nlp_classifier_spark.query import match_phrase_prefix
+
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in match_phrase_prefix(
+            pos_index, "quick br", analyzer="simple_code"
+        ).collect()
+    }
+    # 'quick brown' adjacency: docs 0 (1x), 1 (3x), 7 (2x); doc 3 has
+    # 'quick red' (no br* follows), doc 2 has 'brown quick' (wrong order)
+    assert got == {0: 1, 1: 3, 7: 2}
+
+
+def test_match_phrase_prefix_single_prefix_counts_positions(pos_index):
+    from elasticsearch_nlp_classifier_spark.query import match_phrase_prefix
+
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in match_phrase_prefix(
+            pos_index, "qui", analyzer="simple_code"
+        ).collect()
+    }
+    # single-prefix phrase: n_matches = occurrences of any qui* term
+    assert got[1] == 3 and got[6] == 1 and got[7] == 2
+    assert 4 not in got
+
+
+def test_match_phrase_prefix_missing_exact_slot_empty(pos_index):
+    from elasticsearch_nlp_classifier_spark.query import match_phrase_prefix
+
+    out = match_phrase_prefix(
+        pos_index, "zzzabsent qui", analyzer="simple_code"
+    )
+    assert out.count() == 0

@@ -74,3 +74,64 @@ def test_rescore_phrase_reorders_within_window(spark, docs,
     # scores are the weighted combination, strictly rank-ordered
     scores = [r["score"] for r in res]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_decay_score_reference_points(spark):
+    """The ES decay contract: value is 1.0 at origin and exactly
+    ``decay`` at distance ``scale``, for all three curves."""
+    from elasticsearch_nlp_classifier_spark.query import decay_score
+
+    hits = spark.createDataFrame(
+        [(1, 1.0, 200.0), (2, 1.0, 300.0), (3, 1.0, 100.0),
+         (4, 1.0, 1000.0)],
+        "doc_id bigint, score double, n double",
+    )
+    for fn in ("gauss", "exp", "linear"):
+        got = {r["doc_id"]: r["score"] for r in
+               decay_score(hits, "n", origin=200.0, scale=100.0,
+                           decay=0.5, fn=fn).collect()}
+        assert got[1] == pytest.approx(1.0), fn
+        assert got[2] == pytest.approx(0.5), fn   # |x-origin| == scale
+        assert got[3] == pytest.approx(0.5), fn
+    # linear hits exactly 0 beyond scale/(1-decay); gauss/exp never do
+    lin = {r["doc_id"]: r["score"] for r in
+           decay_score(hits, "n", origin=200.0, scale=100.0,
+                       decay=0.5, fn="linear").collect()}
+    assert lin[4] == 0.0
+    g = {r["doc_id"]: r["score"] for r in
+         decay_score(hits, "n", origin=200.0, scale=100.0,
+                     decay=0.5, fn="gauss").collect()}
+    assert 0.0 < g[4] < 1e-6
+
+    with pytest.raises(ValueError):
+        decay_score(hits, "n", 0.0, 1.0, fn="nope")
+
+
+def test_decay_score_offset_flat_zone(spark):
+    from elasticsearch_nlp_classifier_spark.query import decay_score
+
+    hits = spark.createDataFrame(
+        [(1, 2.0, 230.0), (2, 2.0, 350.0)],
+        "doc_id bigint, score double, n double",
+    )
+    got = {r["doc_id"]: r["score"] for r in
+           decay_score(hits, "n", origin=200.0, scale=100.0, decay=0.5,
+                       offset=50.0, fn="exp").collect()}
+    assert got[1] == pytest.approx(2.0)          # inside the offset zone
+    assert got[2] == pytest.approx(2.0 * 0.5)    # d = 100 = scale
+
+
+def test_random_score_deterministic_uniform(spark):
+    from elasticsearch_nlp_classifier_spark.query import random_score
+
+    hits = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("score")
+    )
+    a = random_score(hits, seed="s1").toPandas().sort_values("doc_id")
+    b = random_score(hits, seed="s1").toPandas().sort_values("doc_id")
+    c = random_score(hits, seed="s2").toPandas().sort_values("doc_id")
+    assert (a.score.values == b.score.values).all()       # reproducible
+    assert (a.score.values != c.score.values).any()       # seed matters
+    assert ((a.score.values >= 0) & (a.score.values < 1)).all()
+    # roughly uniform: mean within 10% of 0.5 on 500 draws
+    assert abs(a.score.mean() - 0.5) < 0.05
