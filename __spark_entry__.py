@@ -1778,6 +1778,23 @@ def q_domain_quota(spark, sf_dir):
     return domain_quota(kept, "url", 10, id_col="doc_id").select("doc_id")
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Exact repeated-substring (token 5-gram) span detection with
+    keep-first semantics and per-doc interval merge — the span-level
+    dedup from Lee et al. 2022, fixed-k approximation."""
+    from elasticsearch_nlp_classifier_spark.operators.dedup import (
+        repeated_kgram_spans,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    out = repeated_kgram_spans(docs, "text", "doc_id", k=5)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1861,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch": q_msearch,
         "domain_stats": q_domain_stats,
         "domain_quota": q_domain_quota,
+        "dedup_spans": q_dedup_spans,
         "bool_query": q_bool_query,
         "highlight": q_highlight,
         "semantic_dedup": q_semantic_dedup,
@@ -2730,6 +2748,51 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS doc_count,
                    sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY 1""",
+        "dedup_spans": f"""
+            WITH {_DUPS_SQL},
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS w
+              FROM docs_dup
+            ),
+            occ AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 5
+                       THEN [array_to_string(w[i:i+4], ' ')
+                             for i in range(1, len(w) - 3)]
+                       ELSE [] END) AS g,
+                     unnest(CASE WHEN len(w) >= 5
+                       THEN range(0, len(w) - 4) ELSE [] END) AS pos
+              FROM toks
+            ),
+            ranked AS (
+              SELECT doc_id, pos, g,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY doc_id, pos) AS rn
+              FROM occ
+            ),
+            dups AS (
+              SELECT doc_id, pos AS s, pos + 5 AS e
+              FROM ranked WHERE rn > 1
+            ),
+            m AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pme
+              FROM dups
+            ),
+            isl AS (
+              SELECT doc_id, s, e,
+                     sum(CASE WHEN pme IS NULL OR s > pme
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+              FROM m
+            )
+            SELECT doc_id, min(s)::BIGINT AS span_start,
+                   max(e)::BIGINT AS span_end
+            FROM isl GROUP BY doc_id, island""",
         "domain_quota": f"""
             WITH u AS (
               SELECT doc_id,

@@ -7,6 +7,8 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    remove_repeated_spans,
+    repeated_kgram_spans,
     shingle_table,
     simhash_near_dup_pairs,
     simhash_signatures,

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -344,6 +344,147 @@ def ngram_jaccard_for_pairs(
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
         )
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def repeated_kgram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Exact repeated-substring detection at token granularity (the
+    span-level cousin of doc/paragraph dedup — 'Deduplicating Training
+    Data Makes Language Models Better', Lee et al. 2022, approximated
+    with fixed-k token grams instead of a suffix array): every token
+    k-gram that occurs more than once corpus-wide is a duplicated span;
+    the globally-first occurrence (min ``(id, pos)``) is kept, every
+    other occurrence is reported for removal.  Overlapping/adjacent
+    spans within a doc are merged, so the output is a minimal set of
+    disjoint ``(doc_id, span_start, span_end)`` token intervals
+    (half-open).
+
+    Scale shape (100 TB): one hash shuffle on the 64-bit k-gram hash
+    (the same cost class as minhash banding — shuffle rows = total
+    token count, partial-aggregated), one broadcast-or-shuffle join
+    back, and one window on ``doc_id`` for interval merge (per-doc span
+    counts are small; the window state is bounded by spans-per-doc, not
+    corpus size).  A true suffix array finds variable-length repeats;
+    fixed-k catches every repeat of length >= k — the standard
+    large-scale approximation."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h")
+    )
+    first = occ.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("first")
+    )
+    dups = (
+        occ.join(first, "h")
+        .where(
+            ~((F.col("id") == F.col("first.id"))
+              & (F.col("pos") == F.col("first.pos")))
+        )
+        .select("id", F.col("pos").alias("s"),
+                (F.col("pos") + F.lit(k)).alias("e"))
+    )
+    # merge overlapping/adjacent [s, e) intervals per doc: an interval
+    # starts a new island when s > max(e) of everything before it
+    w_prev = (
+        Window.partitionBy("id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("id").orderBy("s", "e")
+    islands = (
+        dups.withColumn("prev_max_e", F.max("e").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_all))
+    )
+    return (
+        islands.groupBy(F.col("id").alias(id_col), "island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`repeated_kgram_spans`: rebuild each doc's text with
+    the duplicated token intervals cut out.  Docs with no spans pass
+    through untouched (and never shuffle — the spans side is the small
+    one, so the join is broadcast-or-AQE and only span-carrying docs
+    enter the rebuild).
+
+    Returns ``(id_col, text_col)`` for every input row."""
+    has = spans.select(F.col(id_col).alias("id")).distinct()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    ).join(has, "id", "left_semi")
+    sp = spans.select(
+        F.col(id_col).alias("id"), "span_start", "span_end"
+    )
+    # token is dropped if it falls inside ANY span; count memberships
+    kept = (
+        toks.alias("t")
+        .join(sp.alias("p"), F.col("t.id") == F.col("p.id"), "left")
+        .withColumn(
+            "in_span",
+            F.when(
+                (F.col("pos") >= F.col("span_start"))
+                & (F.col("pos") < F.col("span_end")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy(F.col("t.id").alias("id"), "pos", "tok")
+        .agg(F.max("in_span").alias("drop"))
+        .where(F.col("drop") == 0)
+    )
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("_new_text")
+        )
+    )
+    # a span-carrying doc that lost EVERY token has no rebuilt row —
+    # it must come back empty, not fall through to its original text
+    edited = has.join(rebuilt, "id", "left").select(
+        "id", F.coalesce("_new_text", F.lit("")).alias("_new_text")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .join(edited, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_new_text"), F.col("_t")).alias(text_col),
+        )
     )
 
 

@@ -10,6 +10,8 @@ lineage), so a 100 TB run is debuggable stage by stage:
 2. **perplexity filter** (optional) — corpus bigram-LM outlier cut
 3. **PII redaction** — emails/IPs/phones masked in place
 4. **paragraph dedup** (optional) — corpus-wide boilerplate strip
+4b. **span dedup** (optional) — repeated token-k-gram excision
+    (Lee et al. exact-substring shape, keep-first)
 5. **exact dedup** — sha256 keep-first
 6. **near dedup** — MinHash-LSH pairs → connected components →
    keep one doc per cluster
@@ -56,6 +58,7 @@ def run_dataprep(
     near_dup_threshold: float = 0.7,
     splits: dict[str, float] | None = None,
     paragraph_dedup: bool = False,
+    span_dedup_k: int | None = None,
     quality_thresholds: dict | None = None,
     eval_docs: DataFrame | None = None,
     decontaminate_n: int = 13,
@@ -73,6 +76,8 @@ def run_dataprep(
         dedup_by_clusters,
         dedup_paragraphs,
         exact_dedup,
+        remove_repeated_spans,
+        repeated_kgram_spans,
         gopher_quality,
         hash_split,
         minhash_lsh_pairs,
@@ -121,6 +126,17 @@ def run_dataprep(
             out = deduped.join(rest, "id").withColumnRenamed("id", id_col)
             return out.where(F.length(text_col) > 0)
         cur, n = stage("paragraph_dedup", _para, cur, n)
+    if span_dedup_k:
+        def _spans(d):
+            d = d.cache()
+            spans = repeated_kgram_spans(d, text_col, id_col,
+                                         k=span_dedup_k)
+            rest = d.drop(text_col).withColumnRenamed(id_col, "id")
+            cut = remove_repeated_spans(d, spans, text_col, id_col)
+            return (cut.withColumnRenamed(id_col, "id")
+                    .join(rest, "id").withColumnRenamed("id", id_col))
+
+        cur, n = stage("span_dedup", _spans, cur, n)
     cur, n = stage("exact_dedup",
                    lambda d: exact_dedup(d, text_col, id_col), cur, n)
 

@@ -521,3 +521,68 @@ def test_web_clean(spark):
                               "doc_id bigint, text string")
     ).head().text
     assert both == "café"
+
+
+# --- repeated k-gram span dedup (exact-substring, Lee et al. shape) ---
+
+def test_repeated_kgram_spans_keep_first(spark):
+    from elasticsearch_nlp_classifier_spark.operators.dedup import (
+        repeated_kgram_spans,
+    )
+
+    boiler = "alpha bravo charlie delta echo"       # the repeated 5-gram
+    rows = [
+        (0, f"{boiler} unique zero tail words"),     # first occurrence
+        (1, f"lead one {boiler} trailing bits"),     # dup at pos 2
+        (2, "totally unrelated text with no reuse"),
+        (3, f"{boiler} mid {boiler}"),               # two dups, disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_kgram_spans(df, k=5).collect()
+    }
+    assert (1, 2, 7) in got
+    assert (3, 0, 5) in got and (3, 6, 11) in got
+    assert all(d != 0 and d != 2 for d, _, _ in got)
+
+
+def test_repeated_kgram_spans_merge_overlaps(spark):
+    from elasticsearch_nlp_classifier_spark.operators.dedup import (
+        repeated_kgram_spans,
+    )
+
+    # doc 1 repeats a 7-token run from doc 0: its three overlapping
+    # 5-grams must merge into ONE [0, 7) span
+    run = "a b c d e f g"
+    rows = [(0, f"{run} first home"), (1, f"{run} different ending")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_kgram_spans(df, k=5).collect()
+    ]
+    assert got == [(1, 0, 7)]
+
+
+def test_remove_repeated_spans_rebuilds(spark):
+    from elasticsearch_nlp_classifier_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_kgram_spans,
+    )
+
+    boiler = "alpha bravo charlie delta echo"
+    rows = [
+        (0, f"{boiler} zero tail"),
+        (1, f"keep one {boiler} keep two"),
+        (2, "untouched document text"),
+        (3, boiler),                                 # loses everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = repeated_kgram_spans(df, k=5)
+    out = {r["doc_id"]: r["text"]
+           for r in remove_repeated_spans(df, spans).collect()}
+    assert out[0] == f"{boiler} zero tail"           # first copy kept
+    assert out[1] == "keep one keep two"             # span excised
+    assert out[2] == "untouched document text"       # no-span passthrough
+    assert out[3] == ""                              # fully duplicated
+    assert set(out) == {0, 1, 2, 3}

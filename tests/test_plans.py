@@ -250,13 +250,17 @@ def test_dataprep_full_llm_pipeline(spark, tmp_path):
         mix_group_col="source",
         max_ppl=1e9,
         pack_seq_len=16,
+        span_dedup_k=8,
     )
     stages = [r["stage"] for r in res["records"]]
     assert stages == [
-        "quality_gate", "perplexity_filter", "pii_redact", "exact_dedup",
-        "near_dedup", "decontaminate", "domain_mix", "chunk",
-        "split_write", "packing_map",
+        "quality_gate", "perplexity_filter", "pii_redact", "span_dedup",
+        "exact_dedup", "near_dedup", "decontaminate", "domain_mix",
+        "chunk", "split_write", "packing_map",
     ]
+    # span dedup rewrites text but never drops rows by itself
+    by_s = {r["stage"]: r for r in res["records"]}
+    assert by_s["span_dedup"]["rows_out"] == by_s["span_dedup"]["rows_in"]
     by = {r["stage"]: r for r in res["records"]}
     assert by["decontaminate"]["rows_out"] < by["decontaminate"]["rows_in"]
 
