@@ -14,6 +14,7 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
 )
 from .chunk import chunk_documents  # noqa: F401
+from .pq import pq_adc_topk, pq_encode, pq_train_codebooks  # noqa: F401
 from .domains import (  # noqa: F401
     domain_quota,
     domain_stats,

@@ -1,0 +1,224 @@
+"""Product quantization (PQ) for embedding search at 100 TB scale.
+
+Brute cosine reads ``4·dim`` bytes per vector per query; IVF prunes
+which vectors are read but each is still full width.  PQ attacks the
+*width*: split the vector into ``m`` subspaces, k-means each subspace
+to ``n_codes`` centroids, and store each vector as ``m`` small codes
+(``m`` bytes at ``n_codes<=256``) — a 64-dim float vector becomes 8
+bytes, a 32× compression, and the ADC (asymmetric distance computation)
+scan scores a vector with ``m`` table lookups instead of ``dim``
+multiplies.  This is the FAISS ``PQx``/``IVFxPQy`` design (Jégou et
+al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Distribution shape:
+
+- **Training** runs on a bounded deterministic sample (codebooks are
+  model state, like NB priors / IVF centroids): FAISS practice — PQ
+  codebooks need ~100k training vectors regardless of corpus size.
+- **Encoding** is the distributed pass: one Arrow-batched
+  distances+argmin matmul per subspace per batch, embarrassingly
+  parallel, output is the tiny codes table.
+- **ADC scan** is a mapInPandas over the codes table only (the
+  original vectors are never read): per batch one LUT gather + sum per
+  query.  Optional exact re-rank joins the top-``rerank_depth``
+  candidates back to the full vectors — the standard recall recovery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "pq_train_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+]
+
+
+def _l2_normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 65536,
+    normalize: bool = True,
+    seed: int = 42,
+) -> np.ndarray:
+    """(m, n_codes, dim//m) float64 codebooks, trained with per-subspace
+    Lloyd k-means on a deterministic hash-ordered sample of at most
+    ``sample_n`` vectors.  ``normalize=True`` unit-normalizes training
+    vectors so ADC inner product == cosine (the encode/query sides must
+    use the same flag)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    sample = (
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    if normalize:
+        X = _l2_normalize(X)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        Xj = X[:, j * sub: (j + 1) * sub]
+        # deterministic seeding: distinct rows in hash order
+        uniq = np.unique(Xj, axis=0)
+        if len(uniq) >= n_codes:
+            cents = uniq[
+                rng.permutation(len(uniq))[:n_codes]
+            ].copy()
+        else:  # degenerate data: pad with jittered repeats
+            reps = np.resize(uniq, (n_codes, sub)).astype(np.float64)
+            cents = reps + rng.normal(0, 1e-6, reps.shape)
+        for _ in range(iters):
+            d = ((Xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(n_codes):
+                pts = Xj[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """(id_col, codes array<int>) — nearest-codebook-entry id per
+    subspace; one vectorized distance matmul per subspace per Arrow
+    batch.  The output table is the PQ index: ``m`` small ints per
+    vector."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    # ||x - c||^2 = ||x||^2 - 2 x·c + ||c||^2; per subspace only the
+    # last two terms depend on c
+    c_sq = (books ** 2).sum(axis=2)  # (m, n_codes)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        if normalize:
+            X = _l2_normalize(X)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * sub: (j + 1) * sub]
+            scores = 2.0 * (Xj @ books[j].T) - c_sq[j][None, :]
+            codes[:, j] = scores.argmax(axis=1)
+        return pd.Series(list(codes))
+
+    return embeddings.select(
+        F.col(id_col).alias(id_col), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: list[tuple[int, np.ndarray]],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    normalize: bool = True,
+    rerank: DataFrame | None = None,
+    rerank_depth: int = 50,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, vec_id, score) — ADC top-k: per query the
+    inner-product lookup table ``lut[j, c] = q_j · codebook[j, c]`` is
+    precomputed (m × n_codes floats, driver-side — queries are the
+    small side by definition) and each code row scores with ``m``
+    gathers + a sum.  ``normalize=True`` makes scores cosine.
+
+    With ``rerank=`` the top ``rerank_depth`` ADC candidates re-score
+    exactly against the full vectors (broadcast candidate semi-join) —
+    ADC error then only affects which candidates enter the window, the
+    returned ordering is exact cosine."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    q_ids = [int(q) for q, _ in queries]
+    Q = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    if normalize:
+        Q = _l2_normalize(Q)
+    # luts: (n_q, m, n_codes)
+    luts = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
+
+    spark = codes.sparkSession
+    depth = rerank_depth if rerank is not None else k
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            outs = []
+            for qi, qid in enumerate(q_ids):
+                # gather lut[j, C[:, j]] per subspace and sum
+                s = luts[qi][np.arange(m)[None, :], C].sum(axis=1)
+                outs.append(pd.DataFrame({
+                    "query_id": qid,
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "score": s,
+                }))
+            yield pd.concat(outs, ignore_index=True)
+
+    scored = codes.mapInPandas(
+        scan, "query_id bigint, vec_id bigint, score double"
+    ).where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= depth)
+    )
+    if rerank is None:
+        return top.select("query_id", "rank", "vec_id", "score")
+
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": q_ids, "qv": [list(map(float, v))
+                                               for v in Q]})
+    )
+    from .similarity import cosine
+
+    exact = (
+        top.select("query_id", "vec_id")
+        .join(rerank.select(F.col(id_col).alias("vec_id"), vec_col),
+              "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col(vec_col), F.col("qv")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )

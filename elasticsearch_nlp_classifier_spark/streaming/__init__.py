@@ -1,3 +1,4 @@
+from .dedup import dedup_stream, dedup_stream_job  # noqa: F401
 from .alerts import percolate_alerts_stream, read_alerts  # noqa: F401
 from .events import (  # noqa: F401
     sessionize_events,

@@ -129,3 +129,73 @@ def test_replay_is_idempotent(streamed):
     after = streamed.blocks.count()
     assert after == before
     assert streamed.blocks.where(F.col("segment") == 0).count() == n0
+
+
+# --- streaming exact dedup (stateful dropDuplicates family) ----------
+
+def test_stream_dedup_across_batches(spark, tmp_path_factory):
+    from elasticsearch_nlp_classifier_spark.streaming import (
+        dedup_stream_job,
+    )
+
+    src = str(tmp_path_factory.mktemp("sd_src"))
+    out = str(tmp_path_factory.mktemp("sd_out") / "dd")
+    schema = "id BIGINT, content STRING"
+    b1 = [(0, "alpha text"), (1, "bravo text"), (2, "alpha text")]
+    b2 = [(3, "bravo text"), (4, "charlie text"), (5, "charlie text")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        f"{src}/b1.parquet")
+    q = dedup_stream_job(spark, f"{src}/*.parquet/", out, schema)
+    q.awaitTermination()
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        f"{src}/b2.parquet")
+    q = dedup_stream_job(spark, f"{src}/*.parquet/", out, schema)
+    q.awaitTermination()
+
+    got = spark.read.parquet(f"{out}/data")
+    rows = {(r["id"], r["content"]) for r in got.collect()}
+    contents = sorted(r[1] for r in rows)
+    # one survivor per distinct content, across AND within batches
+    assert contents == ["alpha text", "bravo text", "charlie text"]
+    # keep-FIRST-arrival: batch-1 copies win over batch-2 re-posts
+    assert {r[0] for r in rows} <= {0, 1, 2, 4, 5}
+    assert 3 not in {r[0] for r in rows}
+
+    # replay with the same checkpoint: no new rows appear
+    q = dedup_stream_job(spark, f"{src}/*.parquet/", out, schema)
+    q.awaitTermination()
+    assert spark.read.parquet(f"{out}/data").count() == 3
+
+
+def test_stream_dedup_watermark_bounded_state(spark, tmp_path_factory):
+    from elasticsearch_nlp_classifier_spark.streaming import (
+        dedup_stream_job,
+    )
+
+    src = str(tmp_path_factory.mktemp("sdw_src"))
+    out = str(tmp_path_factory.mktemp("sdw_out") / "dd")
+    schema = "id BIGINT, ts TIMESTAMP, content STRING"
+    rows = [
+        (0, "2024-01-01 00:00:00", "alpha"),
+        (1, "2024-01-01 00:01:00", "alpha"),   # dup within window
+        (2, "2024-01-01 00:02:00", "bravo"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, _, c in rows], "id BIGINT, content STRING"
+    )
+    ts = {i: t for i, t, _ in rows}
+    from pyspark.sql import functions as F2
+    df = df.withColumn(
+        "ts",
+        F2.to_timestamp(
+            F2.udf(lambda i: ts[i])(F2.col("id"))
+        ),
+    ).select("id", "ts", "content")
+    df.coalesce(1).write.parquet(f"{src}/b1.parquet")
+    q = dedup_stream_job(
+        spark, f"{src}/*.parquet/", out, schema,
+        ts_col="ts", watermark="10 minutes",
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(f"{out}/data")
+    assert sorted(r["content"] for r in got.collect()) == ["alpha", "bravo"]
