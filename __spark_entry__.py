@@ -460,6 +460,111 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """PQ/ADC ANN (the compressed scale path next to IVF/LSH —
+    Jégou et al. 2011): per-subspace k-means codebooks, vectors stored
+    as m small codes, ADC table-lookup scan, exact cosine re-rank of
+    the top candidates.  Codebook training is seeded numpy (not
+    SQL-expressible; losslessness + recall are pytest-gated in
+    test_pq.py), so the depth-50 ADC candidate set is MATERIALIZED to
+    parquet and the oracle independently re-scores + re-ranks it with
+    exact cosine in SQL — same contract shape as ann_ivf/ann_lsh."""
+    import numpy as np
+
+    from elasticsearch_nlp_classifier_spark.operators import (
+        pq_adc_topk, pq_encode, pq_train_codebooks,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.similarity import (
+        cosine,
+    )
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train_codebooks(emb, dim=64, m=16, n_codes=32, iters=5)
+    codes = pq_encode(emb, books)
+    q = [(r["vec_id"], np.asarray(r["embedding"]))
+         for r in emb.where(F.col("vec_id") < 3).collect()]
+    cands = pq_adc_topk(codes, q, books, k=50).select(
+        "query_id", "vec_id"
+    ).cache()
+    cands.write.mode("overwrite").parquet(
+        f"{_oracle_scratch()}/ann_pq_cands.parquet"
+    )
+    qdf = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        cands.join(emb, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id", F.col("rank").cast("bigint").alias("rank"),
+            "vec_id", F.round("cos", 6).alias("cos_r6"),
+        )
+    )
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composite ANN (FAISS IVFADC): coarse quantizer prunes
+    which codes are scanned, residual-PQ codes compress what is
+    scanned.  Training is seeded numpy/DataFrame iteration (pytest
+    recall/monotonicity gates in test_pq.py); the depth-50 candidate
+    set from the pruned ADC scan is MATERIALIZED and the oracle
+    re-scores + re-ranks it with exact cosine in SQL."""
+    import numpy as np
+
+    from elasticsearch_nlp_classifier_spark.operators import (
+        ivfpq_build, ivfpq_topk,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.similarity import (
+        cosine,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents, books, codes = ivfpq_build(
+        emb, dim=64, n_cells=8, m=16, n_codes=32, iters=5
+    )
+    q = [(r["vec_id"], np.asarray(r["embedding"]))
+         for r in emb.where(F.col("vec_id") < 3).collect()]
+    cands = ivfpq_topk(codes, q, cents, books, k=50, n_probe=4).select(
+        "query_id", "vec_id"
+    ).cache()
+    cands.write.mode("overwrite").parquet(
+        f"{_oracle_scratch()}/ann_ivfpq_cands.parquet"
+    )
+    qdf = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        cands.join(emb, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id", F.col("rank").cast("bigint").alias("rank"),
+            "vec_id", F.round("cos", 6).alias("cos_r6"),
+        )
+    )
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -1825,6 +1930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "text_token_counts": q_text_token_counts,
@@ -2477,6 +2584,60 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (
               SELECT query_id, vec_id
               FROM read_parquet('{SCRATCH}/ann_ivf_cands.parquet/*.parquet')
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+              FROM c
+              JOIN embeddings e USING (vec_id)
+              JOIN q ON q.query_id = c.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos, 9) DESC, vec_id ASC) AS rank,
+                     round(cos, 6) AS cos_r6
+              FROM scored
+            )
+            SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
+            FROM ranked WHERE rank <= 5""",
+        # exact rerank replayed in SQL from the materialized depth-50
+        # ADC candidate set (PQ codebook training pytest-gated)
+        "ann_pq": """
+            WITH c AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{SCRATCH}/ann_pq_cands.parquet/*.parquet')
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+              FROM c
+              JOIN embeddings e USING (vec_id)
+              JOIN q ON q.query_id = c.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos, 9) DESC, vec_id ASC) AS rank,
+                     round(cos, 6) AS cos_r6
+              FROM scored
+            )
+            SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
+            FROM ranked WHERE rank <= 5""",
+        # exact rerank replayed in SQL from the materialized depth-50
+        # pruned-scan candidate set (IVF-PQ training pytest-gated)
+        "ann_ivfpq": """
+            WITH c AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{SCRATCH}/ann_ivfpq_cands.parquet/*.parquet')
             ),
             q AS (SELECT vec_id AS query_id, embedding AS qv
                   FROM embeddings WHERE vec_id < 3),

@@ -14,7 +14,13 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
 )
 from .chunk import chunk_documents  # noqa: F401
-from .pq import pq_adc_topk, pq_encode, pq_train_codebooks  # noqa: F401
+from .pq import (  # noqa: F401
+    ivfpq_build,
+    ivfpq_topk,
+    pq_adc_topk,
+    pq_encode,
+    pq_train_codebooks,
+)
 from .domains import (  # noqa: F401
     domain_quota,
     domain_stats,

@@ -35,6 +35,8 @@ __all__ = [
     "pq_train_codebooks",
     "pq_encode",
     "pq_adc_topk",
+    "ivfpq_build",
+    "ivfpq_topk",
 ]
 
 
@@ -201,6 +203,226 @@ def pq_adc_topk(
     qdf = spark.createDataFrame(
         pd.DataFrame({"query_id": q_ids, "qv": [list(map(float, v))
                                                for v in Q]})
+    )
+    from .similarity import cosine
+
+    exact = (
+        top.select("query_id", "vec_id")
+        .join(rerank.select(F.col(id_col).alias("vec_id"), vec_col),
+              "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col(vec_col), F.col("qv")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+# --- IVF-PQ: coarse quantizer + residual PQ (FAISS "IVFx,PQy") -------
+#
+# The billion-scale layout: an IVF coarse quantizer prunes WHICH codes
+# are scanned (n_probe/n_cells of the corpus) and PQ compresses WHAT is
+# scanned (m bytes per vector).  Vectors are encoded as the PQ codes of
+# their RESIDUAL against the assigned cell centroid — residuals cluster
+# near zero, so the same codebook budget spends its resolution where
+# the data is (Jégou et al. 2011, §IV "IVFADC").
+#
+# Score decomposition that makes ADC work unchanged:
+#     q · x  =  q · c(x)  +  q · r(x)
+#            =  qc[cid]   +  Σ_j lut[j, code_j]
+# One extra per-cell constant next to the same m table lookups.
+#
+# 100 TB shape: the codes table is written partitioned by ``cid`` so a
+# query batch probing p of C cells reads p/C of the files (partition
+# pruning does the candidate selection before any compute); encode is
+# one matmul per subspace per Arrow batch; only centroids + codebooks
+# (model state, ~n_cells*dim + m*n_codes*sub floats) live driver-side.
+
+
+def _train_books_on(X: np.ndarray, m: int, n_codes: int, iters: int,
+                    seed: int) -> np.ndarray:
+    """Per-subspace Lloyd k-means on an in-memory sample (shared by
+    pq_train_codebooks and ivfpq_build)."""
+    sub = X.shape[1] // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        Xj = X[:, j * sub: (j + 1) * sub]
+        uniq = np.unique(Xj, axis=0)
+        if len(uniq) >= n_codes:
+            cents = uniq[rng.permutation(len(uniq))[:n_codes]].copy()
+        else:
+            reps = np.resize(uniq, (n_codes, sub)).astype(np.float64)
+            cents = reps + rng.normal(0, 1e-6, reps.shape)
+        for _ in range(iters):
+            d = ((Xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(n_codes):
+                pts = Xj[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 65536,
+    seed: int = 42,
+):
+    """Train the coarse quantizer + residual codebooks and encode the
+    corpus.  Returns ``(centroids, books, codes)`` where ``codes`` is a
+    DataFrame ``(id_col, cid int, codes array<int>)`` — the complete
+    IVF-PQ index (write it ``partitionBy("cid")`` for pruned scans).
+
+    Training state is bounded: centroids via the distributed
+    spherical-k-means in similarity.py, codebooks on a deterministic
+    hash-ordered sample of residuals (FAISS practice: ~100k vectors
+    train a PQ regardless of corpus size)."""
+    from .similarity import ivf_train_centroids
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    cents = ivf_train_centroids(
+        embeddings, dim, n_cells=n_cells, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cu = cents.T  # unit rows from ivf_train_centroids
+
+    sample = (
+        embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_n)
+        .collect()
+    )
+    X = _l2_normalize(
+        np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    )
+    resid = X - cents[(X @ cu).argmax(axis=1)]
+    books = _train_books_on(resid, m, n_codes, iters=max(iters, 8),
+                            seed=seed)
+
+    sub = dim // m
+    c_sq = (books ** 2).sum(axis=2)  # (m, n_codes)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StructField, StructType,
+    )
+
+    enc_schema = StructType([
+        StructField("cid", IntegerType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ])
+
+    @pandas_udf(enc_schema)
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        Xb = _l2_normalize(np.stack(vecs.to_numpy()).astype(np.float64))
+        cid = (Xb @ cu).argmax(axis=1)
+        R = Xb - cents[cid]
+        codes = np.empty((len(Xb), m), dtype=np.int32)
+        for j in range(m):
+            Rj = R[:, j * sub: (j + 1) * sub]
+            codes[:, j] = (2.0 * (Rj @ books[j].T)
+                           - c_sq[j][None, :]).argmax(axis=1)
+        return pd.DataFrame({"cid": cid.astype(np.int32),
+                             "codes": list(codes)})
+
+    codes = embeddings.select(
+        F.col(id_col).alias(id_col), enc(F.col(vec_col)).alias("e")
+    ).select(id_col, F.col("e.cid").alias("cid"),
+             F.col("e.codes").alias("codes"))
+    return cents, books, codes
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    queries: list[tuple[int, np.ndarray]],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    rerank: DataFrame | None = None,
+    rerank_depth: int = 50,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, vec_id, score) — ADC scan restricted to each
+    query's ``n_probe`` max-cosine cells: score = qc[cid] + m LUT
+    gathers on the residual codes.  The cell filter is pushed into the
+    scan as ``cid IN (union of probed cells)`` so a cid-partitioned
+    codes table prunes files before any Python runs; the per-query
+    probe mask is then applied batch-side.  Optional exact re-rank as
+    in :func:`pq_adc_topk`."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    q_ids = [int(q) for q, _ in queries]
+    Q = _l2_normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    )
+    qc = Q @ cents.T                          # (n_q, n_cells)
+    probes = np.argsort(-qc, axis=1, kind="stable")[:, :n_probe]
+    luts = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
+    probed_union = sorted({int(c) for row in probes for c in row})
+
+    spark = codes.sparkSession
+    depth = rerank_depth if rerank is not None else k
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            cid = pdf["cid"].to_numpy().astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            outs = []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(cid, probes[qi])
+                if not mask.any():
+                    continue
+                s = (qc[qi][cid[mask]]
+                     + luts[qi][np.arange(m)[None, :], C[mask]].sum(axis=1))
+                outs.append(pd.DataFrame({
+                    "query_id": qid, "vec_id": ids[mask], "score": s,
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = (
+        codes.where(F.col("cid").isin(probed_union))
+        .mapInPandas(scan, "query_id bigint, vec_id bigint, score double")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= depth)
+    )
+    if rerank is None:
+        return top.select("query_id", "rank", "vec_id", "score")
+
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": q_ids,
+                      "qv": [list(map(float, v)) for v in Q]})
     )
     from .similarity import cosine
 

@@ -93,3 +93,86 @@ def test_pq_recall_and_rerank(spark, emb):
         key = (r["query_id"], r["vec_id"])
         if key in bs:
             assert abs(r["score"] - bs[key]) < 1e-9
+
+
+# --- IVF-PQ composite (coarse quantizer + residual PQ) ----------------
+
+def test_ivfpq_index_shape_and_determinism(spark, emb):
+    from elasticsearch_nlp_classifier_spark.operators.pq import (
+        ivfpq_build,
+    )
+
+    cents, books, codes = ivfpq_build(
+        emb, dim=64, n_cells=8, m=8, n_codes=16, iters=3
+    )
+    assert cents.shape == (8, 64)
+    assert books.shape == (8, 16, 8)
+    rows = codes.orderBy("vec_id").limit(5).collect()
+    _, _, codes2 = ivfpq_build(
+        emb, dim=64, n_cells=8, m=8, n_codes=16, iters=3
+    )
+    rows2 = codes2.orderBy("vec_id").limit(5).collect()
+    assert [(r["cid"], r["codes"]) for r in rows] == \
+        [(r["cid"], r["codes"]) for r in rows2]
+    assert all(0 <= r["cid"] < 8 for r in rows)
+    assert all(len(r["codes"]) == 8 for r in rows)
+
+
+def test_ivfpq_recall_and_probe_monotonicity(spark, emb):
+    from elasticsearch_nlp_classifier_spark.operators import cosine_topk
+    from elasticsearch_nlp_classifier_spark.operators.pq import (
+        ivfpq_build, ivfpq_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    want = {(r["query_id"], r["vec_id"])
+            for r in cosine_topk(emb, queries, k=10).collect()}
+    cents, books, codes = ivfpq_build(
+        emb, dim=64, n_cells=8, m=16, n_codes=32, iters=5
+    )
+    codes = codes.cache()
+    q = [(r["query_id"], np.asarray(r["query_vec"]))
+         for r in queries.collect()]
+    # all-cells probe + exact rerank == PQ rerank recall bound
+    full = ivfpq_topk(codes, q, cents, books, k=10, n_probe=8,
+                      rerank=emb, rerank_depth=100)
+    got_full = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    recall_full = len(got_full & want) / len(want)
+    assert recall_full >= 0.8, recall_full
+    # fewer probes scan less and can only lose candidates, never gain
+    # wrong ones: results still come from the probed cells only, and
+    # recall at n_probe=4 stays useful
+    part = ivfpq_topk(codes, q, cents, books, k=10, n_probe=4,
+                      rerank=emb, rerank_depth=100)
+    got_part = {(r["query_id"], r["vec_id"]) for r in part.collect()}
+    recall_part = len(got_part & want) / len(want)
+    assert recall_part >= 0.5, recall_part
+    assert recall_full >= recall_part
+
+
+def test_ivfpq_rerank_scores_are_exact_cosine(spark, emb):
+    from elasticsearch_nlp_classifier_spark.operators import cosine_topk
+    from elasticsearch_nlp_classifier_spark.operators.pq import (
+        ivfpq_build, ivfpq_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    brute = {(r["query_id"], r["vec_id"]): r["cos"]
+             for r in cosine_topk(emb, queries, k=10).collect()}
+    cents, books, codes = ivfpq_build(
+        emb, dim=64, n_cells=8, m=16, n_codes=32, iters=5
+    )
+    q = [(r["query_id"], np.asarray(r["query_vec"]))
+         for r in queries.collect()]
+    rer = ivfpq_topk(codes, q, cents, books, k=10, n_probe=8,
+                     rerank=emb, rerank_depth=100)
+    for r in rer.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in brute:
+            assert abs(r["score"] - brute[key]) < 1e-9
