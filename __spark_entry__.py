@@ -1046,6 +1046,62 @@ def q_agg_histogram(spark, sf_dir):
     return histogram_agg(_docs(spark, sf_dir), "n_chars", 100.0)
 
 
+def q_agg_pipeline(spark, sf_dir):
+    """ES pipeline aggs over a date_histogram parent: derivative,
+    cumulative_sum, moving_avg(3) and serial_diff(2) — all windows over
+    the BUCKET table (O(buckets) state; the corpus reduction happened in
+    the parent agg).  Reference surface: the stock RestHighLevelClient
+    exposes the full pipeline-agg family next to the bucket aggs this
+    module already covers."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        cumulative_sum_agg, date_histogram_agg, derivative_agg,
+        moving_avg_agg, serial_diff_agg,
+    )
+
+    buckets = date_histogram_agg(_events(spark, sf_dir), "ts", "hour")
+    out = serial_diff_agg(
+        moving_avg_agg(
+            cumulative_sum_agg(derivative_agg(buckets)), window=3
+        ),
+        lag=2,
+    )
+    return out.select(
+        F.unix_timestamp("key_ts").cast("bigint").alias("key_epoch"),
+        "doc_count",
+        F.round("derivative", 6).alias("derivative"),
+        F.round("cumulative_sum", 6).alias("cumulative_sum"),
+        F.round("moving_avg", 6).alias("moving_avg"),
+        F.round("serial_diff", 6).alias("serial_diff"),
+    )
+
+
+def q_agg_bucket_stats(spark, sf_dir):
+    """ES sibling-bucket pipeline aggs: stats_bucket over the hourly
+    date_histogram plus the max_bucket/min_bucket keys, emitted as one
+    row for the cross-engine hash."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        date_histogram_agg, max_bucket_agg, min_bucket_agg,
+        stats_bucket_agg,
+    )
+
+    buckets = date_histogram_agg(_events(spark, sf_dir), "ts", "hour")
+    buckets = buckets.cache()
+    stats = stats_bucket_agg(buckets)
+    mx = max_bucket_agg(buckets).agg(
+        F.min(F.unix_timestamp("key")).cast("bigint").alias("max_key"),
+        F.min("value").alias("max_value"),
+    )
+    mn = min_bucket_agg(buckets).agg(
+        F.min(F.unix_timestamp("key")).cast("bigint").alias("min_key"),
+        F.min("value").alias("min_value"),
+    )
+    return stats.crossJoin(mx).crossJoin(mn).select(
+        "count", "min", "max",
+        F.round("avg", 6).alias("avg"), "sum",
+        "max_key", "max_value", "min_key", "min_value",
+    )
+
+
 def q_agg_date_histogram(spark, sf_dir):
     """ES date_histogram agg (calendar hour buckets); key emitted as
     epoch seconds for the cross-engine hash."""
@@ -1968,6 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms": q_agg_terms,
         "agg_histogram": q_agg_histogram,
         "agg_date_histogram": q_agg_date_histogram,
+        "agg_pipeline": q_agg_pipeline,
+        "agg_bucket_stats": q_agg_bucket_stats,
         "agg_range": q_agg_range,
         "agg_extended_stats": q_agg_extended_stats,
         "agg_percentiles": q_agg_percentiles,
@@ -3092,6 +3150,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,
                    count(*)::BIGINT AS doc_count
             FROM events GROUP BY 1""",
+        "agg_pipeline": """
+            WITH b AS (
+              SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,
+                     count(*)::BIGINT AS doc_count
+              FROM events GROUP BY 1
+            )
+            SELECT key_epoch, doc_count,
+                   round((doc_count
+                          - lag(doc_count, 1) OVER w)::DOUBLE, 6)
+                     AS derivative,
+                   round(sum(doc_count) OVER (ORDER BY key_epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::DOUBLE, 6) AS cumulative_sum,
+                   round(avg(doc_count) OVER (ORDER BY key_epoch
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                     )::DOUBLE, 6) AS moving_avg,
+                   round((doc_count
+                          - lag(doc_count, 2) OVER w)::DOUBLE, 6)
+                     AS serial_diff
+            FROM b WINDOW w AS (ORDER BY key_epoch)""",
+        "agg_bucket_stats": """
+            WITH b AS (
+              SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,
+                     count(*)::BIGINT AS doc_count
+              FROM events GROUP BY 1
+            ),
+            s AS (
+              SELECT count(*)::BIGINT AS count,
+                     min(doc_count)::DOUBLE AS min,
+                     max(doc_count)::DOUBLE AS max,
+                     round(avg(doc_count)::DOUBLE, 6) AS avg,
+                     sum(doc_count)::DOUBLE AS sum
+              FROM b
+            ),
+            mx AS (
+              SELECT min(key_epoch)::BIGINT AS max_key,
+                     min(doc_count)::DOUBLE AS max_value
+              FROM b WHERE doc_count = (SELECT max(doc_count) FROM b)
+            ),
+            mn AS (
+              SELECT min(key_epoch)::BIGINT AS min_key,
+                     min(doc_count)::DOUBLE AS min_value
+              FROM b WHERE doc_count = (SELECT min(doc_count) FROM b)
+            )
+            SELECT s.count, s.min, s.max, s.avg, s.sum,
+                   mx.max_key, mx.max_value, mn.min_key, mn.min_value
+            FROM s, mx, mn""",
         "agg_range": """
             SELECT '*-100.0' AS key,
                    sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)::BIGINT

@@ -22,17 +22,25 @@ from .wand import wand_topk  # noqa: F401
 from .fuzzy import fuzzy_expand, fuzzy_topk  # noqa: F401
 from .wand import topk_from_pairs  # noqa: F401
 from .aggs import (  # noqa: F401
+    bucket_sort_agg,
     cardinality_agg,
+    cumulative_sum_agg,
     date_histogram_agg,
     date_range_agg,
+    derivative_agg,
     extended_stats_agg,
     filters_agg,
     histogram_agg,
+    max_bucket_agg,
+    min_bucket_agg,
     missing_agg,
+    moving_avg_agg,
     percentiles_agg,
     range_agg,
+    serial_diff_agg,
     significant_terms,
     stats_agg,
+    stats_bucket_agg,
     terms_agg,
     top_hits_agg,
     value_count_agg,

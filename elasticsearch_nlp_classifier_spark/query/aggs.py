@@ -60,6 +60,14 @@ __all__ = [
     "cardinality_agg",
     "top_hits_agg",
     "significant_terms",
+    "derivative_agg",
+    "cumulative_sum_agg",
+    "moving_avg_agg",
+    "serial_diff_agg",
+    "stats_bucket_agg",
+    "max_bucket_agg",
+    "min_bucket_agg",
+    "bucket_sort_agg",
 ]
 
 
@@ -394,4 +402,132 @@ def significant_terms(
                 F.col("fg_df").cast("bigint").alias("fg_df"),
                 F.col("bg_df").cast("bigint").alias("bg_df"),
                 "score")
+    )
+
+
+# --- pipeline aggregations -------------------------------------------
+#
+# ES pipeline aggs (derivative, cumulative_sum, moving_fn, serial_diff,
+# *_bucket, bucket_sort) post-process the BUCKET LIST of a parent
+# aggregation — they never see raw documents.  That defines their scale
+# shape: the input DataFrame here is an already-reduced bucket table
+# (one row per date_histogram/terms bucket), so an unpartitioned window
+# ordered by the bucket key holds O(buckets) state — thousands of rows
+# at 100 TB, not billions.  The corpus-sized reduction already happened
+# in the parent agg with map-side partial combine.
+
+
+def derivative_agg(
+    buckets: DataFrame, value_col: str = "doc_count",
+    key_col: str = "key_ts",
+) -> DataFrame:
+    """ES ``derivative``: value minus the previous bucket's value in
+    bucket-key order; first bucket yields NULL (ES omits it)."""
+    w = Window.orderBy(key_col)
+    return buckets.withColumn(
+        "derivative",
+        (F.col(value_col) - F.lag(value_col, 1).over(w)).cast("double"),
+    )
+
+
+def cumulative_sum_agg(
+    buckets: DataFrame, value_col: str = "doc_count",
+    key_col: str = "key_ts",
+) -> DataFrame:
+    """ES ``cumulative_sum`` over bucket order."""
+    w = Window.orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.withColumn(
+        "cumulative_sum", F.sum(value_col).over(w).cast("double")
+    )
+
+
+def moving_avg_agg(
+    buckets: DataFrame, value_col: str = "doc_count",
+    key_col: str = "key_ts", window: int = 3,
+) -> DataFrame:
+    """ES ``moving_fn`` with ``MovingFunctions.unweightedAvg`` over the
+    trailing ``window`` buckets (current included, partial windows
+    averaged over the buckets present — ES shift=0 semantics over
+    ``window`` values ending at the previous bucket is one lag away;
+    this is the common current-inclusive form)."""
+    w = Window.orderBy(key_col).rowsBetween(-(window - 1), 0)
+    return buckets.withColumn(
+        "moving_avg", F.avg(value_col).over(w).cast("double")
+    )
+
+
+def serial_diff_agg(
+    buckets: DataFrame, value_col: str = "doc_count",
+    key_col: str = "key_ts", lag: int = 1,
+) -> DataFrame:
+    """ES ``serial_diff``: value minus the value ``lag`` buckets back."""
+    w = Window.orderBy(key_col)
+    return buckets.withColumn(
+        "serial_diff",
+        (F.col(value_col) - F.lag(value_col, lag).over(w)).cast("double"),
+    )
+
+
+def stats_bucket_agg(
+    buckets: DataFrame, value_col: str = "doc_count",
+) -> DataFrame:
+    """ES ``stats_bucket``: min/max/avg/sum/count over the sibling
+    buckets' metric — one row."""
+    return buckets.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(value_col).cast("double").alias("min"),
+        F.max(value_col).cast("double").alias("max"),
+        F.avg(value_col).cast("double").alias("avg"),
+        F.sum(value_col).cast("double").alias("sum"),
+    )
+
+
+def max_bucket_agg(
+    buckets: DataFrame, value_col: str = "doc_count",
+    key_col: str = "key_ts",
+) -> DataFrame:
+    """ES ``max_bucket``: the bucket key(s) holding the maximum metric
+    (ES reports a key LIST on ties; one row per tied key here, key
+    order) plus the value."""
+    top = buckets.agg(F.max(value_col).alias("_m"))
+    return (
+        buckets.join(F.broadcast(top), F.col(value_col) == F.col("_m"))
+        .select(F.col(key_col).alias("key"),
+                F.col(value_col).cast("double").alias("value"))
+        .orderBy("key")
+    )
+
+
+def min_bucket_agg(
+    buckets: DataFrame, value_col: str = "doc_count",
+    key_col: str = "key_ts",
+) -> DataFrame:
+    """ES ``min_bucket`` — see :func:`max_bucket_agg`."""
+    bot = buckets.agg(F.min(value_col).alias("_m"))
+    return (
+        buckets.join(F.broadcast(bot), F.col(value_col) == F.col("_m"))
+        .select(F.col(key_col).alias("key"),
+                F.col(value_col).cast("double").alias("value"))
+        .orderBy("key")
+    )
+
+
+def bucket_sort_agg(
+    buckets: DataFrame, sort_col: str, size: int,
+    ascending: bool = False, from_: int = 0,
+) -> DataFrame:
+    """ES ``bucket_sort``: re-order the parent's buckets by a metric
+    and truncate (from/size page).  TakeOrdered shape — per-partition
+    heaps, no global sort — when from_=0."""
+    key = F.asc(sort_col) if ascending else F.desc(sort_col)
+    if from_ == 0:
+        return buckets.orderBy(key).limit(size)
+    return (
+        buckets.withColumn(
+            "_rn", F.row_number().over(Window.orderBy(key))
+        )
+        .where((F.col("_rn") > from_) & (F.col("_rn") <= from_ + size))
+        .drop("_rn")
     )

@@ -258,3 +258,54 @@ def test_date_range_agg_buckets(spark):
         "2024-01-10 00:00:00-2024-01-20 00:00:00": 1,
         "2024-01-20 00:00:00-*": 1,
     }
+
+
+def test_pipeline_aggs_over_buckets(spark):
+    """derivative / cumulative_sum / moving_avg / serial_diff over a
+    hand-checkable bucket table."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        cumulative_sum_agg, derivative_agg, moving_avg_agg,
+        serial_diff_agg,
+    )
+
+    buckets = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 40)],
+        "key_ts int, doc_count int",
+    )
+    rows = {r["key_ts"]: r for r in serial_diff_agg(
+        moving_avg_agg(cumulative_sum_agg(derivative_agg(buckets)),
+                       window=3),
+        lag=2,
+    ).collect()}
+    assert rows[1]["derivative"] is None
+    assert rows[2]["derivative"] == 20.0
+    assert rows[3]["derivative"] == -10.0
+    assert [rows[i]["cumulative_sum"] for i in (1, 2, 3, 4)] == \
+        [10.0, 40.0, 60.0, 100.0]
+    assert rows[3]["moving_avg"] == 20.0          # (10+30+20)/3
+    assert rows[2]["moving_avg"] == 20.0          # partial window (10+30)/2
+    assert rows[1]["serial_diff"] is None and rows[2]["serial_diff"] is None
+    assert rows[3]["serial_diff"] == 10.0         # 20 - 10
+    assert rows[4]["serial_diff"] == 10.0         # 40 - 30
+
+
+def test_sibling_bucket_aggs(spark):
+    from elasticsearch_nlp_classifier_spark.query import (
+        bucket_sort_agg, max_bucket_agg, min_bucket_agg,
+        stats_bucket_agg,
+    )
+
+    buckets = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 9), ("d", 1)],
+        "key_ts string, doc_count int",
+    )
+    s = stats_bucket_agg(buckets).collect()[0]
+    assert (s["count"], s["min"], s["max"], s["sum"]) == (4, 1.0, 9.0, 24.0)
+    assert abs(s["avg"] - 6.0) < 1e-9
+    # ES max_bucket reports ALL tied keys
+    assert [r["key"] for r in max_bucket_agg(buckets).collect()] == \
+        ["b", "c"]
+    assert [r["key"] for r in min_bucket_agg(buckets).collect()] == ["d"]
+    # bucket_sort: order by metric desc, from/size paging
+    page = bucket_sort_agg(buckets, "doc_count", size=2, from_=1)
+    assert [r["doc_count"] for r in page.collect()] == [9, 5]
