@@ -227,16 +227,18 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
     # cache: the self-join reads ``banded`` twice — uncached, the whole
     # signature UDF would run once per join side
+    # xxhash64 hashes array<bigint> natively (catalyst HashExpression
+    # recurses into array elements) — no per-band string building
     banded = sigs.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.array(*[
-                    F.slice("signature", i * rows_per_band + 1, rows_per_band)
-                    for i in range(bands)
-                ]),
-                lambda band: F.xxhash64(F.concat_ws(",", F.transform(band, lambda x: x.cast("string")))),
-            )
+            F.array(*[
+                F.xxhash64(
+                    F.slice("signature", i * rows_per_band + 1,
+                            rows_per_band)
+                )
+                for i in range(bands)
+            ])
         ).alias("band", "bucket"),
     ).cache()
     cands = (
