@@ -312,6 +312,26 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-snapshot dedup via a history Bloom filter + exact verify
+    (operators/bloom.py): new batch = fresh docs + 50 re-crawled copies
+    under new ids; history is only ever joined on the Bloom positives.
+    Output is exact (the verify join absorbs false positives), so the
+    oracle is a plain content anti-join."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        dedup_against_history,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.where(F.col("doc_id") < 250)
+    recrawl = docs.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    new = docs.where(F.col("doc_id") >= 250).unionByName(recrawl)
+    out = dedup_against_history(new, hist, "text", "doc_id")
+    return out.select("doc_id", "lang")
+
+
 def _oracle_scratch() -> str:
     import tempfile
 
@@ -1979,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_topk": q_o1_topk,
         "s4_term_vectors": q_s4_term_vectors,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2570,6 +2591,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(text) AS sha, count(*)::BIGINT AS n_dups,
                    min(doc_id) AS keep_id
             FROM docs_dup GROUP BY 1 HAVING count(*) > 1""",
+        # bloom + verify output is EXACT, so the oracle is the plain
+        # content anti-join the operator's fpp never changes
+        "dedup_incremental": """
+            WITH hist AS (
+              SELECT text FROM documents WHERE doc_id < 250
+            ),
+            new AS (
+              SELECT doc_id, lang, text FROM documents
+              WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 10000, lang, text FROM documents
+              WHERE doc_id < 50
+            )
+            SELECT n.doc_id, n.lang FROM new n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM hist h WHERE h.text = n.text
+            )""",
         "dedup_ngram_jaccard": f"""
             WITH {_DUPS_SQL}, {_SHINGLES_SQL}
             SELECT id_a, id_b,

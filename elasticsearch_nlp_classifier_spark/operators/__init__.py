@@ -13,6 +13,11 @@ from .dedup import (  # noqa: F401
     simhash_near_dup_pairs,
     simhash_signatures,
 )
+from .bloom import (  # noqa: F401
+    bloom_seen_udf,
+    build_content_bloom,
+    dedup_against_history,
+)
 from .chunk import chunk_documents  # noqa: F401
 from .pq import (  # noqa: F401
     ivfpq_build,
