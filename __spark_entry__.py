@@ -1122,6 +1122,54 @@ def q_agg_bucket_stats(spark, sf_dir):
     )
 
 
+def q_agg_rare_terms(spark, sf_dir):
+    """ES rare_terms: the doc_count<=1 long tail of n_chars values."""
+    from elasticsearch_nlp_classifier_spark.query import rare_terms_agg
+
+    return rare_terms_agg(_docs(spark, sf_dir), "n_chars",
+                          max_doc_count=1)
+
+
+def q_agg_multi_terms(spark, sf_dir):
+    """ES multi_terms: composite (lang, source) buckets, top 10 by
+    doc_count with full key tie-break (deterministic page)."""
+    from elasticsearch_nlp_classifier_spark.query import multi_terms_agg
+
+    return multi_terms_agg(_docs(spark, sf_dir), ["lang", "source"],
+                           size=10)
+
+
+def q_agg_adjacency(spark, sf_dir):
+    """ES adjacency_matrix over three named filters: singles + pairwise
+    intersections in one scan, empty buckets dropped."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        adjacency_matrix_agg,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return adjacency_matrix_agg(docs, {
+        "short": F.col("n_chars") < 200,
+        "long": F.col("n_chars") >= 400,
+        "en": F.col("lang") == "en",
+    })
+
+
+def q_agg_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram: coarsest calendar interval from the ES
+    ladder fitting 10 buckets, chosen by a min/max probe then one
+    date_trunc agg."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        auto_date_histogram_agg,
+    )
+
+    out = auto_date_histogram_agg(_events(spark, sf_dir), "ts",
+                                  target_buckets=10)
+    return out.select(
+        F.unix_timestamp("key_ts").cast("bigint").alias("key_epoch"),
+        "doc_count", "interval",
+    )
+
+
 def q_agg_date_histogram(spark, sf_dir):
     """ES date_histogram agg (calendar hour buckets); key emitted as
     epoch seconds for the cross-engine hash."""
@@ -2047,6 +2095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_histogram": q_agg_date_histogram,
         "agg_pipeline": q_agg_pipeline,
         "agg_bucket_stats": q_agg_bucket_stats,
+        "agg_rare_terms": q_agg_rare_terms,
+        "agg_multi_terms": q_agg_multi_terms,
+        "agg_adjacency": q_agg_adjacency,
+        "agg_auto_date_histogram": q_agg_auto_date_histogram,
         "agg_range": q_agg_range,
         "agg_extended_stats": q_agg_extended_stats,
         "agg_percentiles": q_agg_percentiles,
@@ -3188,6 +3240,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,
                    count(*)::BIGINT AS doc_count
             FROM events GROUP BY 1""",
+        "agg_rare_terms": """
+            SELECT n_chars AS key, count(*)::BIGINT AS doc_count
+            FROM documents
+            GROUP BY 1 HAVING count(*) <= 1""",
+        "agg_multi_terms": """
+            SELECT lang AS key_lang, source AS key_source,
+                   count(*)::BIGINT AS doc_count
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY doc_count DESC, key_lang ASC, key_source ASC
+            LIMIT 10""",
+        "agg_adjacency": """
+            WITH c AS (
+              SELECT
+                sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS s,
+                sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS l,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS e,
+                sum(CASE WHEN lang = 'en' AND n_chars < 200
+                    THEN 1 ELSE 0 END) AS es,
+                sum(CASE WHEN lang = 'en' AND n_chars >= 400
+                    THEN 1 ELSE 0 END) AS el,
+                sum(CASE WHEN n_chars >= 400 AND n_chars < 200
+                    THEN 1 ELSE 0 END) AS ls
+              FROM documents
+            )
+            SELECT key, doc_count::BIGINT AS doc_count FROM (
+              SELECT 'short' AS key, s AS doc_count FROM c
+              UNION ALL SELECT 'long', l FROM c
+              UNION ALL SELECT 'en', e FROM c
+              UNION ALL SELECT 'en&short', es FROM c
+              UNION ALL SELECT 'en&long', el FROM c
+              UNION ALL SELECT 'long&short', ls FROM c
+            ) WHERE doc_count > 0""",
+        "agg_auto_date_histogram": """
+            WITH b AS (
+              SELECT min(ts) AS lo, max(ts) AS hi FROM events
+            ),
+            iv AS (
+              SELECT CASE
+                WHEN epoch(hi - lo) / 60 + 1 <= 10 THEN 'minute'
+                WHEN epoch(hi - lo) / 3600 + 1 <= 10 THEN 'hour'
+                WHEN epoch(hi - lo) / 86400 + 1 <= 10 THEN 'day'
+                WHEN epoch(hi - lo) / 604800 + 1 <= 10 THEN 'week'
+                WHEN epoch(hi - lo) / 2592000 + 1 <= 10 THEN 'month'
+                WHEN epoch(hi - lo) / 7862400 + 1 <= 10 THEN 'quarter'
+                ELSE 'year' END AS interval
+              FROM b
+            )
+            SELECT epoch(date_trunc(iv.interval, ts))::BIGINT
+                     AS key_epoch,
+                   count(*)::BIGINT AS doc_count,
+                   iv.interval AS interval
+            FROM events, iv
+            GROUP BY 1, 3""",
         "agg_pipeline": """
             WITH b AS (
               SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,

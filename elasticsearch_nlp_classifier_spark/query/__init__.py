@@ -22,6 +22,8 @@ from .wand import wand_topk  # noqa: F401
 from .fuzzy import fuzzy_expand, fuzzy_topk  # noqa: F401
 from .wand import topk_from_pairs  # noqa: F401
 from .aggs import (  # noqa: F401
+    adjacency_matrix_agg,
+    auto_date_histogram_agg,
     bucket_sort_agg,
     cardinality_agg,
     cumulative_sum_agg,
@@ -36,9 +38,12 @@ from .aggs import (  # noqa: F401
     missing_agg,
     moving_avg_agg,
     percentiles_agg,
+    multi_terms_agg,
     range_agg,
+    rare_terms_agg,
     serial_diff_agg,
     significant_terms,
+    significant_text,
     stats_agg,
     stats_bucket_agg,
     terms_agg,

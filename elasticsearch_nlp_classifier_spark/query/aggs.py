@@ -68,6 +68,11 @@ __all__ = [
     "max_bucket_agg",
     "min_bucket_agg",
     "bucket_sort_agg",
+    "rare_terms_agg",
+    "multi_terms_agg",
+    "adjacency_matrix_agg",
+    "auto_date_histogram_agg",
+    "significant_text",
 ]
 
 
@@ -530,4 +535,118 @@ def bucket_sort_agg(
         )
         .where((F.col("_rn") > from_) & (F.col("_rn") <= from_ + size))
         .drop("_rn")
+    )
+
+
+def rare_terms_agg(
+    df: DataFrame, field: str, max_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``rare_terms``: the long tail — buckets whose doc_count is at
+    most ``max_doc_count``, key order.  Same one-shuffle hash agg as
+    ``terms``; ES uses a CuckooFilter to bound memory because its
+    per-shard collectors can't spill — Spark's hash aggregate spills,
+    so the exact form is the right plan here."""
+    return (
+        df.where(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") <= max_doc_count)
+        .orderBy("key")
+    )
+
+
+def multi_terms_agg(
+    df: DataFrame, fields: list[str], size: int = 10,
+) -> DataFrame:
+    """ES ``multi_terms``: buckets keyed by a field TUPLE, top-``size``
+    by doc_count (tie → keys ascending).  One composite-key hash agg —
+    never a join of per-field aggs."""
+    keys = [F.col(f).alias(f"key_{f}") for f in fields]
+    cond = F.lit(True)
+    for f in fields:
+        cond = cond & F.col(f).isNotNull()
+    return (
+        df.where(cond)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"),
+                 *[F.asc(f"key_{f}") for f in fields])
+        .limit(size)
+    )
+
+
+def adjacency_matrix_agg(
+    df: DataFrame, named: dict[str, Column],
+) -> DataFrame:
+    """ES ``adjacency_matrix``: doc_count for every named filter and
+    every pairwise intersection (key "a&b", names sorted — ES's key
+    format).  Single scan: one ``sum(CASE)`` per filter and per pair;
+    with n filters that is n(n+1)/2 counter columns, the same
+    collector budget ES allocates.  Empty buckets are dropped (ES
+    behavior)."""
+    names = sorted(named)
+    cols = {}
+    for i, a in enumerate(names):
+        cols[a] = F.sum(F.when(named[a], 1).otherwise(0))
+        for b in names[i + 1:]:
+            cols[f"{a}&{b}"] = F.sum(
+                F.when(named[a] & named[b], 1).otherwise(0)
+            )
+    counts = df.agg(*[c.alias(k) for k, c in cols.items()])
+    stack = ", ".join(f"'{k}', `{k}`" for k in cols)
+    return (
+        counts.selectExpr(
+            f"stack({len(cols)}, {stack}) as (key, doc_count)"
+        )
+        .select("key", F.col("doc_count").cast("bigint").alias("doc_count"))
+        .where(F.col("doc_count") > 0)
+    )
+
+
+def auto_date_histogram_agg(
+    df: DataFrame, ts_field: str, target_buckets: int = 10,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the coarsest calendar interval
+    from ES's ladder (minute→hour→day→week→month→quarter→year) whose
+    bucket count fits ``target_buckets``.  Two jobs: a min/max probe
+    (aggregate-only, no shuffle of data rows) chooses the interval
+    deterministically, then the normal date_trunc hash agg runs once —
+    never one-agg-per-candidate-interval.  Returns
+    ``(key_ts, doc_count, interval)``."""
+    bounds = df.select(
+        F.min(ts_field).alias("lo"), F.max(ts_field).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        out = date_histogram_agg(df, ts_field, "day")
+        return out.withColumn("interval", F.lit("day"))
+    span_s = (bounds["hi"] - bounds["lo"]).total_seconds()
+    ladder = [
+        ("minute", 60), ("hour", 3600), ("day", 86400),
+        ("week", 7 * 86400), ("month", 30 * 86400),
+        ("quarter", 91 * 86400), ("year", 365 * 86400),
+    ]
+    interval = ladder[-1][0]
+    for name, secs in ladder:
+        if span_s / secs + 1 <= target_buckets:
+            interval = name
+            break
+    out = date_histogram_agg(df, ts_field, interval)
+    return out.withColumn("interval", F.lit(interval))
+
+
+def significant_text(
+    foreground: DataFrame, postings: DataFrame,
+    doc_id_col: str = "doc_id", size: int = 10,
+    min_doc_count: int = 2,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """ES ``significant_text``: significant_terms re-derived from the
+    text itself rather than from indexed term buckets.  Because this
+    engine's postings ARE the analyzed text (one row per distinct
+    (doc, term)), the free-text form and the term form coincide — ES
+    needs a separate agg only because its significant_terms requires
+    fielddata the text field doesn't have.  Kept as an explicit alias
+    so the ES surface maps 1:1."""
+    return significant_terms(
+        foreground, postings, doc_id_col, size, min_doc_count, n_docs
     )

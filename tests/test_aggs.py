@@ -309,3 +309,58 @@ def test_sibling_bucket_aggs(spark):
     # bucket_sort: order by metric desc, from/size paging
     page = bucket_sort_agg(buckets, "doc_count", size=2, from_=1)
     assert [r["doc_count"] for r in page.collect()] == [9, 5]
+
+
+def test_rare_and_multi_terms(spark):
+    from elasticsearch_nlp_classifier_spark.query import (
+        multi_terms_agg, rare_terms_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("c", "y"), (None, "y")],
+        "f string, g string",
+    )
+    rare = {r["key"]: r["doc_count"]
+            for r in rare_terms_agg(df, "f").collect()}
+    assert rare == {"b": 1, "c": 1}   # long tail only, nulls dropped
+    multi = [(r["key_f"], r["key_g"], r["doc_count"])
+             for r in multi_terms_agg(df, ["f", "g"], size=2).collect()]
+    assert multi == [("a", "x", 2), ("b", "x", 1)]
+
+
+def test_adjacency_matrix(spark):
+    from elasticsearch_nlp_classifier_spark.query import (
+        adjacency_matrix_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "id bigint, v bigint"
+    )
+    got = {r["key"]: r["doc_count"] for r in adjacency_matrix_agg(df, {
+        "lo": F.col("v") <= 20,
+        "hi": F.col("v") >= 30,
+        "even": F.col("id") % 2 == 0,
+    }).collect()}
+    # empty intersections (lo&hi) are dropped, ES key format a&b sorted
+    assert got == {"lo": 2, "hi": 2, "even": 2,
+                   "even&lo": 1, "even&hi": 1}
+
+
+def test_auto_date_histogram_picks_coarsest_fitting_interval(spark):
+    from elasticsearch_nlp_classifier_spark.query import (
+        auto_date_histogram_agg,
+    )
+
+    # 3 days of hourly events: minute/hour overflow 10 buckets → day
+    rows = [(i, f"2024-01-0{1 + i // 24} {i % 24:02d}:00:00")
+            for i in range(72)]
+    df = spark.createDataFrame(rows, "id bigint, t string").select(
+        "id", F.to_timestamp("t").alias("ts")
+    )
+    out = auto_date_histogram_agg(df, "ts", target_buckets=10)
+    rows = out.collect()
+    assert all(r["interval"] == "day" for r in rows)
+    assert [r["doc_count"] for r in rows] == [24, 24, 24]
+    # a tighter budget climbs the ladder further
+    out2 = auto_date_histogram_agg(df, "ts", target_buckets=2)
+    assert out2.collect()[0]["interval"] == "week"
