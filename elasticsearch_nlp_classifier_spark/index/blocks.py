@@ -430,6 +430,38 @@ class PhysicalIndex:
     def has_positions(self) -> bool:
         return bool(self.corpus_stats.get("has_positions"))
 
+    def term_stats_for(
+        self, terms: list[str], n_buckets: int = N_TERM_BUCKETS,
+    ) -> dict:
+        """{term: (df, tb)} for query terms, with a per-index cache —
+        ``(None, None)`` for vocabulary misses (negative-cached too).
+
+        Term stats are immutable for an index generation (tombstone
+        deletes don't rewrite df, matching Lucene-until-merge
+        semantics), so repeated query terms never re-probe: a query
+        batch whose terms were all seen before costs ZERO stats jobs —
+        the working set of query terms is tiny next to the vocabulary,
+        which is why this is a cache and not a preload."""
+        cache = self.__dict__.setdefault("_term_stats_cache", {})
+        missing = sorted(t for t in set(terms) if t not in cache)
+        if missing:
+            pdf = (
+                self.term_stats.where(F.col("term").isin(missing))
+                .select("term", "df",
+                        term_bucket(F.col("term"), n_buckets).alias("tb"))
+                .toPandas()
+            )
+            found = dict(zip(pdf["term"],
+                             zip(pdf["df"].astype(int),
+                                 pdf["tb"].astype(int))))
+            for t in missing:
+                cache[t] = found.get(t, (None, None))
+            if len(cache) > 1_000_000:  # bound driver memory
+                cache.clear()
+                cache.update({t: found.get(t, (None, None))
+                              for t in missing})
+        return {t: cache[t] for t in set(terms)}
+
     def logical_postings(self, blocks_where=None) -> DataFrame:
         """Decode blocks back to (doc_id, term, tf, dl[, positions]) —
         integrity test surface (full-decode == pre-compression

@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..index.blocks import N_TERM_BUCKETS, PhysicalIndex, term_bucket
+from ..index.blocks import N_TERM_BUCKETS, PhysicalIndex
 from ..index.codec import segmented_delta_decode, vb_decode
 from .bm25 import analyze_queries, idf_col
 
@@ -302,14 +302,12 @@ def topk_from_pairs(
     terms = sorted({t for _, t in pairs})
 
     # job 1: tiny probe — df + term bucket for just the query terms
-    # (isin pushes into the parquet scan; JVM computes the bucket hash)
-    stats_pdf = (
-        index.term_stats.where(F.col("term").isin(terms))
-        .select("term", "df", term_bucket(F.col("term"), n_buckets).alias("tb"))
-        .toPandas()
-    )
-    df_by_term = dict(zip(stats_pdf["term"], stats_pdf["df"]))
-    tb_by_term = dict(zip(stats_pdf["term"], stats_pdf["tb"]))
+    # (isin pushes into the parquet scan; JVM computes the bucket
+    # hash).  Cached per index generation: terms seen in an earlier
+    # batch skip the job entirely (PhysicalIndex.term_stats_for).
+    ts = index.term_stats_for(terms, n_buckets)
+    df_by_term = {t: df for t, (df, _) in ts.items() if df is not None}
+    tb_by_term = {t: tb for t, (_, tb) in ts.items() if tb is not None}
 
     q_rows = [
         {
