@@ -312,6 +312,49 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_nested_query(spark, sf_dir):
+    """ES nested query + inner_hits over an array-of-struct field
+    (per-user event arrays): match users with SOME event satisfying
+    event_type='error' AND value>50 on the SAME element, count the
+    matching elements.  The predicate runs as a Catalyst `exists`
+    higher-order function — no explode for non-matching parents."""
+    from elasticsearch_nlp_classifier_spark.functions import (
+        nested_inner_hits, nested_query,
+    )
+
+    ev = _events(spark, sf_dir)
+    nested = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_id", "event_type", "value"))
+        ).alias("events")
+    )
+    pred = lambda e: (e["event_type"] == F.lit("error")) & (e["value"] > 50)  # noqa: E731
+    hits = nested_inner_hits(nested, "events", pred, id_col="user_id")
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+
+
+def q_update_delete_by_query(spark, sf_dir):
+    """ES _update_by_query + _delete_by_query against a scratch copy of
+    the docs table (atomic-swap parquet MERGE emulation): short docs
+    get lang='short', very long docs are deleted; the oracle replays
+    both as one CASE + WHERE."""
+    import shutil as _sh
+
+    from elasticsearch_nlp_classifier_spark.sources import (
+        delete_by_query, update_by_query,
+    )
+
+    tbl = f"{_oracle_scratch()}/docs_byquery.parquet"
+    _sh.rmtree(tbl, ignore_errors=True)
+    _docs(spark, sf_dir).write.mode("overwrite").parquet(tbl)
+    update_by_query(spark, tbl, F.col("n_chars") < 150,
+                    {"lang": F.lit("short")})
+    delete_by_query(spark, tbl, F.col("n_chars") >= 450)
+    return spark.read.parquet(tbl).select("doc_id", "lang")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Cross-snapshot dedup via a history Bloom filter + exact verify
     (operators/bloom.py): new batch = fresh docs + 50 re-crawled copies
@@ -2048,6 +2091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_term_vectors": q_s4_term_vectors,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
+        "update_delete_by_query": q_update_delete_by_query,
+        "nested_query": q_nested_query,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2643,6 +2688,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(text) AS sha, count(*)::BIGINT AS n_dups,
                    min(doc_id) AS keep_id
             FROM docs_dup GROUP BY 1 HAVING count(*) > 1""",
+        # nested-element semantics coincide with row semantics here
+        # because the array elements ARE the event rows; the Spark side
+        # proves the array-of-struct exists/posexplode path
+        "nested_query": """
+            SELECT user_id, count(*)::BIGINT AS n_hits
+            FROM events
+            WHERE event_type = 'error' AND value > 50
+            GROUP BY 1""",
+        "update_delete_by_query": """
+            SELECT doc_id,
+                   CASE WHEN n_chars < 150 THEN 'short' ELSE lang END
+                     AS lang
+            FROM documents
+            WHERE NOT coalesce(n_chars >= 450, FALSE)""",
         # bloom + verify output is EXACT, so the oracle is the plain
         # content anti-join the operator's fpp never changes
         "dedup_incremental": """

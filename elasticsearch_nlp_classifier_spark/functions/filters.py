@@ -72,3 +72,36 @@ def changed_value(existing: str, new: str) -> Column:
     """P11 — update-if-changed, null-safe missing->''
     (`OpenNLPEnricher.java:109-112`)."""
     return ~F.coalesce(F.col(existing), F.lit("")).eqNullSafe(F.col(new))
+
+
+def nested_query(path, predicate) -> Column:
+    """ES ``nested`` query: match the parent document when AT LEAST ONE
+    element of the array-of-struct field satisfies the inner predicate
+    — crucially, all inner conditions must hold on the SAME element
+    (ES's whole point: a flat `a AND b` over separate elements is the
+    object-field false positive nested exists to prevent).
+
+    ``path`` is the array column (name or Column), ``predicate`` a
+    function struct-element -> boolean Column.  Stays entirely in
+    Catalyst (`exists` higher-order function) — no explode, no shuffle,
+    no row multiplication.
+
+    Null/empty arrays don't match (ES semantics)."""
+    c = F.col(path) if isinstance(path, str) else path
+    return F.coalesce(F.exists(c, predicate), F.lit(False))
+
+
+def nested_inner_hits(
+    df: DataFrame, path, predicate, id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``nested`` + ``inner_hits``: one row per MATCHING nested
+    element, with its position (`_nested.offset`).  posexplode +
+    element filter — row count bounded by matching elements, and the
+    parent filter (`nested_query`) runs first so non-matching parents
+    never explode."""
+    c = F.col(path) if isinstance(path, str) else path
+    return (
+        df.where(nested_query(c, predicate))
+        .select(F.col(id_col), F.posexplode(c).alias("offset", "hit"))
+        .where(predicate(F.col("hit")))
+    )

@@ -68,6 +68,13 @@ def get_spark(
         # by one on the driver is pure Amdahl serial time at any scale
         .config("spark.hadoop.mapreduce.fileoutputcommitter"
                 ".algorithm.version", "2")
+        # plan strings are built for the UI/event log on EVERY job
+        # submission; a long pipeline (stacked dataprep stages, each
+        # with large analyzer expressions) stringifies to GBs and OOMs
+        # the driver inside StringConcat.toString — cap it (truncated
+        # plan text, full execution) instead of inheriting the
+        # effectively-unbounded default
+        .config("spark.sql.maxPlanStringLength", str(1 << 20))
     )
     if _sandbox():
         # Shuffle/spill scratch: executors on a real cluster own fast

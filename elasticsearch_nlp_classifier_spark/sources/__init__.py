@@ -5,4 +5,8 @@ from .csv_io import (  # noqa: F401
     write_submission_csv,
 )
 from .model_io import load_model, save_model  # noqa: F401
-from .merge import merge_updates  # noqa: F401
+from .merge import (  # noqa: F401
+    delete_by_query,
+    merge_updates,
+    update_by_query,
+)

@@ -61,8 +61,15 @@ def merge_updates(
             for c in current.columns
         ]
     )
+    _atomic_overwrite(merged, table_path)
+    return n_matched
+
+
+def _atomic_overwrite(df: DataFrame, table_path: str) -> None:
+    """Write ``df`` to a staging dir, then swap it in with two renames —
+    readers see the old or the new table, never a partial write."""
     staging = f"{table_path}.staging-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(staging)
+    df.write.mode("overwrite").parquet(staging)
     old = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
     os.rename(table_path, old)
     try:
@@ -71,4 +78,48 @@ def merge_updates(
         os.rename(old, table_path)  # roll back the swap
         raise
     shutil.rmtree(old, ignore_errors=True)
+
+
+def update_by_query(
+    spark: SparkSession,
+    table_path: str,
+    predicate,
+    set_exprs: dict,
+) -> int:
+    """ES ``_update_by_query``: apply ``set_exprs`` (target column ->
+    Column expression, evaluated against the current row) to every row
+    matching ``predicate``; all other rows pass through byte-identical.
+    Same atomic-swap contract as :func:`merge_updates`.  Returns the
+    matched-row count (ES's ``updated``).
+
+    Reference surface: ``UpdateRequest``-per-hit loops in
+    `utils/elasticsearch/update/BulkUpdateQueue.java` driven by a query
+    — on a lakehouse this is one scan + conditional projection, never a
+    per-doc round trip."""
+    current = spark.read.parquet(table_path)
+    hit = F.coalesce(predicate, F.lit(False))
+    n_matched = current.where(hit).count()
+    updated = current.select(*[
+        (F.when(hit, set_exprs[c]).otherwise(F.col(c)).alias(c)
+         if c in set_exprs else F.col(c))
+        for c in current.columns
+    ])
+    _atomic_overwrite(updated, table_path)
     return n_matched
+
+
+def delete_by_query(
+    spark: SparkSession,
+    table_path: str,
+    predicate,
+) -> int:
+    """ES ``_delete_by_query``: drop every row matching ``predicate``
+    (null predicate = not matched, ES semantics); atomic swap; returns
+    the deleted count.  The index-level cousin is
+    ``index/deletes.py``'s tombstones — this one rewrites the source
+    table itself (Iceberg ``DELETE WHERE`` at real scale)."""
+    current = spark.read.parquet(table_path)
+    hit = F.coalesce(predicate, F.lit(False))
+    n_deleted = current.where(hit).count()
+    _atomic_overwrite(current.where(~hit), table_path)
+    return n_deleted

@@ -40,9 +40,16 @@ def physical(spark, corpus_sf_tiny, tmp_path_factory):
     )
 
 
-def test_filter_and_projection_reach_parquet_scan(spark):
+def test_filter_and_projection_reach_parquet_scan(spark, tmp_path):
+    # read a private copy: if another test has .cache()d the shared
+    # sf0.001 path, Spark's cache manager would swap this scan for an
+    # InMemoryRelation and there'd be no FileScan to assert on
+    import shutil
+
+    p = str(tmp_path / "docs_plan.parquet")
+    shutil.copy(f"{SF}/documents.parquet", p)
     docs = (
-        spark.read.parquet(f"{SF}/documents.parquet")
+        spark.read.parquet(p)
         .where(F.col("doc_id") < 100)
         .select("doc_id", "lang")
     )

@@ -125,3 +125,42 @@ def test_merge_updates_applies_batch_atomically(spark, tmp_path):
                          {"lang": "new_lang"}) == 2
     got2 = {r["doc_id"]: r["lang"] for r in spark.read.parquet(tbl).collect()}
     assert got2 == {1: "a", 2: "B2", 3: "C3"}  # null update -> keep old
+
+
+def test_update_by_query(spark, tmp_path):
+    """ES _update_by_query: set-expressions applied to matching rows
+    only; expressions can read the current row; null predicate = not
+    matched."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_nlp_classifier_spark.sources import update_by_query
+
+    tbl = str(tmp_path / "docs_ubq")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None)],
+        "doc_id long, lang string, n long",
+    ).write.parquet(tbl)
+
+    n = update_by_query(
+        spark, tbl, F.col("n") >= 20,
+        {"lang": F.upper("lang"), "n": F.col("n") + 1},
+    )
+    assert n == 1  # doc 3's null n -> predicate null -> NOT matched
+    got = {r["doc_id"]: (r["lang"], r["n"])
+           for r in spark.read.parquet(tbl).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 21), 3: ("c", None)}
+
+
+def test_delete_by_query(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_nlp_classifier_spark.sources import delete_by_query
+
+    tbl = str(tmp_path / "docs_dbq")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "doc_id long, n long"
+    ).write.parquet(tbl)
+    n = delete_by_query(spark, tbl, F.col("n") >= 20)
+    assert n == 1
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(tbl).collect())
+    assert kept == [1, 3]  # null predicate -> row survives (ES semantics)
