@@ -210,11 +210,17 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
         ivfpq_build, ivfpq_topk,
     )
 
-    t_build, (cents, books, codes) = _timed(lambda: ivfpq_build(
-        emb, dim=64, n_cells=16, m=16, n_codes=32, iters=5,
-    ))
-    codes = codes.cache()
-    codes.count()
+    # build timing must include the distributed corpus ENCODE — the
+    # codes DataFrame is lazy, so materialize it inside the timer
+    def _build():
+        cents, books, codes = ivfpq_build(
+            emb, dim=64, n_cells=16, m=16, n_codes=32, iters=5,
+        )
+        codes = codes.cache()
+        codes.count()
+        return cents, books, codes
+
+    t_build, (cents, books, codes) = _timed(_build)
     extras["ivfpq_build_s"] = round(t_build, 3)
     qvecs = [(r["query_id"], np.asarray(r["query_vec"]))
              for r in probes.collect()]

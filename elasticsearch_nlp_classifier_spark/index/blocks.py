@@ -442,7 +442,8 @@ class PhysicalIndex:
         batch whose terms were all seen before costs ZERO stats jobs —
         the working set of query terms is tiny next to the vocabulary,
         which is why this is a cache and not a preload."""
-        cache = self.__dict__.setdefault("_term_stats_cache", {})
+        caches = self.__dict__.setdefault("_term_stats_cache", {})
+        cache = caches.setdefault(n_buckets, {})  # tb depends on n_buckets
         missing = sorted(t for t in set(terms) if t not in cache)
         if missing:
             pdf = (
@@ -456,11 +457,11 @@ class PhysicalIndex:
                                  pdf["tb"].astype(int))))
             for t in missing:
                 cache[t] = found.get(t, (None, None))
-            if len(cache) > 1_000_000:  # bound driver memory
-                cache.clear()
-                cache.update({t: found.get(t, (None, None))
-                              for t in missing})
-        return {t: cache[t] for t in set(terms)}
+        out = {t: cache[t] for t in set(terms)}
+        if len(cache) > 1_000_000:  # bound driver memory
+            cache.clear()
+            cache.update(out)  # current batch stays resolvable
+        return out
 
     def logical_postings(self, blocks_where=None) -> DataFrame:
         """Decode blocks back to (doc_id, term, tf, dl[, positions]) —

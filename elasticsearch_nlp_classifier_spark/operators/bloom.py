@@ -15,9 +15,11 @@ content digests:
 2. **scan** — one narrow pass over the new batch with the bitmap
    broadcast: vectorized bit tests drop every definitely-new row.
 3. **verify** — Bloom positives (true dups + false positives) are the
-   ONLY rows that touch history: an exact semi-join on the digest,
-   bounded by the positive count, not the corpus.  Output is therefore
-   EXACT — the filter's fpp only sizes the verify join.
+   ONLY rows that touch history: a semi-join keyed on the digest (so
+   shuffle volume is bounded by the positive count, not the corpus)
+   with a content-equality condition on top, so neither Bloom fpp NOR
+   a 64-bit digest collision can drop a genuinely new row.  Output is
+   therefore EXACT.
 
 At 10^12-item scale the single driver bitmap becomes a sharded bloom
 (hash-prefix → shard); the operator takes ``n_bits`` so the caller
@@ -129,11 +131,20 @@ def dedup_against_history(
                               F.lit("")))
     new_h = new_df.withColumn("_h", h)
     candidates = new_h.where(seen(F.col("_h")))       # bloom positives
-    hist_h = history_df.select(h.alias("_h")).distinct()
-    # exact verify: candidate rows actually present in history
-    true_dups = candidates.join(hist_h, "_h", "left_semi").select(
-        F.col(id_col).alias("_dup_id")
+    hist = history_df.select(
+        h.alias("_hh"), F.col(content_col).alias("_hc")
     )
+    # exact verify: equi-join on the digest (bounds shuffle volume —
+    # history rows only move if their digest matches a Bloom positive)
+    # PLUS content equality, so a 64-bit digest collision cannot drop a
+    # genuinely new document; left_semi dedups repeated history rows
+    true_dups = candidates.join(
+        hist,
+        (F.col("_h") == F.col("_hh"))
+        & (F.coalesce(F.col(content_col).cast("string"), F.lit(""))
+           == F.coalesce(F.col("_hc").cast("string"), F.lit(""))),
+        "left_semi",
+    ).select(F.col(id_col).alias("_dup_id"))
     return (
         new_h.join(true_dups, new_h[id_col] == F.col("_dup_id"),
                    "left_anti")

@@ -77,28 +77,7 @@ def pq_train_codebooks(
     X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
     if normalize:
         X = _l2_normalize(X)
-    rng = np.random.default_rng(seed)
-    books = np.empty((m, n_codes, sub))
-    for j in range(m):
-        Xj = X[:, j * sub: (j + 1) * sub]
-        # deterministic seeding: distinct rows in hash order
-        uniq = np.unique(Xj, axis=0)
-        if len(uniq) >= n_codes:
-            cents = uniq[
-                rng.permutation(len(uniq))[:n_codes]
-            ].copy()
-        else:  # degenerate data: pad with jittered repeats
-            reps = np.resize(uniq, (n_codes, sub)).astype(np.float64)
-            cents = reps + rng.normal(0, 1e-6, reps.shape)
-        for _ in range(iters):
-            d = ((Xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(n_codes):
-                pts = Xj[assign == c]
-                if len(pts):
-                    cents[c] = pts.mean(axis=0)
-        books[j] = cents
-    return books
+    return _train_books_on(X, m, n_codes, iters, seed)
 
 
 def pq_encode(
@@ -138,6 +117,37 @@ def pq_encode(
     )
 
 
+def _exact_rerank(top, rerank, q_ids, Q, k, id_col, vec_col):
+    """Shared rerank tail: re-score the candidate (query_id, vec_id)
+    pairs in ``top`` with exact cosine against the full vectors and
+    return the final (query_id, rank, vec_id, score) top-k."""
+    from .similarity import cosine
+
+    spark = top.sparkSession
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": q_ids,
+                      "qv": [list(map(float, v)) for v in Q]})
+    )
+    exact = (
+        top.select("query_id", "vec_id")
+        .join(rerank.select(F.col(id_col).alias("vec_id"), vec_col),
+              "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col(vec_col), F.col("qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: list[tuple[int, np.ndarray]],
@@ -168,7 +178,6 @@ def pq_adc_topk(
     # luts: (n_q, m, n_codes)
     luts = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
 
-    spark = codes.sparkSession
     depth = rerank_depth if rerank is not None else k
 
     def scan(batches):
@@ -199,31 +208,7 @@ def pq_adc_topk(
     )
     if rerank is None:
         return top.select("query_id", "rank", "vec_id", "score")
-
-    qdf = spark.createDataFrame(
-        pd.DataFrame({"query_id": q_ids, "qv": [list(map(float, v))
-                                               for v in Q]})
-    )
-    from .similarity import cosine
-
-    exact = (
-        top.select("query_id", "vec_id")
-        .join(rerank.select(F.col(id_col).alias("vec_id"), vec_col),
-              "vec_id")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id", "vec_id",
-            cosine(F.col(vec_col), F.col("qv")).alias("score"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "score")
-    )
+    return _exact_rerank(top, rerank, q_ids, Q, k, id_col, vec_col)
 
 
 # --- IVF-PQ: coarse quantizer + residual PQ (FAISS "IVFx,PQy") -------
@@ -382,7 +367,6 @@ def ivfpq_topk(
     luts = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
     probed_union = sorted({int(c) for row in probes for c in row})
 
-    spark = codes.sparkSession
     depth = rerank_depth if rerank is not None else k
 
     def scan(batches):
@@ -419,28 +403,4 @@ def ivfpq_topk(
     )
     if rerank is None:
         return top.select("query_id", "rank", "vec_id", "score")
-
-    qdf = spark.createDataFrame(
-        pd.DataFrame({"query_id": q_ids,
-                      "qv": [list(map(float, v)) for v in Q]})
-    )
-    from .similarity import cosine
-
-    exact = (
-        top.select("query_id", "vec_id")
-        .join(rerank.select(F.col(id_col).alias("vec_id"), vec_col),
-              "vec_id")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id", "vec_id",
-            cosine(F.col(vec_col), F.col("qv")).alias("score"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "score")
-    )
+    return _exact_rerank(top, rerank, q_ids, Q, k, id_col, vec_col)

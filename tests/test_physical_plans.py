@@ -53,14 +53,13 @@ def test_filter_and_projection_reach_parquet_scan(spark, tmp_path):
         .where(F.col("doc_id") < 100)
         .select("doc_id", "lang")
     )
-    p = plan(docs)
+    ps = plan(docs)
     # predicate pushed into the scan, not applied post-read
-    assert "PushedFilters" in p
-    assert "LessThan(doc_id,100)" in p.replace(" ", "").replace(
-        "LessThan(doc_id,100)", "LessThan(doc_id,100)"
-    ) or "doc_id" in p.split("PushedFilters")[1].splitlines()[0]
+    assert "PushedFilters" in ps
+    pushed = ps.split("PushedFilters:")[1].splitlines()[0].replace(" ", "")
+    assert "LessThan(doc_id,100)" in pushed
     # column pruning: the scan schema carries only the projected columns
-    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    read_schema = ps.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "lang" in read_schema
     assert "text" not in read_schema
 
@@ -156,7 +155,7 @@ def test_scale_path_operators_have_no_row_python(spark):
                  "domains"):
         assert "ArrowEvalPython" not in plans[name], name
         assert "EvalPython" not in plans[name], name
-        assert "mapInPandas" not in plans[name].lower(), name
+        assert "mapinpandas" not in plans[name].lower(), name
 
 
 def test_index_build_has_single_wide_dependency(corpus_sf_tiny):
