@@ -1165,6 +1165,29 @@ def q_agg_bucket_stats(spark, sf_dir):
     )
 
 
+def q_agg_metrics_extras(spark, sf_dir):
+    """ES weighted_avg + top_metrics + median_absolute_deviation (exact
+    percentile form) over events, emitted as one row."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        median_absolute_deviation_agg, top_metrics_agg,
+        weighted_avg_agg,
+    )
+
+    ev = _events(spark, sf_dir)
+    wa = weighted_avg_agg(ev, "value", "user_id")
+    tm = top_metrics_agg(ev, "user_id", "value", size=1).select(
+        F.col("sort").alias("top_sort"),
+        F.col("metric").cast("bigint").alias("top_metric"),
+    )
+    mad = median_absolute_deviation_agg(ev, "value")
+    return (
+        wa.crossJoin(tm).crossJoin(mad)
+        .select(F.round("weighted_avg", 6).alias("weighted_avg"),
+                F.round("top_sort", 6).alias("top_sort"), "top_metric",
+                F.round("mad", 6).alias("mad"))
+    )
+
+
 def q_agg_rare_terms(spark, sf_dir):
     """ES rare_terms: the doc_count<=1 long tail of n_chars values."""
     from elasticsearch_nlp_classifier_spark.query import rare_terms_agg
@@ -2141,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pipeline": q_agg_pipeline,
         "agg_bucket_stats": q_agg_bucket_stats,
         "agg_rare_terms": q_agg_rare_terms,
+        "agg_metrics_extras": q_agg_metrics_extras,
         "agg_multi_terms": q_agg_multi_terms,
         "agg_adjacency": q_agg_adjacency,
         "agg_auto_date_histogram": q_agg_auto_date_histogram,
@@ -3299,6 +3323,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,
                    count(*)::BIGINT AS doc_count
             FROM events GROUP BY 1""",
+        "agg_metrics_extras": """
+            WITH wa AS (
+              SELECT round(sum(value * user_id) / sum(user_id), 6)
+                       AS weighted_avg
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
+            ),
+            tm AS (
+              SELECT round(value, 6) AS top_sort,
+                     user_id::BIGINT AS top_metric
+              FROM events WHERE value IS NOT NULL
+              ORDER BY value DESC, user_id ASC LIMIT 1
+            ),
+            med AS (
+              SELECT quantile_cont(value, 0.5) AS m FROM events
+              WHERE value IS NOT NULL
+            ),
+            mad AS (
+              SELECT round(quantile_cont(abs(value - med.m), 0.5), 6)
+                       AS mad
+              FROM events, med WHERE value IS NOT NULL
+            )
+            SELECT wa.weighted_avg, tm.top_sort, tm.top_metric, mad.mad
+            FROM wa, tm, mad""",
         "agg_rare_terms": """
             SELECT n_chars AS key, count(*)::BIGINT AS doc_count
             FROM documents

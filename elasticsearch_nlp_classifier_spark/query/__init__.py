@@ -34,6 +34,7 @@ from .aggs import (  # noqa: F401
     filters_agg,
     histogram_agg,
     max_bucket_agg,
+    median_absolute_deviation_agg,
     min_bucket_agg,
     missing_agg,
     moving_avg_agg,
@@ -48,7 +49,9 @@ from .aggs import (  # noqa: F401
     stats_bucket_agg,
     terms_agg,
     top_hits_agg,
+    top_metrics_agg,
     value_count_agg,
+    weighted_avg_agg,
 )
 from .mlt import (  # noqa: F401
     completion_suggest,

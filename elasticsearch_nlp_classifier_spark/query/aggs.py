@@ -73,6 +73,9 @@ __all__ = [
     "adjacency_matrix_agg",
     "auto_date_histogram_agg",
     "significant_text",
+    "weighted_avg_agg",
+    "top_metrics_agg",
+    "median_absolute_deviation_agg",
 ]
 
 
@@ -649,4 +652,56 @@ def significant_text(
     so the ES surface maps 1:1."""
     return significant_terms(
         foreground, postings, doc_id_col, size, min_doc_count, n_docs
+    )
+
+
+def weighted_avg_agg(
+    df: DataFrame, value_col: str, weight_col: str,
+) -> DataFrame:
+    """ES ``weighted_avg``: Σ(v·w)/Σ(w) over rows where both sides are
+    non-null (ES skips a doc missing either).  One agg row, map-side
+    combined."""
+    ok = F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    return df.where(ok).agg(
+        (F.sum(F.col(value_col) * F.col(weight_col))
+         / F.sum(weight_col)).alias("weighted_avg")
+    )
+
+
+def top_metrics_agg(
+    df: DataFrame, metric_col: str, sort_col: str,
+    size: int = 1, ascending: bool = False,
+) -> DataFrame:
+    """ES ``top_metrics``: the metric value(s) from the top-``size``
+    docs by ``sort_col`` (ES tie-breaks are unspecified; here fully
+    deterministic via metric as secondary key).  TakeOrdered shape."""
+    keys = (
+        [F.asc(sort_col), F.asc(metric_col)] if ascending
+        else [F.desc(sort_col), F.asc(metric_col)]
+    )
+    return (
+        df.where(F.col(sort_col).isNotNull())
+        .orderBy(*keys)
+        .limit(size)
+        .select(F.col(sort_col).alias("sort"),
+                F.col(metric_col).alias("metric"))
+    )
+
+
+def median_absolute_deviation_agg(
+    df: DataFrame, field: str, exact: bool = True,
+) -> DataFrame:
+    """ES ``median_absolute_deviation``: median(|x - median(x)|).
+    Exact form = two percentile aggs (the second over the residuals —
+    a two-pass plan, each map-side combined); ``exact=False`` uses the
+    mergeable Greenwald-Khanna sketch like ES's TDigest variant."""
+    pct = (F.percentile if exact
+           else (lambda c, p: F.percentile_approx(c, p, 10_000)))
+    med = df.where(F.col(field).isNotNull()).agg(
+        pct(F.col(field), F.lit(0.5)).alias("m")
+    ).collect()[0]["m"]
+    return (
+        df.where(F.col(field).isNotNull())
+        .select(F.abs(F.col(field) - F.lit(med)).alias("r"))
+        .agg(pct(F.col("r"), F.lit(0.5)).alias("mad"))
     )

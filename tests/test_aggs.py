@@ -364,3 +364,24 @@ def test_auto_date_histogram_picks_coarsest_fitting_interval(spark):
     # a tighter budget climbs the ladder further
     out2 = auto_date_histogram_agg(df, "ts", target_buckets=2)
     assert out2.collect()[0]["interval"] == "week"
+
+
+def test_metrics_extras(spark):
+    from elasticsearch_nlp_classifier_spark.query import (
+        median_absolute_deviation_agg, top_metrics_agg,
+        weighted_avg_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 3), (None, 5), (4.0, None)],
+        "v double, w bigint",
+    )
+    wa = weighted_avg_agg(df, "v", "w").collect()[0]["weighted_avg"]
+    assert abs(wa - (1.0 * 1 + 2.0 * 3) / 4) < 1e-12  # null rows skipped
+    tm = top_metrics_agg(df, "w", "v", size=2).collect()
+    assert [(r["sort"], r["metric"]) for r in tm] == [(4.0, None), (2.0, 3)]
+    vals = spark.createDataFrame(
+        [(float(x),) for x in (1, 1, 2, 2, 4, 6, 9)], "v double"
+    )
+    mad = median_absolute_deviation_agg(vals, "v").collect()[0]["mad"]
+    assert mad == 1.0  # median 2; |x-2| = 1,1,0,0,2,4,7 → median 1
