@@ -1165,6 +1165,37 @@ def q_agg_bucket_stats(spark, sf_dir):
     )
 
 
+def q_rollup_query(spark, sf_dir):
+    """ES _rollup analog: events pre-aggregated to hourly partials
+    (count/sum/min/max per metric), then a DAY histogram by event_type
+    answered entirely FROM the rollup — exact vs the direct aggregation
+    the oracle runs on raw events, because the stored partials are
+    mergeable and day boundaries align to hour buckets."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        build_rollup, rollup_query,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        # 2-decimal metric → exact integer cents, so the two-level
+        # partial merge is bit-identical to the oracle's direct sum
+        # (float addition order would otherwise flip the last ulp)
+        "value_c", F.round(F.col("value") * 100).cast("bigint")
+    )
+    ru = build_rollup(ev, "ts", dims=["event_type"],
+                      metrics=["value_c"], unit="hour")
+    out = rollup_query(ru, unit="day", rollup_unit="hour",
+                       dims=["event_type"], metrics=["value_c"])
+    return out.select(
+        F.unix_timestamp("key_ts").cast("bigint").alias("key_epoch"),
+        "event_type", "doc_count",
+        F.col("value_c_sum").cast("bigint").alias("value_sum_c"),
+        F.col("value_c_min").cast("bigint").alias("value_min_c"),
+        F.col("value_c_max").cast("bigint").alias("value_max_c"),
+        F.col("value_c_count").cast("bigint").alias("value_count"),
+        F.round("value_c_avg", 6).alias("value_avg_c"),
+    )
+
+
 def q_agg_metrics_extras(spark, sf_dir):
     """ES weighted_avg + top_metrics + median_absolute_deviation (exact
     percentile form) over events, emitted as one row."""
@@ -2165,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bucket_stats": q_agg_bucket_stats,
         "agg_rare_terms": q_agg_rare_terms,
         "agg_metrics_extras": q_agg_metrics_extras,
+        "rollup_query": q_rollup_query,
         "agg_multi_terms": q_agg_multi_terms,
         "agg_adjacency": q_agg_adjacency,
         "agg_auto_date_histogram": q_agg_auto_date_histogram,
@@ -3323,6 +3355,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,
                    count(*)::BIGINT AS doc_count
             FROM events GROUP BY 1""",
+        # the oracle aggregates RAW events directly — proving the
+        # rollup's two-level partial merge is exact, not approximate
+        "rollup_query": """
+            WITH e AS (
+              SELECT ts, event_type,
+                     round(value * 100)::BIGINT AS value_c
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT epoch(date_trunc('day', ts))::BIGINT AS key_epoch,
+                   event_type,
+                   count(*)::BIGINT AS doc_count,
+                   sum(value_c)::BIGINT AS value_sum_c,
+                   min(value_c)::BIGINT AS value_min_c,
+                   max(value_c)::BIGINT AS value_max_c,
+                   count(value_c)::BIGINT AS value_count,
+                   round(sum(value_c)::DOUBLE / count(value_c), 6)
+                     AS value_avg_c
+            FROM e
+            GROUP BY 1, 2""",
         "agg_metrics_extras": """
             WITH wa AS (
               SELECT round(sum(value * user_id) / sum(user_id), 6)

@@ -53,6 +53,10 @@ from .aggs import (  # noqa: F401
     value_count_agg,
     weighted_avg_agg,
 )
+from .rollup import (  # noqa: F401
+    build_rollup,
+    rollup_query,
+)
 from .mlt import (  # noqa: F401
     completion_suggest,
     mlt_terms,

@@ -385,3 +385,40 @@ def test_metrics_extras(spark):
     )
     mad = median_absolute_deviation_agg(vals, "v").collect()[0]["mad"]
     assert mad == 1.0  # median 2; |x-2| = 1,1,0,0,2,4,7 → median 1
+
+
+def test_rollup_merge_exact_and_granularity_gate(spark):
+    import pytest as _pt
+
+    from elasticsearch_nlp_classifier_spark.query import (
+        build_rollup, rollup_query,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:10:00", "a", 10.0),
+        (2, "2024-01-01 00:50:00", "a", 30.0),
+        (3, "2024-01-01 13:00:00", "a", 2.0),
+        (4, "2024-01-02 00:00:00", "b", 7.0),
+        (5, "2024-01-02 05:00:00", "b", None),  # null metric: counted
+    ]                                            # in doc_count only
+    ev = spark.createDataFrame(
+        rows, "id bigint, t string, et string, v double"
+    ).select("id", F.to_timestamp("t").alias("ts"), "et", "v")
+
+    ru = build_rollup(ev, "ts", dims=["et"], metrics=["v"], unit="hour")
+    assert ru.count() == 4  # 3 distinct (hour, a) + ... buckets
+
+    out = {(r["key_ts"].day, r["et"]): r for r in rollup_query(
+        ru, unit="day", rollup_unit="hour", dims=["et"], metrics=["v"]
+    ).collect()}
+    d1 = out[(1, "a")]
+    assert (d1["doc_count"], d1["v_sum"], d1["v_min"], d1["v_max"],
+            d1["v_count"]) == (3, 42.0, 2.0, 30.0, 3)
+    assert abs(d1["v_avg"] - 14.0) < 1e-12
+    d2 = out[(2, "b")]
+    assert (d2["doc_count"], d2["v_count"], d2["v_sum"]) == (2, 1, 7.0)
+
+    # a finer histogram than the rollup stores must be refused
+    with _pt.raises(ValueError):
+        rollup_query(ru, unit="minute", rollup_unit="hour",
+                     dims=["et"], metrics=["v"])
