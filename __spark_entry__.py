@@ -1165,6 +1165,49 @@ def q_agg_bucket_stats(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (kdb aj / DuckDB ASOF JOIN / Flink temporal join):
+    each click event joined to the user's latest view event at-or-
+    before it.  Cogrouped pandas merge_asof per user key; the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from elasticsearch_nlp_classifier_spark.operators import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "ts", "user_id", F.col("event_id").alias("view_event"),
+    )
+    out = asof_join(clicks, views, "ts", by="user_id",
+                    right_cols=["view_event"])
+    return out.select("event_id", "user_id",
+                      F.col("r_view_event").alias("view_event"))
+
+
+def q_range_join(spark, sf_dir):
+    """Interval containment join via the binning rewrite: click events
+    inside [view.ts, view.ts + 30 min) windows of the same user.
+    Exact for any bin width (pytest-pinned); the oracle is the plain
+    inequality join."""
+    from elasticsearch_nlp_classifier_spark.operators import range_join
+
+    ev = _events(spark, sf_dir)
+    pts = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    iv = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+        "user_id",
+    )
+    out = range_join(pts, iv, "ts", "start", "end", by="user_id",
+                     bin_seconds=900)
+    return out.select("event_id", "user_id",
+                      F.col("iv_view_event").alias("view_event"))
+
+
 def q_rollup_query(spark, sf_dir):
     """ES _rollup analog: events pre-aggregated to hourly partials
     (count/sum/min/max per metric), then a DAY histogram by event_type
@@ -2197,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rare_terms": q_agg_rare_terms,
         "agg_metrics_extras": q_agg_metrics_extras,
         "rollup_query": q_rollup_query,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "agg_multi_terms": q_agg_multi_terms,
         "agg_adjacency": q_agg_adjacency,
         "agg_auto_date_histogram": q_agg_auto_date_histogram,
@@ -3355,6 +3400,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,
                    count(*)::BIGINT AS doc_count
             FROM events GROUP BY 1""",
+        # DuckDB's native ASOF JOIN replays the cogrouped merge_asof
+        "asof_join": """
+            WITH clicks AS (
+              SELECT event_id, ts, user_id FROM events
+              WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT event_id AS view_event, ts, user_id FROM events
+              WHERE event_type = 'view'
+            )
+            SELECT c.event_id, c.user_id, v.view_event
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "range_join": """
+            WITH clicks AS (
+              SELECT event_id, ts, user_id FROM events
+              WHERE event_type = 'click'
+            ),
+            iv AS (
+              SELECT event_id AS view_event, ts AS start_ts,
+                     ts + INTERVAL 30 MINUTE AS end_ts, user_id
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT c.event_id, c.user_id, iv.view_event
+            FROM clicks c JOIN iv
+              ON c.user_id = iv.user_id
+             AND c.ts >= iv.start_ts AND c.ts < iv.end_ts""",
         # the oracle aggregates RAW events directly — proving the
         # rollup's two-level partial merge is exact, not approximate
         "rollup_query": """
