@@ -1165,6 +1165,18 @@ def q_agg_bucket_stats(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact top-k frequency WITHOUT a raw-key shuffle: per-partition
+    local candidates + one filtered exact count (the CMS/Misra-Gries
+    candidate pattern; the count-min sketch itself is pytest-gated —
+    linearity + one-sided-error bound)."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        heavy_hitters,
+    )
+
+    return heavy_hitters(_docs(spark, sf_dir), "lang", k=5)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (kdb aj / DuckDB ASOF JOIN / Flink temporal join):
     each click event joined to the user's latest view event at-or-
@@ -2241,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_metrics_extras": q_agg_metrics_extras,
         "rollup_query": q_rollup_query,
         "asof_join": q_asof_join,
+        "heavy_hitters": q_heavy_hitters,
         "range_join": q_range_join,
         "agg_multi_terms": q_agg_multi_terms,
         "agg_adjacency": q_agg_adjacency,
@@ -3400,6 +3413,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,
                    count(*)::BIGINT AS doc_count
             FROM events GROUP BY 1""",
+        "heavy_hitters": """
+            SELECT lang AS key, count(*)::BIGINT AS n
+            FROM documents WHERE lang IS NOT NULL
+            GROUP BY 1 ORDER BY n DESC, key ASC LIMIT 5""",
         # DuckDB's native ASOF JOIN replays the cogrouped merge_asof
         "asof_join": """
             WITH clicks AS (

@@ -19,6 +19,7 @@ from .bloom import (  # noqa: F401
     dedup_against_history,
 )
 from .chunk import chunk_documents  # noqa: F401
+from .sketch import cms_build, cms_query, heavy_hitters  # noqa: F401
 from .timejoin import asof_join, range_join  # noqa: F401
 from .pq import (  # noqa: F401
     ivfpq_build,
