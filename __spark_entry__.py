@@ -2176,6 +2176,90 @@ def q_dedup_spans(spark, sf_dir):
     )
 
 
+def q_agg_sampler(spark, sf_dir):
+    """ES sampler bucket agg: deterministic top-`shard_size` sample by a
+    sort field (tie → doc_id asc); sub-aggs run on the sample."""
+    from elasticsearch_nlp_classifier_spark.query import sampler_agg
+
+    return sampler_agg(
+        _docs(spark, sf_dir), 20, "n_chars", id_col="doc_id"
+    ).select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+def q_agg_diversified_sampler(spark, sf_dir):
+    """ES diversified_sampler: sampler with at most `max_docs_per_value`
+    docs per diversify-field value (de-biases a dominant lang)."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        diversified_sampler_agg,
+    )
+
+    return diversified_sampler_agg(
+        _docs(spark, sf_dir), 20, "n_chars", "lang",
+        max_docs_per_value=2, id_col="doc_id",
+    ).select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+def q_reindex_subset(spark, sf_dir):
+    """ES `_reindex` with a source query: rebuild the index from the
+    docs table restricted to `n_chars >= 200`; term_stats of the new
+    index must equal direct tokenization of the filtered corpus."""
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index import reindex
+
+    out = tempfile.mkdtemp(prefix="reix_") + "/idx"
+    ix = reindex(
+        _docs(spark, sf_dir), out,
+        query=F.col("n_chars") >= 200,
+        text_col="text", analyzer="simple_code",
+    )
+    return ix.term_stats.select(
+        "term",
+        F.col("df").cast("bigint").alias("df"),
+        F.col("ttf").cast("bigint").alias("ttf"),
+    )
+
+
+def q_terms_set(spark, sf_dir):
+    """ES ``terms_set`` query: docs where at least 2 of the 3 given
+    terms occur (distinct-matched-terms count, ES semantics)."""
+    from elasticsearch_nlp_classifier_spark.functions import terms_set_query
+    from elasticsearch_nlp_classifier_spark.index import tokenize_docs
+
+    tok = tokenize_docs(_docs(spark, sf_dir), "text", "simple_code",
+                        "doc_id")
+    return tok.where(
+        terms_set_query(F.col("tokens"), ["data", "value", "table"], 2)
+    ).select("doc_id")
+
+
+def q_rank_eval(spark, sf_dir):
+    """ES ``_rank_eval``: precision@k / recall@k / MRR / nDCG@k per
+    query over a deterministic ranked-results + graded-judgments pair
+    derived from the documents table (query = lang, ranking = n_chars
+    desc, grade = doc_id % 4)."""
+    from elasticsearch_nlp_classifier_spark.query import rank_eval
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    results = (
+        docs.select(
+            F.col("lang").alias("query_id"),
+            "doc_id",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    judgments = docs.select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        (F.col("doc_id") % 4).cast("double").alias("grade"),
+    )
+    return rank_eval(results, judgments, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2267,6 +2351,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_range": q_agg_date_range,
         "agg_filters": q_agg_filters,
         "agg_missing": q_agg_missing,
+        "agg_sampler": q_agg_sampler,
+        "agg_diversified_sampler": q_agg_diversified_sampler,
+        "reindex_subset": q_reindex_subset,
+        "terms_set": q_terms_set,
+        "rank_eval": q_rank_eval,
         "regexp_bm25": q_regexp_bm25,
         "suggest_completion": q_suggest_completion,
         "match_phrase_prefix": q_match_phrase_prefix,
@@ -3405,6 +3494,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang AS key, count(*)::BIGINT AS doc_count
             FROM documents WHERE lang IS NOT NULL
             GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5""",
+        "agg_sampler": """
+            SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+            FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+        "agg_diversified_sampler": """
+            WITH ranked AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents)
+            SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+            FROM ranked WHERE rn <= 2
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+        "terms_set": f"""
+            WITH {_TF}
+            SELECT doc_id FROM tf
+            WHERE term IN ('data', 'value', 'table')
+            GROUP BY doc_id HAVING count(DISTINCT term) >= 2""",
+        "rank_eval": """
+            WITH res AS (
+              SELECT lang AS query_id, doc_id,
+                     row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY n_chars DESC, doc_id ASC) AS rank
+              FROM documents),
+            topk AS (SELECT * FROM res WHERE rank <= 10),
+            jud AS (SELECT lang AS query_id, doc_id,
+                           (doc_id % 4)::DOUBLE AS grade FROM documents),
+            joined AS (
+              SELECT t.query_id, t.rank, coalesce(j.grade, 0) AS g
+              FROM topk t LEFT JOIN jud j USING (query_id, doc_id)),
+            got AS (
+              SELECT query_id,
+                     sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) / 10.0
+                        AS precision_k,
+                     max(CASE WHEN g > 0 THEN 1.0 / rank ELSE 0 END) AS mrr,
+                     sum((pow(2.0, g) - 1) / log2(rank + 1.0)) AS dcg,
+                     sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)::BIGINT AS hits
+              FROM joined GROUP BY 1),
+            ideal AS (
+              SELECT query_id,
+                     sum((pow(2.0, grade) - 1) / log2(ir + 1.0)) AS idcg
+              FROM (
+                SELECT query_id, grade,
+                       row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY grade DESC, doc_id ASC) AS ir
+                FROM jud WHERE grade > 0)
+              WHERE ir <= 10 GROUP BY 1),
+            nrel AS (SELECT query_id, count(*)::BIGINT AS nrel
+                     FROM jud WHERE grade > 0 GROUP BY 1)
+            SELECT g.query_id,
+                   round(g.precision_k, 6) AS precision_k,
+                   round(CASE WHEN coalesce(n.nrel, 0) > 0
+                              THEN g.hits / n.nrel ELSE 0 END, 6) AS recall_k,
+                   round(g.mrr, 6) AS mrr,
+                   round(CASE WHEN coalesce(i.idcg, 0) > 0
+                              THEN g.dcg / i.idcg ELSE 0 END, 6) AS ndcg_k
+            FROM got g
+            LEFT JOIN ideal i USING (query_id)
+            LEFT JOIN nrel n USING (query_id)""",
+        "reindex_subset": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                        string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '') AS w
+              FROM documents WHERE n_chars >= 200),
+            posts AS (SELECT doc_id, unnest(w) AS term FROM toks),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM posts GROUP BY 1, 2)
+            SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+            FROM tf GROUP BY term""",
         "agg_histogram": """
             SELECT (floor(n_chars / 100.0) * 100.0)::DOUBLE AS key,
                    count(*)::BIGINT AS doc_count

@@ -105,3 +105,24 @@ def nested_inner_hits(
         .select(F.col(id_col), F.posexplode(c).alias("offset", "hit"))
         .where(predicate(F.col("hit")))
     )
+
+
+def terms_set_query(
+    tokens_col, terms: list[str], minimum_should_match: int | None = None,
+) -> Column:
+    """ES ``terms_set``: match when at least ``minimum_should_match``
+    DISTINCT terms from ``terms`` occur in the analyzed token array
+    (default: all of them).  ``array_intersect`` dedups both sides —
+    exactly ES's distinct-matched-terms count — and stays in codegen.
+    Null arrays don't match (ES semantics)."""
+    msm = len(terms) if minimum_should_match is None else minimum_should_match
+    hits = F.size(F.array_intersect(
+        tokens_col, F.array(*[F.lit(t) for t in terms])
+    ))
+    return F.coalesce(hits >= F.lit(msm), F.lit(False))
+
+
+def ids_query(id_col: str, ids: list) -> Column:
+    """ES ``ids`` query: member-of-set on the document id — compiles to
+    an ``isin`` that Catalyst pushes into the scan (In/InSet filter)."""
+    return F.col(id_col).isin(ids)

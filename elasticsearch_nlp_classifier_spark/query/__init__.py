@@ -30,6 +30,8 @@ from .aggs import (  # noqa: F401
     date_histogram_agg,
     date_range_agg,
     derivative_agg,
+    diversified_sampler_agg,
+    sampler_agg,
     extended_stats_agg,
     filters_agg,
     histogram_agg,
@@ -53,6 +55,7 @@ from .aggs import (  # noqa: F401
     value_count_agg,
     weighted_avg_agg,
 )
+from .rank_eval import rank_eval  # noqa: F401
 from .rollup import (  # noqa: F401
     build_rollup,
     rollup_query,

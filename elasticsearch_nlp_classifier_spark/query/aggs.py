@@ -76,6 +76,8 @@ __all__ = [
     "weighted_avg_agg",
     "top_metrics_agg",
     "median_absolute_deviation_agg",
+    "sampler_agg",
+    "diversified_sampler_agg",
 ]
 
 
@@ -704,4 +706,44 @@ def median_absolute_deviation_agg(
         df.where(F.col(field).isNotNull())
         .select(F.abs(F.col(field) - F.lit(med)).alias("r"))
         .agg(pct(F.col("r"), F.lit(0.5)).alias("mad"))
+    )
+
+
+def sampler_agg(
+    df: DataFrame, size: int, sort_field: str,
+    ascending: bool = False, id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``sampler`` bucket agg: restrict sub-aggregations to the
+    ``size`` best-scoring docs (``shard_size``).  ES samples per shard
+    by ``_score``; here the sample is the deterministic global top-k by
+    ``sort_field`` (tie → ``id_col`` asc) so results are reproducible
+    across partitionings — a TakeOrdered, no global sort
+    materialization.  Returns the sampled rows: run any other agg in
+    this module on them (sampler in ES is a container bucket)."""
+    s = F.asc(sort_field) if ascending else F.desc(sort_field)
+    return df.orderBy(s, F.asc(id_col)).limit(size)
+
+
+def diversified_sampler_agg(
+    df: DataFrame, size: int, sort_field: str, diversify_field: str,
+    max_docs_per_value: int = 1,
+    ascending: bool = False, id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``diversified_sampler``: like ``sampler`` but at most
+    ``max_docs_per_value`` docs share one ``diversify_field`` value —
+    de-biases the sample from a dominant key (one giant domain/lang
+    flooding the bucket).  One shuffle on the diversify key for the
+    per-value ``row_number`` window, then the same TakeOrdered as
+    ``sampler``.  Skew note: the window partitions by the diversify
+    key, so a pathological single-value skew is bounded by that key's
+    partition — at 100 TB pre-filter with a per-partition partial
+    top-(max_docs_per_value) if one value dominates."""
+    s = F.asc(sort_field) if ascending else F.desc(sort_field)
+    w = Window.partitionBy(diversify_field).orderBy(s, F.asc(id_col))
+    return (
+        df.withColumn("_dsr", F.row_number().over(w))
+        .where(F.col("_dsr") <= max_docs_per_value)
+        .drop("_dsr")
+        .orderBy(s, F.asc(id_col))
+        .limit(size)
     )

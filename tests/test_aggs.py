@@ -422,3 +422,116 @@ def test_rollup_merge_exact_and_granularity_gate(spark):
     with _pt.raises(ValueError):
         rollup_query(ru, unit="minute", rollup_unit="hour",
                      dims=["et"], metrics=["v"])
+
+
+def test_sampler_agg(docs):
+    from elasticsearch_nlp_classifier_spark.query import sampler_agg
+
+    got = _pd(
+        sampler_agg(docs, 20, "n_chars", id_col="doc_id")
+        .select("doc_id", "n_chars"),
+        ["doc_id"],
+    )
+    want = duckdb.sql(f"""
+        SELECT doc_id, n_chars FROM read_parquet('{DOCS}')
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    """).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_diversified_sampler_agg(docs):
+    from elasticsearch_nlp_classifier_spark.query import (
+        diversified_sampler_agg,
+    )
+
+    got = diversified_sampler_agg(
+        docs, 20, "n_chars", "lang", max_docs_per_value=2,
+        id_col="doc_id",
+    )
+    rows = got.select("doc_id", "lang", "n_chars").collect()
+    # the diversity cap holds
+    from collections import Counter
+    per_lang = Counter(r["lang"] for r in rows)
+    assert all(v <= 2 for v in per_lang.values())
+    # matches the SQL formulation exactly
+    want = duckdb.sql(f"""
+        WITH ranked AS (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM read_parquet('{DOCS}')
+        )
+        SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 2
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    """).df().sort_values("doc_id").reset_index(drop=True)
+    got_pd = _pd(got.select("doc_id", "lang", "n_chars"), ["doc_id"])
+    pd.testing.assert_frame_equal(got_pd, want, check_dtype=False)
+
+
+def test_rank_eval_hand_computed(spark):
+    import math
+
+    from elasticsearch_nlp_classifier_spark.query import rank_eval
+
+    results = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    judgments = spark.createDataFrame(
+        [("q1", 2, 1.0), ("q1", 3, 2.0), ("q1", 9, 3.0)],
+        "query_id string, doc_id bigint, grade double",
+    )
+    row = rank_eval(results, judgments, k=3).collect()[0]
+    dcg = (2**1 - 1) / math.log2(3) + (2**2 - 1) / math.log2(4)
+    idcg = (
+        (2**3 - 1) / math.log2(2)
+        + (2**2 - 1) / math.log2(3)
+        + (2**1 - 1) / math.log2(4)
+    )
+    assert row["precision_k"] == round(2 / 3, 6)
+    assert row["recall_k"] == round(2 / 3, 6)
+    assert row["mrr"] == 0.5
+    assert row["ndcg_k"] == round(dcg / idcg, 6)
+
+
+def test_rank_eval_no_relevant_scores_zero(spark):
+    from elasticsearch_nlp_classifier_spark.query import rank_eval
+
+    results = spark.createDataFrame(
+        [("q1", 1, 1)], "query_id string, doc_id bigint, rank int"
+    )
+    judgments = spark.createDataFrame(
+        [("q1", 9, 0.0)], "query_id string, doc_id bigint, grade double"
+    )
+    row = rank_eval(results, judgments, k=3).collect()[0]
+    assert (row["precision_k"], row["recall_k"], row["mrr"],
+            row["ndcg_k"]) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_terms_set_and_ids_query(spark):
+    from pyspark.sql import functions as F2
+
+    from elasticsearch_nlp_classifier_spark.functions import (
+        ids_query,
+        terms_set_query,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "x"]),   # 2 of 3 -> match
+            (2, ["a", "a", "a"]),   # 1 distinct -> no
+            (3, ["a", "b", "c"]),   # 3 of 3 -> match
+            (4, None),              # null -> no (ES semantics)
+        ],
+        "doc_id bigint, tokens array<string>",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in df.where(
+            terms_set_query(F2.col("tokens"), ["a", "b", "c"], 2)
+        ).collect()
+    )
+    assert got == [1, 3]
+    assert sorted(
+        r["doc_id"] for r in df.where(ids_query("doc_id", [2, 4])).collect()
+    ) == [2, 4]

@@ -146,3 +146,61 @@ def test_index_stats_report(physical):
     assert s["bytes_blocks"] > 0 and s["bytes_term_stats"] > 0
     assert s["compression_ratio"] > 1.0
     assert s["n_blocks"] >= s["n_buckets"] > 0
+
+
+# --- ES _reindex ------------------------------------------------------------
+
+def test_reindex_filtered_equals_direct_build(
+    spark, corpus_sf_tiny, tmp_path_factory
+):
+    """_reindex with a source query == building straight from the
+    filtered docs: identical term_stats and corpus stats."""
+    from elasticsearch_nlp_classifier_spark.index import reindex
+
+    docs = corpus_sf_tiny["docs"]
+    base = tmp_path_factory.mktemp("reix")
+    ra = reindex(docs, str(base / "a"), query=F.col("lang") == "python")
+    rb = build_physical_index(
+        docs.where(F.col("lang") == "python"), str(base / "b")
+    )
+    a = sorted(map(tuple, ra.term_stats.collect()))
+    b = sorted(map(tuple, rb.term_stats.collect()))
+    assert a == b and len(a) > 0
+    assert ra.corpus_stats == rb.corpus_stats
+
+
+def test_reindex_script_and_max_docs(spark, corpus_sf_tiny, tmp_path_factory):
+    """script transform runs before indexing; max_docs takes the first
+    N by doc_id (deterministic)."""
+    from elasticsearch_nlp_classifier_spark.index import reindex
+
+    docs = corpus_sf_tiny["docs"]
+    out = str(tmp_path_factory.mktemp("reix_s") / "idx")
+    ix = reindex(
+        docs, out,
+        script={"content": F.concat(F.col("content"),
+                                    F.lit(" zz_reindex_marker"))},
+        max_docs=50,
+    )
+    assert ix.corpus_stats["doc_count"] == 50
+    ts = {r["term"]: r["df"] for r in ix.term_stats.collect()}
+    # the scripted marker token is in every surviving doc
+    assert ts.get("zz_reindex_marker") == 50
+    got_ids = sorted(
+        r["doc_id"]
+        for r in ix.logical_postings().select("doc_id").distinct().collect()
+    )
+    want_ids = sorted(
+        r["doc_id"] for r in docs.orderBy("doc_id").limit(50).collect()
+    )
+    assert got_ids == want_ids
+
+
+def test_reindex_filter_pushdown(spark, corpus_sf_tiny):
+    """the reindex query reaches the parquet scan as a pushed filter
+    (the docstring's 100 TB claim)."""
+    docs = spark.read.parquet(
+        f"{corpus_sf_tiny['path']}/corpus_docs.parquet"
+    ).where(F.col("lang") == "python")
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(lang,python)" in plan
