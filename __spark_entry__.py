@@ -2260,6 +2260,190 @@ def q_rank_eval(spark, sf_dir):
     return rank_eval(results, judgments, k=10)
 
 
+
+_POS_IX_CACHE: dict = {}
+
+
+def _pos_physical_index(spark, sf_dir):
+    """Positional physical index over documents, built once per
+    (session, sf_dir) — the span/intervals family shares it."""
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _POS_IX_CACHE:
+        out = tempfile.mkdtemp(prefix="spanfam_ix_") + "/idx"
+        _POS_IX_CACHE[key] = build_physical_index(
+            _docs(spark, sf_dir), out, text_col="text",
+            analyzer="simple_code", with_positions=True,
+        )
+    return _POS_IX_CACHE[key]
+
+
+def q_span_or(spark, sf_dir):
+    """Lucene SpanOrQuery: union of term-span occurrences per doc."""
+    from elasticsearch_nlp_classifier_spark.query import span_or
+
+    ix = _pos_physical_index(spark, sf_dir)
+    return span_or(ix, ["data", "value"], analyzer="simple_code")
+
+
+def q_span_first(spark, sf_dir):
+    """Lucene SpanFirstQuery: 'data' spans ending within the first 3
+    positions."""
+    from elasticsearch_nlp_classifier_spark.query import span_first
+
+    ix = _pos_physical_index(spark, sf_dir)
+    return span_first(ix, "data", end=3, analyzer="simple_code")
+
+
+def q_span_not(spark, sf_dir):
+    """Lucene SpanNotQuery: 'data' occurrences with no 'table' within
+    1 position before/after."""
+    from elasticsearch_nlp_classifier_spark.query import span_not
+
+    ix = _pos_physical_index(spark, sf_dir)
+    return span_not(ix, "data", "table", pre=1, post=1,
+                    analyzer="simple_code")
+
+
+def q_intervals_unordered(spark, sf_dir):
+    """ES intervals query (match rule, unordered, max_gaps=2): both
+    terms within a window of at most 2 extra positions."""
+    from elasticsearch_nlp_classifier_spark.query import intervals_match
+
+    ix = _pos_physical_index(spark, sf_dir)
+    return intervals_match(ix, "table value", max_gaps=2, ordered=False,
+                           analyzer="simple_code")
+
+
+def q_agg_string_stats(spark, sf_dir):
+    """ES string_stats agg over documents.text (length stats + char
+    Shannon entropy)."""
+    from elasticsearch_nlp_classifier_spark.query import string_stats_agg
+
+    return string_stats_agg(_docs(spark, sf_dir), "text")
+
+
+def q_agg_boxplot(spark, sf_dir):
+    """ES boxplot agg over documents.n_chars (exact quantiles —
+    matches DuckDB quantile_cont)."""
+    from elasticsearch_nlp_classifier_spark.query import boxplot_agg
+
+    return boxplot_agg(_docs(spark, sf_dir), "n_chars", exact=True)
+
+
+def q_agg_matrix_stats(spark, sf_dir):
+    """ES matrix_stats agg over three lineitem measures (scaled to
+    integer-valued doubles so every power sum is exact in IEEE-754 and
+    the moment formulas replay bit-identically in SQL)."""
+    from elasticsearch_nlp_classifier_spark.query import matrix_stats_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("double").alias("y"),
+        F.round(F.col("l_tax") * 100, 0).cast("double").alias("z"),
+    )
+    return matrix_stats_agg(li, ["x", "y", "z"])
+
+
+def q_agg_t_test(spark, sf_dir):
+    """ES t_test agg (Welch): documents.n_chars, lang='en' vs the
+    rest."""
+    from elasticsearch_nlp_classifier_spark.query import t_test_agg
+
+    docs = _docs(spark, sf_dir)
+    return t_test_agg(docs, "n_chars", F.col("lang") == "en",
+                      F.col("lang") != "en", typ="heteroscedastic")
+
+
+def q_agg_scripted_metric(spark, sf_dir):
+    """ES scripted_metric agg: per-event_type RMS of value via
+    user map/combine/reduce scripts (mergeability enforced by
+    sharded folding)."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        scripted_metric_agg,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def map_fn(pdf):
+        return {"ss": float((pdf["value"] ** 2).sum()), "n": int(len(pdf))}
+
+    def reduce_fn(states):
+        return {"ss": sum(s["ss"] for s in states),
+                "n": sum(s["n"] for s in states)}
+
+    def finalize(st):
+        return {"rms": round((st["ss"] / st["n"]) ** 0.5, 6)}
+
+    return scripted_metric_agg(
+        events.select("event_type", "value"), "event_type",
+        map_fn, reduce_fn, finalize,
+        state_fields=["ss", "n"], out_schema="rms double",
+    ).withColumnRenamed("event_type", "key")
+
+
+def _cust_geo(spark, sf_dir):
+    """customer rows with deterministic synthetic coordinates — pure
+    integer modular arithmetic so the identical derivation runs in the
+    SQL oracle."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        F.col("c_custkey"),
+        ((F.col("c_custkey") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 73 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def q_geo_grid(spark, sf_dir):
+    """ES geotile_grid agg (Web-Mercator z/x/y buckets) over synthetic
+    customer coordinates."""
+    from elasticsearch_nlp_classifier_spark.query import geotile_grid_agg
+
+    g = _cust_geo(spark, sf_dir)
+    return geotile_grid_agg(g, F.col("lat"), F.col("lon"),
+                            precision=4, size=20)
+
+
+def q_geo_distance_rings(spark, sf_dir):
+    """ES geo_distance agg: haversine ring buckets around (0, 0)."""
+    from elasticsearch_nlp_classifier_spark.query import geo_distance_agg
+
+    g = _cust_geo(spark, sf_dir)
+    return geo_distance_agg(
+        g, F.col("lat"), F.col("lon"), 0.0, 0.0,
+        [(None, 2000.0), (2000.0, 8000.0), (8000.0, None)],
+    )
+
+
+def q_feat_hash_embed(spark, sf_dir):
+    """Feature-hashed TF-IDF embeddings (hashing trick, Weinberger et
+    al. 2009) — emitted as dense (doc_id, j, val) cells so the full
+    vector replays in SQL."""
+    from elasticsearch_nlp_classifier_spark.operators import hashed_tfidf
+
+    vec = hashed_tfidf(_docs(spark, sf_dir), dim=16)
+    return vec.select(
+        "doc_id", F.posexplode("embedding").alias("j", "v")
+    ).select("doc_id", F.col("j").cast("bigint").alias("j"),
+             F.round("v", 6).alias("val"))
+
+
+def q_shard_assignment(spark, sf_dir):
+    """Deterministic training-shard shuffle: (doc_id, shard, pos) with
+    hash-ordered within-shard positions."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        shard_assignment,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return shard_assignment(docs, 4).select("doc_id", "shard", "pos")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2391,6 +2575,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_match": q_synonym_match,
         "multi_index_bm25": q_multi_index_bm25,
         "web_clean": q_web_clean,
+        "span_or": q_span_or,
+        "span_first": q_span_first,
+        "span_not": q_span_not,
+        "intervals_unordered": q_intervals_unordered,
+        "agg_string_stats": q_agg_string_stats,
+        "agg_boxplot": q_agg_boxplot,
+        "agg_matrix_stats": q_agg_matrix_stats,
+        "agg_t_test": q_agg_t_test,
+        "agg_scripted_metric": q_agg_scripted_metric,
+        "geo_grid": q_geo_grid,
+        "geo_distance_rings": q_geo_distance_rings,
+        "feat_hash_embed": q_feat_hash_embed,
+        "shard_assignment": q_shard_assignment,
     }
 
 
@@ -4439,6 +4636,270 @@ def oracle_sql() -> dict[str, str]:
                    (least(off + nt, seq_id * 64 + 64)
                     - greatest(off, seq_id * 64))::BIGINT AS n_toks
             FROM ex""",
+        "span_or": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_matches
+            FROM pos WHERE term IN ('data', 'value')
+            GROUP BY 1""",
+        "span_first": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_matches
+            FROM pos WHERE term = 'data' AND pos + 1 <= 3
+            GROUP BY 1""",
+        "span_not": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            )
+            SELECT i.doc_id, count(*)::BIGINT AS n_matches
+            FROM pos i
+            WHERE i.term = 'data' AND NOT EXISTS (
+              SELECT 1 FROM pos e
+              WHERE e.doc_id = i.doc_id AND e.term = 'table'
+                AND e.pos BETWEEN i.pos - 1 AND i.pos + 1)
+            GROUP BY 1""",
+        "intervals_unordered": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            ),
+            anchors AS (
+              SELECT DISTINCT doc_id, pos FROM pos
+              WHERE term IN ('table', 'value')
+            ),
+            v AS (
+              SELECT a.doc_id, a.pos,
+                (SELECT min(p.pos) FROM pos p
+                 WHERE p.doc_id = a.doc_id AND p.term = 'table'
+                   AND p.pos >= a.pos) AS nt,
+                (SELECT min(p.pos) FROM pos p
+                 WHERE p.doc_id = a.doc_id AND p.term = 'value'
+                   AND p.pos >= a.pos) AS nv
+              FROM anchors a
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_matches
+            FROM v
+            WHERE nt IS NOT NULL AND nv IS NOT NULL
+              AND greatest(nt, nv) - pos - 1 <= 2
+            GROUP BY 1""",
+        "agg_string_stats": """
+            WITH base AS (
+              SELECT count(*)::BIGINT AS count,
+                     min(length(text))::BIGINT AS min_length,
+                     max(length(text))::BIGINT AS max_length,
+                     round(avg(length(text)), 6) AS avg_length
+              FROM documents WHERE text IS NOT NULL
+            ),
+            chars AS (
+              SELECT unnest(string_split(text, '')) AS ch
+              FROM documents WHERE text IS NOT NULL
+            ),
+            cnt AS (
+              SELECT ch, count(*)::DOUBLE AS n FROM chars
+              WHERE ch <> '' GROUP BY 1
+            ),
+            ent AS (
+              SELECT round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+                     AS entropy
+              FROM cnt
+            )
+            SELECT * FROM base, ent""",
+        "agg_boxplot": """
+            SELECT min(n_chars)::DOUBLE AS min,
+                   round(quantile_cont(n_chars, 0.25), 6) AS q1,
+                   round(quantile_cont(n_chars, 0.5), 6) AS q2,
+                   round(quantile_cont(n_chars, 0.75), 6) AS q3,
+                   max(n_chars)::DOUBLE AS max
+            FROM documents WHERE n_chars IS NOT NULL""",
+        "agg_matrix_stats": """
+            WITH src AS (
+              SELECT l_quantity::DOUBLE AS x,
+                     round(l_discount * 100, 0)::DOUBLE AS y,
+                     round(l_tax * 100, 0)::DOUBLE AS z
+              FROM lineitem
+            ),
+            s AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(x) AS s1x, sum(x*x) AS s2x,
+                     sum(x*x*x) AS s3x, sum(x*x*x*x) AS s4x,
+                     sum(y) AS s1y, sum(y*y) AS s2y,
+                     sum(y*y*y) AS s3y, sum(y*y*y*y) AS s4y,
+                     sum(z) AS s1z, sum(z*z) AS s2z,
+                     sum(z*z*z) AS s3z, sum(z*z*z*z) AS s4z,
+                     sum(x*y) AS spxy, sum(x*z) AS spxz, sum(y*z) AS spyz
+              FROM src
+            ),
+            m AS (
+              SELECT *,
+                     s1x/n AS mx, s1y/n AS my, s1z/n AS mz,
+                     s2x/n - (s1x/n)*(s1x/n) AS vx,
+                     s2y/n - (s1y/n)*(s1y/n) AS vy,
+                     s2z/n - (s1z/n)*(s1z/n) AS vz
+              FROM s
+            )
+            SELECT 'x' AS field_a, 'x' AS field_b, n::BIGINT AS count,
+                   round(vx, 6) AS covariance, 1.0 AS correlation,
+                   round(mx, 6) AS mean, round(vx, 6) AS variance,
+                   round((s3x/n - 3*mx*s2x/n + 2*power(mx,3))
+                         / power(vx, 1.5), 6) AS skewness,
+                   round((s4x/n - 4*mx*s3x/n + 6*mx*mx*s2x/n
+                          - 3*power(mx,4)) / power(vx, 2), 6) AS kurtosis
+            FROM m
+            UNION ALL
+            SELECT 'x', 'y', n::BIGINT, round(spxy/n - mx*my, 6),
+                   round((spxy/n - mx*my) / power(vx*vy, 0.5), 6),
+                   NULL, NULL, NULL, NULL FROM m
+            UNION ALL
+            SELECT 'x', 'z', n::BIGINT, round(spxz/n - mx*mz, 6),
+                   round((spxz/n - mx*mz) / power(vx*vz, 0.5), 6),
+                   NULL, NULL, NULL, NULL FROM m
+            UNION ALL
+            SELECT 'y', 'y', n::BIGINT, round(vy, 6), 1.0,
+                   round(my, 6), round(vy, 6),
+                   round((s3y/n - 3*my*s2y/n + 2*power(my,3))
+                         / power(vy, 1.5), 6),
+                   round((s4y/n - 4*my*s3y/n + 6*my*my*s2y/n
+                          - 3*power(my,4)) / power(vy, 2), 6) FROM m
+            UNION ALL
+            SELECT 'y', 'z', n::BIGINT, round(spyz/n - my*mz, 6),
+                   round((spyz/n - my*mz) / power(vy*vz, 0.5), 6),
+                   NULL, NULL, NULL, NULL FROM m
+            UNION ALL
+            SELECT 'z', 'z', n::BIGINT, round(vz, 6), 1.0,
+                   round(mz, 6), round(vz, 6),
+                   round((s3z/n - 3*mz*s2z/n + 2*power(mz,3))
+                         / power(vz, 1.5), 6),
+                   round((s4z/n - 4*mz*s3z/n + 6*mz*mz*s2z/n
+                          - 3*power(mz,4)) / power(vz, 2), 6) FROM m""",
+        "agg_t_test": """
+            WITH s AS (
+              SELECT count(CASE WHEN lang = 'en' THEN 1 END)::DOUBLE AS na,
+                     avg(CASE WHEN lang = 'en' THEN n_chars END) AS ma,
+                     var_samp(CASE WHEN lang = 'en' THEN n_chars END) AS va,
+                     count(CASE WHEN lang <> 'en' THEN 1 END)::DOUBLE AS nb,
+                     avg(CASE WHEN lang <> 'en' THEN n_chars END) AS mb,
+                     var_samp(CASE WHEN lang <> 'en' THEN n_chars END) AS vb
+              FROM documents
+            )
+            SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+                   round((ma - mb) / sqrt(va/na + vb/nb), 6) AS t_value,
+                   round(((va/na + vb/nb) * (va/na + vb/nb))
+                         / (power(va/na, 2)/(na-1)
+                            + power(vb/nb, 2)/(nb-1)), 6)
+                     AS degrees_of_freedom
+            FROM s""",
+        "agg_scripted_metric": """
+            SELECT event_type AS key,
+                   round(sqrt(sum(value * value) / count(*)), 6) AS rms
+            FROM events GROUP BY 1""",
+        "geo_grid": """
+            WITH g AS (
+              SELECT ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+                     ((c_custkey * 73) % 36000) / 100.0 - 180.0 AS lon
+              FROM customer
+            ),
+            t AS (
+              SELECT floor((lon + 180.0) / 360.0 * 16.0) AS x0,
+                     floor((1.0 - ln(tan(radians(
+                               greatest(least(lat, 85.05112878),
+                                        -85.05112878)))
+                            + 1.0 / cos(radians(
+                               greatest(least(lat, 85.05112878),
+                                        -85.05112878)))) / pi())
+                           / 2.0 * 16.0) AS y0
+              FROM g
+            ),
+            k AS (
+              SELECT '4/' || least(x0, 15)::BIGINT::VARCHAR || '/'
+                     || greatest(least(y0, 15), 0)::BIGINT::VARCHAR AS key
+              FROM t
+            )
+            SELECT key, count(*)::BIGINT AS doc_count
+            FROM k GROUP BY 1
+            ORDER BY doc_count DESC, key ASC LIMIT 20""",
+        "geo_distance_rings": """
+            WITH g AS (
+              SELECT ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+                     ((c_custkey * 73) % 36000) / 100.0 - 180.0 AS lon
+              FROM customer
+            ),
+            d AS (
+              SELECT 2.0 * 6371.0 * asin(sqrt(
+                       power(sin(radians(lat) / 2.0), 2)
+                       + cos(radians(lat)) * 1.0
+                         * power(sin(radians(lon) / 2.0), 2))) AS dist
+              FROM g
+            )
+            SELECT '*-2000.0' AS key,
+                   count(CASE WHEN dist < 2000.0 THEN 1 END)::BIGINT
+                     AS doc_count FROM d
+            UNION ALL
+            SELECT '2000.0-8000.0',
+                   count(CASE WHEN dist >= 2000.0 AND dist < 8000.0
+                         THEN 1 END)::BIGINT FROM d
+            UNION ALL
+            SELECT '8000.0-*',
+                   count(CASE WHEN dist >= 8000.0 THEN 1 END)::BIGINT
+            FROM d""",
+        "feat_hash_embed": f"""
+            WITH {_TF},
+            stats AS (
+              SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+            ),
+            nd AS (
+              SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf
+            ),
+            w AS (
+              SELECT tf.doc_id,
+                     ('0x' || substr(md5(tf.term || 'fh_b'), 1, 15))::BIGINT % 16 AS j,
+                     (CASE WHEN ('0x' || substr(md5(tf.term || 'fh_s'), 1, 15))::BIGINT % 2 = 0
+                           THEN 1.0 ELSE -1.0 END)
+                     * tf.tf * (ln((nd.n + 1.0) / (stats.df + 1.0)) + 1.0)
+                       AS wt
+              FROM tf JOIN stats USING (term), nd
+            ),
+            cells AS (
+              SELECT doc_id, j, sum(wt) AS v FROM w GROUP BY 1, 2
+            ),
+            dims AS (SELECT unnest(range(16)) AS j),
+            docs_t AS (SELECT DISTINCT doc_id FROM tf),
+            dense AS (
+              SELECT d.doc_id, dims.j, coalesce(c.v, 0.0) AS v
+              FROM docs_t d CROSS JOIN dims
+              LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.j = dims.j
+            ),
+            nrm AS (
+              SELECT doc_id, sqrt(sum(v * v)) AS nrm
+              FROM dense GROUP BY 1
+            )
+            SELECT d.doc_id, d.j::BIGINT AS j,
+                   round(d.v / n.nrm, 6) AS val
+            FROM dense d JOIN nrm n USING (doc_id)""",
+        "shard_assignment": f"""
+            WITH u AS (
+              SELECT doc_id, (('0x' || substr(md5(cast(doc_id AS VARCHAR) || 'shard'), 1, 15))::BIGINT / 1152921504606846976.0) AS u
+              FROM documents
+            )
+            SELECT doc_id,
+                   cast(floor(u * 4) AS INT) AS shard,
+                   (row_number() OVER (
+                      PARTITION BY cast(floor(u * 4) AS INT)
+                      ORDER BY u ASC, doc_id ASC) - 1)::BIGINT AS pos
+            FROM u""",
         # mm_feature_extract: real pure-numpy BMP/WAV/Y4M decode ->
         # rows-only check (binary header parsing + FFT features are not
         # SQL-expressible; codecs roundtrip-pinned in pytest)

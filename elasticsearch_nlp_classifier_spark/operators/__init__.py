@@ -84,3 +84,9 @@ from .sampling import (  # noqa: F401
     stratified_sample,
     uniform_top_n,
 )
+from .feathash import hash_bucket, hashed_tfidf  # noqa: F401
+from .sharding import (  # noqa: F401
+    global_shuffle,
+    shard_assignment,
+    write_shards,
+)

@@ -71,3 +71,25 @@ from .mlt import (  # noqa: F401
 )
 from .phrase import match_phrase_prefix  # noqa: F401
 from .rescore import decay_score, random_score  # noqa: F401
+from .spans import (  # noqa: F401
+    intervals_match,
+    span_first,
+    span_not,
+    span_or,
+)
+from .aggs import (  # noqa: F401
+    boxplot_agg,
+    matrix_stats_agg,
+    scripted_metric_agg,
+    string_stats_agg,
+    t_test_agg,
+)
+from .geo import (  # noqa: F401
+    geo_bounding_box_query,
+    geo_bounds_agg,
+    geo_centroid_agg,
+    geo_distance_agg,
+    geo_distance_query,
+    geotile_grid_agg,
+    haversine_km,
+)

@@ -78,6 +78,11 @@ __all__ = [
     "median_absolute_deviation_agg",
     "sampler_agg",
     "diversified_sampler_agg",
+    "string_stats_agg",
+    "boxplot_agg",
+    "matrix_stats_agg",
+    "t_test_agg",
+    "scripted_metric_agg",
 ]
 
 
@@ -746,4 +751,234 @@ def diversified_sampler_agg(
         .drop("_dsr")
         .orderBy(s, F.asc(id_col))
         .limit(size)
+    )
+
+
+def string_stats_agg(
+    df: DataFrame, field: str, with_entropy: bool = True,
+) -> DataFrame:
+    """ES ``string_stats`` metric agg: count / min_length / max_length /
+    avg_length, plus (``show_distribution``-style) the Shannon entropy
+    of the field's **character** distribution across all values.
+
+    Plan shape: the length stats are one map-side-combined agg over the
+    scan; the entropy pass explodes characters but aggregates them
+    map-side too, so the wide stage carries one row per *distinct
+    character* per partition (alphabet-sized, not data-sized).  Entropy
+    uses the one-pass identity ``H = log2(N) − (Σ nᵢ·log2 nᵢ)/N`` so no
+    second total-count job is needed.  Both single-row sides meet in a
+    trivial cross join.
+    """
+    c = F.col(field)
+    base = df.where(c.isNotNull()).agg(
+        F.count(c).alias("count"),
+        F.min(F.length(c)).cast("bigint").alias("min_length"),
+        F.max(F.length(c)).cast("bigint").alias("max_length"),
+        F.round(F.avg(F.length(c)), 6).alias("avg_length"),
+    )
+    if not with_entropy:
+        return base
+    chars = (
+        df.where(c.isNotNull())
+        .select(F.explode(F.split(c, "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    ent = chars.agg(
+        F.round(
+            F.log2(F.sum("n"))
+            - F.sum(F.col("n") * F.log2("n")) / F.sum("n"),
+            6,
+        ).alias("entropy")
+    )
+    return base.crossJoin(ent)
+
+
+def boxplot_agg(df: DataFrame, field: str, exact: bool = True) -> DataFrame:
+    """ES ``boxplot`` metric agg: min / q1 / q2 / q3 / max.
+
+    ``exact=True`` → Spark's exact ``percentile`` (linear
+    interpolation, matches DuckDB ``quantile_cont``) for the
+    oracle/small-group path; ``exact=False`` → the mergeable
+    Greenwald-Khanna sketch (``percentile_approx``), the 100 TB path
+    (ES itself computes boxplot from a TDigest).  One agg row either
+    way, map-side combined."""
+    c = F.col(field).cast("double")
+    pct = (F.percentile if exact
+           else (lambda x, p: F.percentile_approx(x, p, 10_000)))
+    return df.where(c.isNotNull()).agg(
+        F.min(c).alias("min"),
+        F.round(pct(c, F.lit(0.25)), 6).alias("q1"),
+        F.round(pct(c, F.lit(0.5)), 6).alias("q2"),
+        F.round(pct(c, F.lit(0.75)), 6).alias("q3"),
+        F.max(c).alias("max"),
+    )
+
+
+def matrix_stats_agg(df: DataFrame, fields: list[str]) -> DataFrame:
+    """ES ``matrix_stats`` agg over numeric fields: per-field moments
+    (mean, population variance, method-of-moments skewness
+    ``m3/m2^1.5`` and kurtosis ``m4/m2²``) plus the pairwise
+    population covariance / Pearson correlation matrix.
+
+    Like ES, only docs where **every** requested field is present
+    enter the matrix.  Plan: ONE hash aggregate computes all power
+    sums (Σx, Σx², Σx³, Σx⁴ per field, Σxy per pair) map-side
+    combined — a single scan and a single constant-width shuffle row
+    regardless of data size; the O(k²) matrix assembly happens on the
+    collected 1-row result (k = |fields|, driver work is k² floats).
+
+    Returns one row per ordered pair ``field_a <= field_b``:
+    ``(field_a, field_b, count, covariance, correlation, mean,
+    variance, skewness, kurtosis)`` — the moment columns are non-null
+    on diagonal rows only, mirroring ES's per-field/per-pair split.
+    """
+    ok = None
+    for f in fields:
+        cond = F.col(f).isNotNull()
+        ok = cond if ok is None else (ok & cond)
+    base = df.where(ok)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for f in fields:
+        c = F.col(f).cast("double")
+        aggs += [
+            F.sum(c).alias(f"s1_{f}"),
+            F.sum(c * c).alias(f"s2_{f}"),
+            F.sum(c * c * c).alias(f"s3_{f}"),
+            F.sum(c * c * c * c).alias(f"s4_{f}"),
+        ]
+    for i, a in enumerate(fields):
+        for b in fields[i + 1:]:
+            aggs.append(
+                F.sum(F.col(a).cast("double") * F.col(b).cast("double"))
+                .alias(f"sp_{a}_{b}")
+            )
+    row = base.agg(*aggs).collect()[0].asDict()
+
+    n = row["n"] or 0.0
+    out = []
+
+    def moments(f):
+        m = row[f"s1_{f}"] / n
+        m2 = row[f"s2_{f}"] / n - m * m
+        m3 = row[f"s3_{f}"] / n - 3 * m * row[f"s2_{f}"] / n + 2 * m**3
+        m4 = (row[f"s4_{f}"] / n - 4 * m * row[f"s3_{f}"] / n
+              + 6 * m * m * row[f"s2_{f}"] / n - 3 * m**4)
+        return m, m2, m3, m4
+
+    for i, a in enumerate(fields):
+        ma, v_a, m3a, m4a = moments(a)
+        out.append((a, a, int(n), round(v_a, 6), 1.0, round(ma, 6),
+                    round(v_a, 6),
+                    round(m3a / v_a**1.5, 6) if v_a > 0 else None,
+                    round(m4a / v_a**2, 6) if v_a > 0 else None))
+        for b in fields[i + 1:]:
+            mb, v_b, _, _ = moments(b)
+            cov = row[f"sp_{a}_{b}"] / n - ma * mb
+            corr = (cov / (v_a * v_b) ** 0.5
+                    if v_a > 0 and v_b > 0 else None)
+            out.append((a, b, int(n), round(cov, 6),
+                        round(corr, 6) if corr is not None else None,
+                        None, None, None, None))
+    return df.sparkSession.createDataFrame(
+        out,
+        "field_a string, field_b string, count bigint, covariance double,"
+        " correlation double, mean double, variance double,"
+        " skewness double, kurtosis double",
+    )
+
+
+def t_test_agg(
+    df: DataFrame, field: str, cond_a: Column, cond_b: Column,
+    typ: str = "heteroscedastic",
+) -> DataFrame:
+    """ES ``t_test`` metric agg between the two populations selected by
+    ``cond_a`` / ``cond_b`` (ES's filter form).  Returns the
+    t-statistic and degrees of freedom — ``heteroscedastic`` = Welch's
+    t with Welch–Satterthwaite df (ES's default), ``homoscedastic`` =
+    pooled-variance Student's t.  (ES reports the p-value, which is
+    the Student-t CDF of this statistic at this df — a driver-side
+    scalar lookup, no distributed work; scipy isn't vendored here so
+    the statistic/df pair is the output.)
+
+    One scan, one agg row: each population's n/mean/sample-variance
+    comes from conditional aggregates (``avg(CASE WHEN ...)``), all
+    map-side combined — never two scans or a self-join.
+    """
+    if typ not in ("heteroscedastic", "homoscedastic"):
+        raise ValueError(f"unknown t_test type {typ!r}")
+    c = F.col(field).cast("double")
+    xa = F.when(cond_a, c)
+    xb = F.when(cond_b, c)
+    r = df.agg(
+        F.count(xa).cast("double").alias("na"),
+        F.avg(xa).alias("ma"),
+        F.var_samp(xa).alias("va"),
+        F.count(xb).cast("double").alias("nb"),
+        F.avg(xb).alias("mb"),
+        F.var_samp(xb).alias("vb"),
+    )
+    na, ma, va = F.col("na"), F.col("ma"), F.col("va")
+    nb, mb, vb = F.col("nb"), F.col("mb"), F.col("vb")
+    if typ == "heteroscedastic":
+        se2 = va / na + vb / nb
+        t = (ma - mb) / F.sqrt(se2)
+        dof = (se2 * se2) / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+    else:
+        sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        t = (ma - mb) / F.sqrt(sp2 * (1 / na + 1 / nb))
+        dof = na + nb - 2
+    return r.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(t, 6).alias("t_value"),
+        F.round(dof, 6).alias("degrees_of_freedom"),
+    )
+
+
+def scripted_metric_agg(
+    df: DataFrame,
+    key_col: str,
+    map_fn,
+    reduce_fn,
+    finalize_fn,
+    state_fields: list[str],
+    out_schema: str,
+    n_shards: int = 4,
+):
+    """ES ``scripted_metric`` agg: user-defined map/combine/reduce per
+    bucket.  ``map_fn(pdf) -> dict`` folds a pandas chunk of one
+    bucket's rows into a partial state (the ES ``map_script`` +
+    ``combine_script`` — per-shard work); ``reduce_fn(states) -> dict``
+    merges the per-shard states (``reduce_script``);
+    ``finalize_fn(state) -> dict`` shapes the output row.
+
+    The same mergeability contract ES imposes applies: ``map_fn``'s
+    state must be combinable by ``reduce_fn`` regardless of how rows
+    were sharded.  To keep that contract honest (and the operator
+    100 TB-shaped), each bucket's rows are split into ``n_shards``
+    chunks that are mapped independently and then reduced — a bucket
+    never folds in one monolithic pass, so a non-mergeable script
+    fails loudly at any scale, not just on a real cluster.
+
+    Plan: one shuffle on ``key_col`` (``applyInPandas`` group
+    exchange); per-bucket state is ``|state_fields|`` scalars.
+    """
+    import pandas as pd
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        key = pdf[key_col].iloc[0]
+        chunks = [
+            pdf.iloc[i::n_shards] for i in range(n_shards)
+        ]
+        states = [map_fn(c) for c in chunks if len(c)]
+        final = finalize_fn(reduce_fn(states))
+        return pd.DataFrame([{key_col: key, **final}])
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandas(run, f"{key_col} string, {out_schema}")
     )
