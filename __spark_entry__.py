@@ -2444,6 +2444,115 @@ def q_shard_assignment(spark, sf_dir):
     return shard_assignment(docs, 4).select("doc_id", "shard", "pos")
 
 
+
+def q_has_child(spark, sf_dir):
+    """ES has_child (join-field): orders with >=2 lineitems of
+    quantity >= 45 — child counts aggregate before the semi-join."""
+    from elasticsearch_nlp_classifier_spark.query import has_child
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return has_child(
+        o, li, "o_orderkey", "l_orderkey",
+        F.col("l_quantity") >= 45, min_children=2,
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q_has_parent(spark, sf_dir):
+    """ES has_parent: lineitems whose parent order totals > 400000."""
+    from elasticsearch_nlp_classifier_spark.query import has_parent
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return has_parent(
+        o, li, "o_orderkey", "l_orderkey",
+        F.col("o_totalprice") > 400000.0,
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_agg_children(spark, sf_dir):
+    """ES children agg: matching-child doc_count bucketed by the
+    parent's order status."""
+    from elasticsearch_nlp_classifier_spark.query import children_agg
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return children_agg(
+        o, li, "o_orderkey", "l_orderkey", "o_orderstatus",
+        child_filter=F.col("l_quantity") >= 25,
+    )
+
+
+def q_mget(spark, sf_dir):
+    """ES _mget: per-requested-id found/missing in one broadcast
+    pass (nulls coalesced so the hash compare is type-stable)."""
+    from elasticsearch_nlp_classifier_spark.query import mget
+
+    docs = _docs(spark, sf_dir)
+    out = mget(docs, [0, 1, 2, 3, 10_000_000], id_col="doc_id")
+    return out.select(
+        "doc_id", "found",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang_c"),
+        F.coalesce(F.col("n_chars"), F.lit(-1)).alias("n_chars_c"),
+    )
+
+
+
+def q_agg_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks over documents.n_chars (empirical CDF x100,
+    one sum(CASE) scan for all requested values)."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        percentile_ranks_agg,
+    )
+
+    return percentile_ranks_agg(_docs(spark, sf_dir), "n_chars",
+                                [100.0, 300.0, 500.0])
+
+
+def q_agg_ip_range(spark, sf_dir):
+    """ES ip_range agg over synthetic dotted-quad IPs derived from
+    events (integer modular arithmetic — replayed verbatim in SQL);
+    the operator itself parses the string back to uint32 order."""
+    from elasticsearch_nlp_classifier_spark.query import ip_range_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat_ws(
+            ".", F.lit("10"),
+            (F.col("user_id") % 256).cast("string"),
+            ((F.col("user_id") / 256).cast("bigint") % 256).cast("string"),
+            (F.col("event_id") % 256).cast("string"),
+        ).alias("ip")
+    )
+    return ip_range_agg(
+        ev, "ip",
+        [(None, "10.64.0.0"), ("10.64.0.0", "10.192.0.0"),
+         ("10.192.0.0", None)],
+    )
+
+
+def q_cross_fields(spark, sf_dir):
+    """ES multi_match mode=cross_fields over (text, source): blended
+    max-df idf, per-(doc, term) best field contribution, term sum."""
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query import cross_fields_topk
+
+    docs = _docs(spark, sf_dir)
+    idx_text = build_logical_index(docs, text_col="text",
+                                   analyzer="simple_code",
+                                   doc_id_col="doc_id")
+    idx_source = build_logical_index(docs, text_col="source",
+                                     analyzer="simple_code",
+                                     doc_id_col="doc_id")
+    res = cross_fields_topk(
+        {"text": idx_text, "source": idx_source},
+        "src7 data value", k=10, analyzer="simple_code",
+    )
+    return res.select("rank", "doc_id",
+                      F.round("score", 6).alias("score_r6"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2588,6 +2697,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_rings": q_geo_distance_rings,
         "feat_hash_embed": q_feat_hash_embed,
         "shard_assignment": q_shard_assignment,
+        "has_child": q_has_child,
+        "has_parent": q_has_parent,
+        "agg_children": q_agg_children,
+        "mget": q_mget,
+        "agg_percentile_ranks": q_agg_percentile_ranks,
+        "agg_ip_range": q_agg_ip_range,
+        "cross_fields": q_cross_fields,
     }
 
 
@@ -4900,6 +5016,141 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY cast(floor(u * 4) AS INT)
                       ORDER BY u ASC, doc_id ASC) - 1)::BIGINT AS pos
             FROM u""",
+        "has_child": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              WHERE l_quantity >= 45
+              GROUP BY 1 HAVING count(*) >= 2)""",
+        "has_parent": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_totalprice > 400000.0)""",
+        "agg_children": """
+            WITH pc AS (
+              SELECT l_orderkey AS o_orderkey,
+                     count(*)::BIGINT AS nc
+              FROM lineitem WHERE l_quantity >= 25 GROUP BY 1
+            )
+            SELECT o.o_orderstatus AS key,
+                   sum(pc.nc)::BIGINT AS doc_count
+            FROM orders o JOIN pc USING (o_orderkey)
+            GROUP BY 1""",
+        "mget": """
+            WITH req(doc_id) AS (VALUES (0), (1), (2), (3), (10000000))
+            SELECT req.doc_id,
+                   d.doc_id IS NOT NULL AS found,
+                   coalesce(d.lang, '') AS lang_c,
+                   coalesce(d.n_chars, -1)::BIGINT AS n_chars_c
+            FROM req LEFT JOIN documents d USING (doc_id)""",
+        "agg_percentile_ranks": """
+            WITH c AS (
+              SELECT count(n_chars)::DOUBLE AS n,
+                     sum(CASE WHEN n_chars <= 100 THEN 1 ELSE 0
+                         END)::DOUBLE AS le0,
+                     sum(CASE WHEN n_chars <= 300 THEN 1 ELSE 0
+                         END)::DOUBLE AS le1,
+                     sum(CASE WHEN n_chars <= 500 THEN 1 ELSE 0
+                         END)::DOUBLE AS le2
+              FROM documents WHERE n_chars IS NOT NULL
+            )
+            SELECT 100.0::DOUBLE AS value,
+                   round(100.0 * le0 / n, 6) AS rank FROM c
+            UNION ALL
+            SELECT 300.0::DOUBLE, round(100.0 * le1 / n, 6) FROM c
+            UNION ALL
+            SELECT 500.0::DOUBLE, round(100.0 * le2 / n, 6) FROM c""",
+        "agg_ip_range": """
+            WITH ips AS (
+              SELECT '10.' || (user_id % 256)::VARCHAR || '.'
+                     || ((user_id // 256) % 256)::VARCHAR || '.'
+                     || (event_id % 256)::VARCHAR AS ip
+              FROM events
+            ),
+            parsed AS (
+              SELECT string_split(ip, '.')[1]::BIGINT * 16777216
+                     + string_split(ip, '.')[2]::BIGINT * 65536
+                     + string_split(ip, '.')[3]::BIGINT * 256
+                     + string_split(ip, '.')[4]::BIGINT AS n
+              FROM ips WHERE ip IS NOT NULL
+            )
+            SELECT '*-10.64.0.0' AS key,
+                   count(CASE WHEN n < 10*16777216 + 64*65536
+                         THEN 1 END)::BIGINT AS doc_count FROM parsed
+            UNION ALL
+            SELECT '10.64.0.0-10.192.0.0',
+                   count(CASE WHEN n >= 10*16777216 + 64*65536
+                              AND n < 10*16777216 + 192*65536
+                         THEN 1 END)::BIGINT FROM parsed
+            UNION ALL
+            SELECT '10.192.0.0-*',
+                   count(CASE WHEN n >= 10*16777216 + 192*65536
+                         THEN 1 END)::BIGINT FROM parsed""",
+        "cross_fields": f"""
+            WITH {_BM25_BASE},
+            stoks AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(lower(source), '[^a-z0-9]+'),
+                x -> x <> '') AS w
+              FROM documents
+            ),
+            sposts AS (SELECT doc_id, unnest(w) AS term FROM stoks),
+            stf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                    FROM sposts GROUP BY 1, 2),
+            sdl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM stoks
+                    WHERE len(w) > 0),
+            sstats AS (SELECT term, count(*)::BIGINT AS df
+                       FROM stf GROUP BY 1),
+            scorpus AS (SELECT count(*)::BIGINT AS n,
+                               sum(dl)::DOUBLE / count(*) AS avgdl
+                        FROM sdl),
+            qt AS (
+              SELECT DISTINCT unnest(list_filter(
+                string_split_regex(lower('src7 data value'),
+                                   '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+            ),
+            blend AS (
+              SELECT qt.term,
+                     greatest(coalesce(s1.df, 0),
+                              coalesce(s2.df, 0)) AS df
+              FROM qt LEFT JOIN stats s1 USING (term)
+                      LEFT JOIN sstats s2 USING (term)
+            ),
+            nmax AS (
+              SELECT greatest((SELECT n FROM corpus),
+                              (SELECT n FROM scorpus)) AS n
+            ),
+            bidf AS (
+              SELECT term,
+                     ln(1 + ((SELECT n FROM nmax) - df + 0.5)
+                            / (df + 0.5)) AS idf
+              FROM blend
+            ),
+            c1 AS (
+              SELECT tf.doc_id, tf.term,
+                     b.idf * tf.tf
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                        / (SELECT avgdl FROM corpus))) AS contrib
+              FROM tf JOIN bidf b USING (term) JOIN dl USING (doc_id)
+            ),
+            c2 AS (
+              SELECT stf.doc_id, stf.term,
+                     b.idf * stf.tf
+                     / (stf.tf + 1.2 * (0.25 + 0.75 * sdl.dl
+                        / (SELECT avgdl FROM scorpus))) AS contrib
+              FROM stf JOIN bidf b USING (term) JOIN sdl USING (doc_id)
+            ),
+            uni AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+            best AS (SELECT doc_id, term, max(contrib) AS bc
+                     FROM uni GROUP BY 1, 2),
+            scores AS (SELECT doc_id, sum(bc) AS score
+                       FROM best GROUP BY 1)
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC,
+                                      doc_id ASC)::BIGINT AS rank,
+                   doc_id, round(score, 6) AS score_r6
+            FROM scores ORDER BY rank LIMIT 10""",
         # mm_feature_extract: real pure-numpy BMP/WAV/Y4M decode ->
         # rows-only check (binary header parsing + FFT features are not
         # SQL-expressible; codecs roundtrip-pinned in pytest)

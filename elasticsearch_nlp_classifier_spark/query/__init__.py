@@ -93,3 +93,23 @@ from .geo import (  # noqa: F401
     geotile_grid_agg,
     haversine_km,
 )
+from .parent_child import (  # noqa: F401
+    children_agg,
+    has_child,
+    has_parent,
+    parent_id_query,
+)
+from .api import (  # noqa: F401
+    analyze_api,
+    field_caps,
+    mget,
+    render_search_template,
+    validate_query,
+)
+from .aggs import (  # noqa: F401
+    global_agg,
+    ip_numeric,
+    ip_range_agg,
+    percentile_ranks_agg,
+)
+from .compound import cross_fields_topk  # noqa: F401

@@ -83,6 +83,10 @@ __all__ = [
     "matrix_stats_agg",
     "t_test_agg",
     "scripted_metric_agg",
+    "percentile_ranks_agg",
+    "ip_numeric",
+    "ip_range_agg",
+    "global_agg",
 ]
 
 
@@ -982,3 +986,85 @@ def scripted_metric_agg(
         df.groupBy(key_col)
         .applyInPandas(run, f"{key_col} string, {out_schema}")
     )
+
+
+def percentile_ranks_agg(
+    df: DataFrame, field: str, values: list[float],
+) -> DataFrame:
+    """ES ``percentile_ranks``: for each given value, the percentage
+    of observed values ≤ it.  (ES interpolates on a TDigest; the exact
+    definition here is the empirical CDF ×100, which is what the
+    sketch estimates.)  One ``sum(CASE)`` scan for ALL requested
+    values — never one pass per value.  Returns ``(value, rank)``."""
+    c = F.col(field).cast("double")
+    base = df.where(c.isNotNull())
+    counts = base.agg(
+        F.count(c).cast("double").alias("_n"),
+        *[F.sum(F.when(c <= F.lit(float(v)), 1).otherwise(0))
+          .cast("double").alias(f"_le_{i}")
+          for i, v in enumerate(values)],
+    )
+    stack = ", ".join(
+        f"cast({float(v)} as double), `_le_{i}`" for i, v in enumerate(values)
+    )
+    return counts.selectExpr(
+        "_n", f"stack({len(values)}, {stack}) as (value, le)"
+    ).select(
+        "value",
+        F.round(F.lit(100.0) * F.col("le") / F.col("_n"), 6).alias("rank"),
+    )
+
+
+def ip_numeric(ip: Column) -> Column:
+    """Dotted-quad IPv4 string → uint32 as bigint (pure JVM split +
+    fold — the ordering ES's ip type sorts/ranges by)."""
+    parts = F.split(ip, r"\.")
+    return (
+        parts.getItem(0).cast("bigint") * F.lit(16777216)
+        + parts.getItem(1).cast("bigint") * F.lit(65536)
+        + parts.getItem(2).cast("bigint") * F.lit(256)
+        + parts.getItem(3).cast("bigint")
+    )
+
+
+def ip_range_agg(
+    df: DataFrame, ip_field: str,
+    ranges: list[tuple[str | None, str | None]],
+) -> DataFrame:
+    """ES ``ip_range`` agg: half-open ``[from, to)`` buckets in IP
+    order.  Addresses compare as their uint32 value (exactly ES's ip
+    ordering); one ``sum(CASE)`` scan covers every bucket."""
+    import ipaddress
+
+    n = ip_numeric(F.col(ip_field))
+
+    def _lbl(lo, hi):
+        return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+    def _pred(lo, hi) -> Column:
+        p = F.col(ip_field).isNotNull()
+        if lo is not None:
+            p = p & (n >= F.lit(int(ipaddress.IPv4Address(lo))))
+        if hi is not None:
+            p = p & (n < F.lit(int(ipaddress.IPv4Address(hi))))
+        return p
+
+    counts = df.agg(*[
+        F.sum(F.when(_pred(lo, hi), 1).otherwise(0)).alias(_lbl(lo, hi))
+        for lo, hi in ranges
+    ])
+    labels = [_lbl(lo, hi) for lo, hi in ranges]
+    stack = ", ".join(f"'{lbl}', `{lbl}`" for lbl in labels)
+    return counts.selectExpr(
+        f"stack({len(labels)}, {stack}) as (key, doc_count)"
+    ).select("key", F.col("doc_count").cast("bigint").alias("doc_count"))
+
+
+def global_agg(source: DataFrame, agg_fn) -> DataFrame:
+    """ES ``global`` bucket agg: sub-aggregations computed over the
+    WHOLE index, ignoring the surrounding query's filter — callers
+    hand the unfiltered source and any agg from this module.  Exists
+    for 1:1 surface parity; it is deliberately just ``agg_fn(source)``
+    (the search filter never wraps the source, mirroring how ES's
+    global bucket escapes the query scope)."""
+    return agg_fn(source)

@@ -1,0 +1,144 @@
+"""Small ES admin/utility APIs: ``_analyze``, ``_field_caps``,
+``_validate/query``, search templates, ``_mget``.
+
+These are the "day one" endpoints an ES user pokes before writing real
+queries (the reference's client exposes all of them —
+`utils/elasticsearch/ElasticsearchService.java` hands back a stock
+`RestHighLevelClient`).  Each is thin by design; the value is 1:1
+surface parity so a migrating user finds the same verbs:
+
+- ``analyze_api``     — run any registered analyzer chain on a string,
+  returning (token, position) rows like ``POST /_analyze``.
+- ``field_caps``      — per-field type/searchable/aggregatable report
+  from the DataFrame schema, like ``GET /_field_caps``.
+- ``validate_query``  — compile a query-string without running it;
+  returns (valid, explanation|error) like ``GET /_validate/query``.
+- ``render_search_template`` — ``{{param}}`` substitution into a
+  query-string template (mustache's variable subset — the part of
+  ``_render/template`` real search templates overwhelmingly use),
+  refusing unresolved placeholders.
+- ``mget``            — per-requested-id found/missing report in one
+  broadcast-joined pass, like ``POST /_mget`` (never N point reads).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, BooleanType, DateType, DoubleType, FloatType,
+    IntegerType, LongType, MapType, StringType, StructType, TimestampType,
+)
+
+__all__ = [
+    "analyze_api",
+    "field_caps",
+    "validate_query",
+    "render_search_template",
+    "mget",
+]
+
+
+def analyze_api(
+    spark: SparkSession, text: str, analyzer: str = "default",
+) -> DataFrame:
+    """ES ``POST /_analyze``: the analyzer chain's output for one
+    string as ``(token, position)`` rows (0-based positions, the same
+    convention the positional index stores)."""
+    from ..analyzer.chain import get_analyzer
+
+    toks = get_analyzer(analyzer).tokenize(text)
+    return spark.createDataFrame(
+        [(t, i) for i, t in enumerate(toks)],
+        "token string, position int",
+    )
+
+
+_ES_TYPE = {
+    StringType: "keyword",
+    LongType: "long",
+    IntegerType: "integer",
+    DoubleType: "double",
+    FloatType: "float",
+    BooleanType: "boolean",
+    TimestampType: "date",
+    DateType: "date",
+    BinaryType: "binary",
+}
+
+
+def field_caps(df: DataFrame, text_fields: set[str] | None = None):
+    """ES ``GET /_field_caps``: per-field ``(field, type, searchable,
+    aggregatable)``.  ``text_fields`` marks analyzed string columns
+    (type ``text``, aggregatable false — exactly ES's text-mapping
+    caveat); complex types report like ES's object/nested fields
+    (searchable via their leaves, not aggregatable as a whole).
+    Schema-only — no job runs."""
+    text_fields = text_fields or set()
+    rows = []
+    for f in df.schema.fields:
+        t = type(f.dataType)
+        if f.name in text_fields:
+            es_t, agg = "text", False
+        elif t in _ES_TYPE:
+            es_t, agg = _ES_TYPE[t], True
+        elif t is ArrayType or t is MapType or t is StructType:
+            es_t, agg = "nested", False
+        else:
+            es_t, agg = f.dataType.simpleString(), False
+        rows.append((f.name, es_t, True, agg))
+    return rows
+
+
+def validate_query(query_string: str, **compile_kwargs) -> dict:
+    """ES ``GET /_validate/query?explain=true``: compile the query
+    string without executing.  Returns ``{"valid": bool,
+    "explanation": <compiled Column repr> | None, "error": str |
+    None}`` — the compiled expression plays the role of ES's rewritten
+    Lucene query in the explanation."""
+    from ..functions.query_string import compile_query_string
+
+    try:
+        col = compile_query_string(query_string, **compile_kwargs)
+        return {"valid": True, "explanation": str(col), "error": None}
+    except Exception as e:  # noqa: BLE001 — API reports, never raises
+        return {"valid": False, "explanation": None,
+                "error": f"{type(e).__name__}: {e}"}
+
+
+_TPL_VAR = re.compile(r"\{\{\s*([A-Za-z0-9_.]+)\s*\}\}")
+
+
+def render_search_template(template: str, params: dict) -> str:
+    """ES ``_render/template`` (mustache variable subset): substitute
+    ``{{name}}`` placeholders from ``params``.  Unresolved
+    placeholders raise (ES renders empty — silently corrupting the
+    query; failing loudly is the safer library behavior and the test
+    suite pins it)."""
+    missing = [m for m in _TPL_VAR.findall(template) if m not in params]
+    if missing:
+        raise KeyError(f"unresolved template params: {missing}")
+    return _TPL_VAR.sub(lambda m: str(params[m.group(1)]), template)
+
+
+def mget(
+    docs: DataFrame, ids: list, id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``POST /_mget``: one row per *requested* id with ``found``
+    flag and the doc's columns (null when missing) — request order is
+    recoverable by joining on the id.  The id list broadcasts against
+    the corpus scan (the ``isin`` pushes down), never N point
+    lookups."""
+    spark = docs.sparkSession
+    id_type = dict(docs.dtypes)[id_col]
+    req = spark.createDataFrame(
+        [(i,) for i in ids], f"{id_col} {id_type}"
+    )
+    hit = docs.where(F.col(id_col).isin(ids))
+    return (
+        req.join(hit.withColumn("_found", F.lit(True)), id_col, "left")
+        .withColumn("found", F.coalesce(F.col("_found"), F.lit(False)))
+        .drop("_found")
+    )

@@ -200,3 +200,69 @@ def boosting_topk(
             .otherwise(F.col("score")),
         ).drop("_demote")
     return _topk(scored, k)
+
+
+def cross_fields_topk(
+    indexes: dict[str, LogicalIndex],
+    query: str,
+    k: int = 10,
+    analyzer: str = "code",
+) -> DataFrame:
+    """ES ``multi_match`` mode ``cross_fields``: the fields act as one
+    blended field, so a query whose terms are SPLIT across fields
+    ("john" in first_name, "smith" in last_name) still scores as a
+    full match — unlike best/most_fields, which score each field
+    independently and favor one field containing everything.
+
+    Term-centric scoring like Lucene's ``BlendedTermQuery``: each
+    term's idf is computed from its blended document frequency
+    (``max`` of the per-field dfs — Lucene's blend cap), every field's
+    tf-normalized contribution uses that shared idf, and per
+    (doc, term) the best field contribution wins; the doc score sums
+    over terms.  Plan: one postings scan per field (inherent — fields
+    are separate posting sets) against ONE broadcast blended-stats
+    probe, a (doc, term) max + doc sum hash aggregation, bounded
+    top-k window."""
+    tok = get_analyzer(analyzer).tokenize
+    terms = sorted(set(tok(query)))
+    spark = next(iter(indexes.values())).postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    clause = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    # blended df = max over fields (Lucene BlendedTermQuery's cap);
+    # doc_count/avgdl are per-corpus and equal across field indexes
+    stats_union = None
+    for _, index in sorted(indexes.items()):
+        s = clause.join(index.term_stats, "term", "left").select(
+            "term", F.coalesce(F.col("df"), F.lit(0)).alias("df")
+        )
+        stats_union = s if stats_union is None else stats_union.unionByName(s)
+    blended = stats_union.groupBy("term").agg(F.max("df").alias("df"))
+    doc_count = max(ix.corpus_stats["doc_count"] for ix in indexes.values())
+    blended = blended.withColumn("idf", idf_col(F.col("df"), doc_count))
+
+    parts = []
+    for _, index in sorted(indexes.items()):
+        avgdl = F.lit(float(index.corpus_stats["avgdl"]) or 1.0)
+        parts.append(
+            index.postings.join(
+                F.broadcast(blended.select("term", "idf")), "term"
+            ).select(
+                "doc_id", "term",
+                (F.col("idf") * F.col("tf")
+                 / (F.col("tf") + F.lit(K1)
+                    * (F.lit(1.0 - B)
+                       + F.lit(B) * F.col("dl") / avgdl))).alias("contrib"),
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    scored = (
+        union.groupBy("doc_id", "term")
+        .agg(F.max("contrib").alias("best"))
+        .groupBy("doc_id")
+        .agg(F.sum("best").alias("score"))
+    )
+    return _topk(scored, k)
