@@ -2553,6 +2553,52 @@ def q_cross_fields(spark, sf_dir):
                       F.round("score", 6).alias("score_r6"))
 
 
+def q_eql_sequence(spark, sf_dir):
+    """EQL-style sequence detection (`/_eql/search` `sequence by ...
+    with maxspan`): per user, view -> click -> purchase in strict
+    timestamp order within 2 days.  One scan classifies events against
+    all steps, one hash agg collects per-(entity, step) ts arrays, and
+    the greedy in-order chain runs as JVM higher-order expressions."""
+    from elasticsearch_nlp_classifier_spark.query import eql_sequence
+
+    ev = _events(spark, sf_dir)
+    steps = [F.col("event_type") == t
+             for t in ("view", "click", "purchase")]
+    return eql_sequence(ev, "user_id", steps, maxspan_s=172800.0)
+
+
+def q_agg_bucket_pipeline2(spark, sf_dir):
+    """ES bucket_script + normalize(percent_of_sum) + bucket_selector
+    pipeline aggs over an hourly date_histogram parent — projections,
+    one bucket-table window, and a filter; the corpus reduction
+    happened in the parent agg."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        bucket_script_agg, bucket_selector_agg, date_histogram_agg,
+        normalize_agg,
+    )
+
+    b = date_histogram_agg(_events(spark, sf_dir), "ts", "hour")
+    b = bucket_script_agg(b, F.col("doc_count") * 2.0, "dbl")
+    b = normalize_agg(b, "doc_count", "percent_of_sum", out_col="pct")
+    b = bucket_selector_agg(b, F.col("doc_count") >= 2)
+    return b.select(
+        F.unix_timestamp("key_ts").cast("bigint").alias("key_epoch"),
+        "doc_count", F.round("dbl", 6).alias("dbl"),
+        F.round("pct", 6).alias("pct"),
+    )
+
+
+def q_agg_percentiles_bucket(spark, sf_dir):
+    """ES percentiles_bucket: exact interpolated percentiles of
+    doc_count ACROSS the hourly sibling buckets."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        date_histogram_agg, percentiles_bucket_agg,
+    )
+
+    b = date_histogram_agg(_events(spark, sf_dir), "ts", "hour")
+    return percentiles_bucket_agg(b, "doc_count", (25.0, 50.0, 75.0, 99.0))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2704,6 +2750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentile_ranks": q_agg_percentile_ranks,
         "agg_ip_range": q_agg_ip_range,
         "cross_fields": q_cross_fields,
+        "eql_sequence": q_eql_sequence,
+        "agg_bucket_pipeline2": q_agg_bucket_pipeline2,
+        "agg_percentiles_bucket": q_agg_percentiles_bucket,
     }
 
 
@@ -5154,6 +5203,54 @@ def oracle_sql() -> dict[str, str]:
         # mm_feature_extract: real pure-numpy BMP/WAV/Y4M decode ->
         # rows-only check (binary header parsing + FFT features are not
         # SQL-expressible; codecs roundtrip-pinned in pytest)
+        # greedy in-order chain: t1 = min click after anchor view,
+        # t2 = min purchase after that t1; count anchors whose chain
+        # completes within maxspan (EQL's one-sequence-per-anchor model)
+        "eql_sequence": """
+            WITH e AS (SELECT user_id, epoch(ts) AS t, event_type
+                       FROM events),
+            s0 AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+            s1 AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+            s2 AS (SELECT user_id, t FROM e
+                   WHERE event_type = 'purchase'),
+            c1 AS (
+              SELECT s0.user_id, s0.t AS t0, min(s1.t) AS t1
+              FROM s0 JOIN s1 ON s1.user_id = s0.user_id
+                             AND s1.t > s0.t
+              GROUP BY 1, 2
+            ),
+            c2 AS (
+              SELECT c1.user_id, c1.t0, min(s2.t) AS t2
+              FROM c1 JOIN s2 ON s2.user_id = c1.user_id
+                             AND s2.t > c1.t1
+              GROUP BY 1, 2
+            )
+            SELECT user_id, count(*)::BIGINT AS n_matches
+            FROM c2 WHERE t2 - t0 <= 172800.0
+            GROUP BY 1""",
+        "agg_bucket_pipeline2": """
+            WITH b AS (
+              SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,
+                     count(*)::BIGINT AS doc_count
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            )
+            SELECT key_epoch, doc_count,
+                   round(doc_count * 2.0, 6) AS dbl,
+                   round(round(doc_count
+                         / sum(doc_count) OVER (), 6), 6) AS pct
+            FROM b QUALIFY doc_count >= 2""",
+        "agg_percentiles_bucket": """
+            WITH b AS (
+              SELECT date_trunc('hour', ts) AS key_ts,
+                     count(*)::DOUBLE AS doc_count
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            )
+            SELECT p.percent, round(q.v[p.i], 6) AS value
+            FROM (SELECT quantile_cont(doc_count,
+                           [0.25, 0.5, 0.75, 0.99]) AS v FROM b) q,
+                 (VALUES (25.0::DOUBLE, 1), (50.0::DOUBLE, 2),
+                         (75.0::DOUBLE, 3), (99.0::DOUBLE, 4))
+                   AS p(percent, i)""",
     }
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}

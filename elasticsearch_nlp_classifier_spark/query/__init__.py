@@ -113,3 +113,10 @@ from .aggs import (  # noqa: F401
     percentile_ranks_agg,
 )
 from .compound import cross_fields_topk  # noqa: F401
+from .aggs import (  # noqa: F401
+    bucket_script_agg,
+    bucket_selector_agg,
+    normalize_agg,
+    percentiles_bucket_agg,
+)
+from .eql import eql_sequence  # noqa: F401

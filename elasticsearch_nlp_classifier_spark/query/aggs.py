@@ -87,6 +87,10 @@ __all__ = [
     "ip_numeric",
     "ip_range_agg",
     "global_agg",
+    "bucket_script_agg",
+    "bucket_selector_agg",
+    "normalize_agg",
+    "percentiles_bucket_agg",
 ]
 
 
@@ -1068,3 +1072,69 @@ def global_agg(source: DataFrame, agg_fn) -> DataFrame:
     (the search filter never wraps the source, mirroring how ES's
     global bucket escapes the query scope)."""
     return agg_fn(source)
+
+
+def bucket_script_agg(
+    buckets: DataFrame, script, out_col: str = "value",
+) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg: a per-bucket expression over
+    sibling metrics (``script`` is a Column or a fn(DataFrame) →
+    Column — the analog of the painless params map).  Pure projection
+    over the bucket-sized table: zero additional shuffles."""
+    col = script(buckets) if callable(script) else script
+    return buckets.withColumn(out_col, col.cast("double"))
+
+
+def bucket_selector_agg(buckets: DataFrame, predicate) -> DataFrame:
+    """ES ``bucket_selector``: drop buckets failing the predicate
+    (Column or fn(DataFrame) → Column).  A filter over the bucket
+    table — never re-touches the corpus."""
+    p = predicate(buckets) if callable(predicate) else predicate
+    return buckets.where(p)
+
+
+def normalize_agg(
+    buckets: DataFrame, value_col: str, method: str = "percent_of_sum",
+    key_col: str = "key_ts", out_col: str = "normalized",
+) -> DataFrame:
+    """ES ``normalize`` pipeline agg.  Methods: ``percent_of_sum``,
+    ``mean`` (0-1 rescale ES calls 'mean'… of range), ``rescale_0_1``,
+    ``z-score``.  One unpartitioned window over the BUCKET table —
+    O(buckets) state, the corpus reduction already happened in the
+    parent agg."""
+    v = F.col(value_col).cast("double")
+    w = Window.orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if method == "percent_of_sum":
+        out = v / F.sum(v).over(w)
+    elif method == "rescale_0_1":
+        out = (v - F.min(v).over(w)) / (F.max(v).over(w) - F.min(v).over(w))
+    elif method == "z-score":
+        out = (v - F.avg(v).over(w)) / F.stddev_pop(v).over(w)
+    elif method == "mean":
+        out = v / F.avg(v).over(w)
+    else:
+        raise ValueError(f"unknown normalize method {method!r}")
+    return buckets.withColumn(out_col, F.round(out, 6))
+
+
+def percentiles_bucket_agg(
+    buckets: DataFrame, value_col: str,
+    percents: tuple[float, ...] = (25.0, 50.0, 75.0),
+) -> DataFrame:
+    """ES ``percentiles_bucket``: exact percentiles of a metric ACROSS
+    the sibling buckets (ES documents this one as exact, unlike the
+    TDigest percentiles agg — the bucket list is small by
+    construction).  Returns one row per percent."""
+    c = F.col(value_col).cast("double")
+    fracs = [p / 100.0 for p in percents]
+    vals = buckets.agg(
+        F.percentile(c, F.array(*[F.lit(f) for f in fracs])).alias("v")
+    )
+    rows = []
+    for i, p in enumerate(percents):
+        rows.append(f"cast({float(p)} as double), element_at(v, {i + 1})")
+    return vals.selectExpr(
+        f"stack({len(percents)}, {', '.join(rows)}) as (percent, value)"
+    ).select("percent", F.round("value", 6).alias("value"))
