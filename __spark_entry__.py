@@ -2017,6 +2017,114 @@ def q_match_phrase_prefix(spark, sf_dir):
     return match_phrase_prefix(index, "data val", analyzer="simple_code")
 
 
+def q_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix: bool-should of the analyzed tokens, last
+    token expanded as a prefix (cap 50 by term ASC) — pure OR scoring
+    through the shared WAND core."""
+    from elasticsearch_nlp_classifier_spark.query.mlt import (
+        match_bool_prefix_topk,
+    )
+
+    index = _physical_index(spark, sf_dir)
+    out = match_bool_prefix_topk(
+        index, "data val", k=50, analyzer="simple_code"
+    )
+    return _rank10(out.select("doc_id", "score"))
+
+
+def q_rank_feature(spark, sf_dir):
+    """ES rank_feature inside a bool query: BM25(match) + boost *
+    saturation(n_chars) with the default exact-geometric-mean pivot."""
+    from elasticsearch_nlp_classifier_spark.query.features import (
+        bool_rank_feature_topk,
+    )
+
+    index = _logical_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = bool_rank_feature_topk(
+        index, docs, "data value table", "n_chars",
+        k=50, analyzer="simple_code",
+    )
+    return _rank10(out.select("doc_id", "score"))
+
+
+def q_distance_feature(spark, sf_dir):
+    """ES distance_feature: boost * pivot / (pivot + |value-origin|)."""
+    from elasticsearch_nlp_classifier_spark.query.features import (
+        distance_feature_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = distance_feature_topk(
+        docs, F.col("n_chars"), origin=300.0, pivot=50.0, k=50
+    )
+    return _rank10(out.select("doc_id", "score"))
+
+
+def q_pinned_query(spark, sf_dir):
+    """ES pinned query: listed ids first in list order (missing ids
+    dropped), organic BM25 follows with pins removed."""
+    from elasticsearch_nlp_classifier_spark.query.features import (
+        pinned_topk,
+    )
+
+    index = _logical_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = pinned_topk(
+        index, "data value table", [7, 3, 999_999], k=10,
+        analyzer="simple_code", corpus_ids=docs.select("doc_id"),
+    )
+    return out.select(
+        "rank", "doc_id", "pinned", F.round("score", 6).alias("score_r6")
+    )
+
+
+def q_script_score(spark, sf_dir):
+    """ES script_score: _score replaced by
+    ln(1+_score) * (1 + doc.n_chars/1000)."""
+    from elasticsearch_nlp_classifier_spark.query.features import (
+        script_score_topk,
+    )
+
+    index = _logical_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = script_score_topk(
+        index, "data value table", docs.select("doc_id", "n_chars"),
+        lambda s: F.log1p(s)
+        * (F.lit(1.0) + F.col("f_n_chars") / F.lit(1000.0)),
+        k=50, analyzer="simple_code",
+    )
+    return _rank10(out.select("doc_id", "score"))
+
+
+def q_combined_fields(spark, sf_dir):
+    """ES combined_fields: term-centric BM25F-lite over text (w=1) and
+    source (w=2) merged into one synthetic field."""
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query.features import (
+        combined_fields_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    fi = {
+        "text": build_logical_index(
+            docs, text_col="text", analyzer="simple_code",
+            doc_id_col="doc_id",
+        ),
+        "source": build_logical_index(
+            docs, text_col="source", analyzer="simple_code",
+            doc_id_col="doc_id",
+        ),
+    }
+    out = combined_fields_topk(
+        fi, "data value src3", weights={"source": 2.0},
+        k=50, analyzer="simple_code",
+    )
+    return _rank10(out.select("doc_id", "score"))
+
+
 def q_decay_score(spark, sf_dir):
     """ES function_score gauss decay (origin/scale/decay reference
     math) composed over BM25 hits — decay value from n_chars."""
@@ -2753,6 +2861,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence": q_eql_sequence,
         "agg_bucket_pipeline2": q_agg_bucket_pipeline2,
         "agg_percentiles_bucket": q_agg_percentiles_bucket,
+        "match_bool_prefix": q_match_bool_prefix,
+        "rank_feature": q_rank_feature,
+        "distance_feature": q_distance_feature,
+        "pinned_query": q_pinned_query,
+        "script_score": q_script_score,
+        "combined_fields": q_combined_fields,
     }
 
 
@@ -3047,6 +3161,156 @@ qt AS (
 ),
 """ + _BM25_TAIL
 
+# match_bool_prefix twin: full tokens OR last-token dictionary
+# expansion (term ASC, cap 50) — same rewrite as query/mlt.py
+_MBP_SQL = _BM25_BASE + """,
+exp AS (SELECT term FROM stats WHERE term LIKE 'val%'
+        ORDER BY term LIMIT 50),
+qt AS (SELECT 'data' AS term UNION SELECT term FROM exp),
+""" + _BM25_TAIL
+
+# BM25 full score set (no top-k cut) for the feature-scoring twins
+_BM25_SCORES = _BM25_SQL[: _BM25_SQL.index("ranked AS (")].replace(
+    "{QUERY}", "data value table"
+)
+
+# rank_feature twin: BM25 + saturation(n_chars) with the exact
+# geometric-mean pivot (query/features.py spec)
+_RANK_FEATURE_SQL = _BM25_SCORES + """
+gm AS (SELECT exp(avg(ln(n_chars::DOUBLE))) AS p
+       FROM documents WHERE n_chars > 0),
+feat AS (SELECT doc_id,
+                n_chars::DOUBLE / (n_chars::DOUBLE + (SELECT p FROM gm))
+                  AS f
+         FROM documents),
+fin AS (
+  SELECT s.doc_id, s.score + coalesce(f.f, 0.0) AS score
+  FROM scores s LEFT JOIN feat f USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC)
+           AS rank,
+         round(score, 6) AS score_r6
+  FROM fin
+)
+SELECT rank::BIGINT AS rank, doc_id, score_r6 FROM ranked WHERE rank <= 10"""
+
+_DISTANCE_FEATURE_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         1.0 * 50.0 / (50.0 + abs(n_chars::DOUBLE - 300.0)) AS score
+  FROM documents WHERE n_chars IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC)
+           AS rank,
+         round(score, 6) AS score_r6
+  FROM scored
+)
+SELECT rank::BIGINT AS rank, doc_id, score_r6 FROM ranked WHERE rank <= 10"""
+
+# pinned twin: pins first in list order (missing ids dropped), organic
+# BM25 follows with pins removed; pinned rows carry NULL score
+_PINNED_SQL = _BM25_SCORES + """
+pins AS (
+  SELECT p.doc_id, p.pin_order
+  FROM (VALUES (7, 0), (3, 1), (999999, 2)) AS p(doc_id, pin_order)
+  WHERE p.doc_id IN (SELECT doc_id FROM documents)
+),
+un AS (
+  SELECT doc_id, TRUE AS pinned, pin_order, NULL::DOUBLE AS score
+  FROM pins
+  UNION ALL
+  SELECT doc_id, FALSE AS pinned, NULL::INT AS pin_order, score
+  FROM scores WHERE doc_id NOT IN (7, 3, 999999)
+),
+ranked AS (
+  SELECT doc_id, pinned, score,
+         row_number() OVER (
+           ORDER BY pinned DESC, pin_order ASC NULLS LAST,
+                    round(score, 9) DESC NULLS LAST, doc_id ASC) AS rank
+  FROM un
+)
+SELECT rank::BIGINT AS rank, doc_id, pinned, round(score, 6) AS score_r6
+FROM ranked WHERE rank <= 10"""
+
+# script_score twin: ln(1+_score) * (1 + n_chars/1000)
+_SCRIPT_SCORE_SQL = _BM25_SCORES + """
+fin AS (
+  SELECT s.doc_id,
+         ln(1.0 + s.score) * (1.0 + d.n_chars::DOUBLE / 1000.0) AS score
+  FROM scores s LEFT JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC)
+           AS rank,
+         round(score, 6) AS score_r6
+  FROM fin
+)
+SELECT rank::BIGINT AS rank, doc_id, score_r6 FROM ranked WHERE rank <= 10"""
+
+# combined_fields twin: BM25F-lite merge of text (w=1) and source
+# (w=2) — tf' = Σ w_f·tf_f, dl' = Σ w_f·dl_f, df' over the merged
+# relation (query/features.py spec)
+_COMBINED_FIELDS_SQL = """
+WITH toks_t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+toks_s AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(source),
+         '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+p_t AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM
+        (SELECT doc_id, unnest(w) AS term FROM toks_t) GROUP BY 1, 2),
+p_s AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM
+        (SELECT doc_id, unnest(w) AS term FROM toks_s) GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id, sum(dlp) AS dl FROM (
+    SELECT doc_id, 1.0 * len(w) AS dlp FROM toks_t WHERE len(w) > 0
+    UNION ALL
+    SELECT doc_id, 2.0 * len(w) AS dlp FROM toks_s WHERE len(w) > 0
+  ) GROUP BY 1
+),
+tfm AS (
+  SELECT doc_id, term, sum(tfp) AS tf FROM (
+    SELECT doc_id, term, 1.0 * tf AS tfp FROM p_t
+    UNION ALL
+    SELECT doc_id, term, 2.0 * tf AS tfp FROM p_s
+  ) GROUP BY 1, 2
+),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tfm GROUP BY 1),
+corpus AS (SELECT count(*)::BIGINT AS n,
+                  sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT unnest(list_filter(
+         string_split_regex(lower('data value src3'), '[^a-z0-9]+'),
+         x -> x <> '')) AS term),
+contrib AS (
+  SELECT t.doc_id,
+         ln(1 + ((SELECT n FROM corpus) - s.df + 0.5) / (s.df + 0.5))
+           * t.tf
+           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM corpus)))
+           AS c
+  FROM tfm t
+  JOIN qt USING (term)
+  JOIN stats s USING (term)
+  JOIN dl d USING (doc_id)
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY 1),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC)
+           AS rank,
+         round(score, 6) AS score_r6
+  FROM scores
+)
+SELECT rank::BIGINT AS rank, doc_id, score_r6 FROM ranked WHERE rank <= 10"""
+
 # tombstone twin: scores over the as-built stats (Lucene pre-merge
 # contract), live docs only enter the ranking
 _WAND_DELETES_SQL = _BM25_SQL.replace("{QUERY}", "data value table").replace(
@@ -3210,6 +3474,12 @@ def oracle_sql() -> dict[str, str]:
         "a5_vocabulary": f"""
             WITH {_TF} SELECT DISTINCT term FROM tf ORDER BY term""",
         "a7_bm25_topk": "WITH " + _BM25_SQL.replace("{QUERY}", "data value table"),
+        "match_bool_prefix": "WITH " + _MBP_SQL,
+        "rank_feature": "WITH " + _RANK_FEATURE_SQL,
+        "distance_feature": _DISTANCE_FEATURE_SQL,
+        "pinned_query": "WITH " + _PINNED_SQL,
+        "script_score": "WITH " + _SCRIPT_SCORE_SQL,
+        "combined_fields": _COMBINED_FIELDS_SQL,
         "a7_bm25_skewed_term": "WITH " + _BM25_SQL.replace("{QUERY}", "the"),
         "a8_nb_likelihood": f"""
             WITH {_NB_SQL_BASE}

@@ -123,6 +123,46 @@ def regexp_topk(
     )
 
 
+def match_bool_prefix_topk(
+    index: PhysicalIndex,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    analyzer: str = "code",
+    query_id: int = 0,
+    n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
+) -> DataFrame:
+    """ES ``match_bool_prefix``: the analyzed query becomes a bool
+    should of term queries, except the LAST token which is a prefix
+    query (dictionary expansion, term-ASC cap — same rewrite as
+    :func:`prefix_topk`).  Unlike ``match_phrase_prefix`` the tokens
+    may match anywhere, in any order — it is pure OR scoring, so it
+    funnels straight into the shared WAND core with each expanded
+    term's own IDF.
+
+    Scale shape: one term_stats pushdown probe for the expansion +
+    one pruned block scan."""
+    from ..analyzer.chain import get_analyzer
+
+    toks = get_analyzer(analyzer).tokenize(query)
+    if not toks:
+        return index.term_stats.sparkSession.createDataFrame(
+            [], RESULT_SCHEMA
+        )
+    *full, last = toks
+    rows = (
+        index.term_stats.where(F.col("term").startswith(last))
+        .select("term").orderBy("term").limit(max_expansions).collect()
+    )
+    terms = sorted(set(full) | {r["term"] for r in rows})
+    pairs = [(query_id, t) for t in terms]
+    return topk_from_pairs(
+        index, pairs, {query_id: k}, n_buckets=n_buckets,
+        deleted=_deleted(index, respect_deletes),
+    )
+
+
 def completion_suggest(
     index: PhysicalIndex,
     prefix: str,
