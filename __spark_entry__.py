@@ -2707,6 +2707,123 @@ def q_agg_percentiles_bucket(spark, sf_dir):
     return percentiles_bucket_agg(b, "doc_count", (25.0, 50.0, 75.0, 99.0))
 
 
+def q_agg_rate_moving_fn(spark, sf_dir):
+    """ES rate (per-minute over hourly buckets) + moving_fn max(3)
+    over the same date_histogram parent."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        date_histogram_agg, moving_fn_agg, rate_agg,
+    )
+
+    b = date_histogram_agg(_events(spark, sf_dir), "ts", "hour")
+    out = moving_fn_agg(
+        rate_agg(b, "hour", rate_unit="minute"), fn="max", window=3,
+        value_col="rate",
+    )
+    return out.select(
+        "key_ts", "doc_count", F.round("rate", 6).alias("rate"),
+        F.round("moving_max", 6).alias("moving_max"),
+    )
+
+
+def q_agg_cumulative_cardinality(spark, sf_dir):
+    """ES cumulative_cardinality: distinct users seen through each
+    daily bucket (first-seen trick — one key agg + bucket window,
+    never a distinct-per-prefix pass)."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        cumulative_cardinality_agg,
+    )
+
+    return cumulative_cardinality_agg(
+        _events(spark, sf_dir), "user_id", "ts", "day"
+    )
+
+
+def q_agg_variable_width_histogram(spark, sf_dir):
+    """ES variable_width_histogram over n_chars: deterministic Lloyd
+    k-means (equal-width seeds, 10 rounds, ties to lower centroid) —
+    integer inputs make every step exact FP, so the unrolled-SQL twin
+    reproduces it bit-for-bit."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        variable_width_histogram_agg,
+    )
+
+    out = variable_width_histogram_agg(
+        _docs(spark, sf_dir), "n_chars", buckets=4, iters=10
+    )
+    return out.select(
+        F.round("key", 6).alias("key"), "min", "max", "doc_count"
+    )
+
+
+def q_agg_categorize_text(spark, sf_dir):
+    """ES categorize_text over log-ish event lines: digit-bearing
+    tokens collapse to %{NUM}, templates bucketed."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        categorize_text_agg,
+    )
+
+    ev = _events(spark, sf_dir)
+    line = F.concat_ws(" ", "event_type", "props")
+    return categorize_text_agg(ev, line, size=10)
+
+
+def q_agg_frequent_item_sets(spark, sf_dir):
+    """ES frequent_item_sets (sizes 1-2) over per-doc {lang, source}
+    item arrays — apriori-pruned co-occurrence join."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        frequent_item_sets_agg,
+    )
+
+    docs = _docs(spark, sf_dir)
+    items = F.array("lang", "source")
+    out = frequent_item_sets_agg(
+        docs, items, minimum_support=0.004, size=1_000_000
+    )
+    # string-joined itemsets so the hash compare is scalar; the cut
+    # re-applies the same (doc_count DESC, key ASC) order on strings
+    return (
+        out.select(
+            F.array_join("items", ",").alias("items"),
+            "support", "doc_count",
+        )
+        .orderBy(F.desc("doc_count"), F.asc("items"))
+        .limit(10)
+    )
+
+
+def q_agg_nested_reverse(spark, sf_dir):
+    """ES nested agg + terms sub-agg + reverse_nested: element counts
+    AND parent counts per event_type over per-user event arrays."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        nested_terms_agg, reverse_nested_agg,
+    )
+
+    ev = _events(spark, sf_dir)
+    nested = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct("event_id", "event_type", "value")
+        ).alias("events")
+    )
+    n = nested_terms_agg(nested, "events", "event_type", size=10)
+    r = reverse_nested_agg(
+        nested, "events", "event_type", "user_id", size=10
+    )
+    return n.join(r, "key").orderBy(F.desc("doc_count"), F.asc("key"))
+
+
+def q_agg_parent(spark, sf_dir):
+    """ES parent agg: per lineitem return flag, distinct orders owning
+    at least one such (quantity >= 30) lineitem."""
+    from elasticsearch_nlp_classifier_spark.query import parent_agg
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return parent_agg(
+        o, li, "o_orderkey", "l_orderkey", "l_returnflag",
+        child_filter=F.col("l_quantity") >= 30,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2861,6 +2978,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence": q_eql_sequence,
         "agg_bucket_pipeline2": q_agg_bucket_pipeline2,
         "agg_percentiles_bucket": q_agg_percentiles_bucket,
+        "agg_rate_moving_fn": q_agg_rate_moving_fn,
+        "agg_cumulative_cardinality": q_agg_cumulative_cardinality,
+        "agg_variable_width_histogram": q_agg_variable_width_histogram,
+        "agg_categorize_text": q_agg_categorize_text,
+        "agg_frequent_item_sets": q_agg_frequent_item_sets,
+        "agg_nested_reverse": q_agg_nested_reverse,
+        "agg_parent": q_agg_parent,
         "match_bool_prefix": q_match_bool_prefix,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
@@ -2871,6 +2995,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # --- DuckDB oracles ----------------------------------------------------------
+
+def _vwh_sql(buckets: int = 4, iters: int = 10) -> str:
+    """Unrolled deterministic-Lloyd twin of
+    variable_width_histogram_agg: equal-width seeds, ``iters``
+    assignment/update rounds (empty clusters keep their centroid,
+    ties to the lower index).  Integer inputs make every step exact
+    FP, so the twin is bit-identical."""
+    parts = [
+        "v AS (SELECT n_chars::DOUBLE AS x FROM documents "
+        "WHERE n_chars IS NOT NULL)",
+        "mm AS (SELECT min(x) AS lo, max(x) AS hi FROM v)",
+        f"c0 AS (SELECT t.i, lo + (t.i + 0.5) * (hi - lo) / {buckets} AS c"
+        f" FROM mm, (SELECT unnest(range({buckets})) AS i) t)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"a{k} AS (SELECT x, (SELECT i FROM c{k} "
+            f"ORDER BY abs(x - c), i LIMIT 1) AS i FROM v)"
+        )
+        parts.append(
+            f"c{k + 1} AS (SELECT p.i, coalesce(m.c, p.c) AS c FROM c{k} p "
+            f"LEFT JOIN (SELECT i, avg(x) AS c FROM a{k} GROUP BY 1) m "
+            f"USING (i))"
+        )
+    parts.append(
+        f"afin AS (SELECT x, (SELECT i FROM c{iters} "
+        f"ORDER BY abs(x - c), i LIMIT 1) AS i FROM v)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT round(c.c, 6) AS key, min(a.x) AS min, max(a.x) AS max,
+       count(*)::BIGINT AS doc_count
+FROM afin a JOIN c{iters} c USING (i)
+GROUP BY c.c ORDER BY key"""
+    )
+
+
+_RATE_MOVING_SQL = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS key_ts, count(*)::BIGINT AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+r AS (SELECT key_ts, doc_count, doc_count::DOUBLE / 60.0 AS rate FROM b)
+SELECT key_ts, doc_count, round(rate, 6) AS rate,
+       round(max(rate) OVER (ORDER BY key_ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_max
+FROM r"""
+
+_CUMCARD_SQL = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS key_ts, count(*)::BIGINT AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS key_ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1
+),
+n AS (SELECT key_ts, count(*)::BIGINT AS nn FROM f GROUP BY 1)
+SELECT b.key_ts, b.doc_count,
+       sum(coalesce(n.nn, 0)) OVER (ORDER BY b.key_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cumulative_cardinality
+FROM b LEFT JOIN n USING (key_ts)"""
+
+_CATEGORIZE_SQL = """
+WITH t AS (
+  SELECT array_to_string(
+    list_transform(
+      list_filter(string_split_regex(
+        lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'),
+        x -> x <> ''),
+      x -> CASE WHEN regexp_matches(x, '[0-9]') THEN '%{NUM}' ELSE x END),
+    ' ') AS key
+  FROM events
+)
+SELECT key, count(*)::BIGINT AS doc_count FROM t GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT 10"""
+
+_FREQ_ITEMS_SQL = """
+WITH ex AS (
+  SELECT DISTINCT doc_id, item FROM (
+    SELECT doc_id, unnest([lang, source]) AS item FROM documents)
+  WHERE item IS NOT NULL
+),
+tot AS (SELECT count(*)::DOUBLE AS n FROM documents),
+singles AS (
+  SELECT item, count(*)::BIGINT AS doc_count FROM ex GROUP BY 1
+  HAVING count(*) >= 0.004 * (SELECT n FROM tot)
+),
+exf AS (SELECT ex.* FROM ex JOIN singles USING (item)),
+pairs AS (
+  SELECT l.item AS a, r.item AS b, count(*)::BIGINT AS doc_count
+  FROM exf l JOIN exf r ON l.doc_id = r.doc_id AND l.item < r.item
+  GROUP BY 1, 2 HAVING count(*) >= 0.004 * (SELECT n FROM tot)
+),
+allsets AS (
+  SELECT item AS items, doc_count FROM singles
+  UNION ALL
+  SELECT a || ',' || b AS items, doc_count FROM pairs
+)
+SELECT items, round(doc_count / (SELECT n FROM tot), 6) AS support,
+       doc_count
+FROM allsets ORDER BY doc_count DESC, items ASC LIMIT 10"""
+
+_NESTED_REVERSE_SQL = """
+WITH n AS (
+  SELECT event_type AS key, count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT key, count(*)::BIGINT AS parent_count FROM (
+    SELECT DISTINCT user_id, event_type AS key FROM events)
+  GROUP BY 1
+)
+SELECT n.key, n.doc_count, r.parent_count FROM n JOIN r USING (key)
+ORDER BY doc_count DESC, key ASC"""
+
+_PARENT_AGG_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS o_orderkey, l_returnflag AS key
+  FROM lineitem WHERE l_quantity >= 30
+),
+p AS (SELECT DISTINCT o_orderkey FROM orders)
+SELECT key, count(*)::BIGINT AS doc_count
+FROM pairs JOIN p USING (o_orderkey)
+GROUP BY 1 ORDER BY doc_count DESC, key ASC"""
 
 _NB_SQL_BASE = _TF + """,
 labeled AS (SELECT doc_id, lang AS label FROM documents
@@ -3475,6 +3725,13 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TF} SELECT DISTINCT term FROM tf ORDER BY term""",
         "a7_bm25_topk": "WITH " + _BM25_SQL.replace("{QUERY}", "data value table"),
         "match_bool_prefix": "WITH " + _MBP_SQL,
+        "agg_rate_moving_fn": _RATE_MOVING_SQL,
+        "agg_cumulative_cardinality": _CUMCARD_SQL,
+        "agg_variable_width_histogram": _vwh_sql(4, 10),
+        "agg_categorize_text": _CATEGORIZE_SQL,
+        "agg_frequent_item_sets": _FREQ_ITEMS_SQL,
+        "agg_nested_reverse": _NESTED_REVERSE_SQL,
+        "agg_parent": _PARENT_AGG_SQL,
         "rank_feature": "WITH " + _RANK_FEATURE_SQL,
         "distance_feature": _DISTANCE_FEATURE_SQL,
         "pinned_query": "WITH " + _PINNED_SQL,

@@ -120,3 +120,14 @@ from .aggs import (  # noqa: F401
     percentiles_bucket_agg,
 )
 from .eql import eql_sequence  # noqa: F401
+from .aggs import (  # noqa: F401
+    categorize_text_agg,
+    cumulative_cardinality_agg,
+    frequent_item_sets_agg,
+    moving_fn_agg,
+    nested_terms_agg,
+    rate_agg,
+    reverse_nested_agg,
+    variable_width_histogram_agg,
+)
+from .parent_child import parent_agg  # noqa: F401

@@ -91,6 +91,14 @@ __all__ = [
     "bucket_selector_agg",
     "normalize_agg",
     "percentiles_bucket_agg",
+    "rate_agg",
+    "moving_fn_agg",
+    "cumulative_cardinality_agg",
+    "variable_width_histogram_agg",
+    "categorize_text_agg",
+    "frequent_item_sets_agg",
+    "nested_terms_agg",
+    "reverse_nested_agg",
 ]
 
 
@@ -1138,3 +1146,273 @@ def percentiles_bucket_agg(
     return vals.selectExpr(
         f"stack({len(percents)}, {', '.join(rows)}) as (percent, value)"
     ).select("percent", F.round("value", 6).alias("value"))
+
+
+def rate_agg(
+    buckets: DataFrame, unit: str, rate_unit: str = "second",
+    value_col: str = "doc_count",
+) -> DataFrame:
+    """ES ``rate`` agg inside a ``date_histogram``: the bucket's metric
+    re-expressed per ``rate_unit`` — value / (bucket length in rate
+    units).  Fixed-length units only (ES requires rate_unit ≤ the
+    histogram interval); calendar-variable buckets (month+) are
+    refused like ES refuses a rate above the histogram unit.
+
+    Pure per-bucket arithmetic — zero extra shuffles over the parent
+    histogram."""
+    ms = {
+        "second": 1_000, "minute": 60_000, "hour": 3_600_000,
+        "day": 86_400_000, "week": 604_800_000,
+    }
+    if unit not in ms or rate_unit not in ms:
+        raise ValueError(f"fixed-length units only, got {unit}/{rate_unit}")
+    if ms[rate_unit] > ms[unit]:
+        raise ValueError("rate_unit must not exceed the histogram unit")
+    factor = ms[unit] / ms[rate_unit]
+    return buckets.withColumn(
+        "rate", (F.col(value_col).cast("double") / F.lit(factor))
+    )
+
+
+def moving_fn_agg(
+    buckets: DataFrame, fn: str = "max", window: int = 3,
+    shift: int = 0, value_col: str = "doc_count",
+    key_col: str = "key_ts",
+) -> DataFrame:
+    """ES ``moving_fn`` with the stock ``MovingFunctions`` palette
+    (min/max/sum/unweightedAvg/stdDev) over a sliding window of
+    sibling buckets.  The frame covers the ``window`` buckets ending
+    at the current one, moved right by ``shift`` (shift=0 is the
+    current-inclusive trailing window — same convention as
+    :func:`moving_avg_agg`; ES's exclude-current default is shift=-1).
+
+    O(buckets) window state — the corpus reduction already happened in
+    the parent histogram."""
+    fns = {
+        "min": F.min, "max": F.max, "sum": F.sum,
+        "unweightedAvg": F.avg, "stdDev": F.stddev_pop,
+    }
+    if fn not in fns:
+        raise ValueError(f"unknown moving_fn {fn!r}")
+    w = Window.orderBy(key_col).rowsBetween(shift - window + 1, shift)
+    return buckets.withColumn(
+        f"moving_{fn}", fns[fn](F.col(value_col)).over(w).cast("double")
+    )
+
+
+def cumulative_cardinality_agg(
+    df: DataFrame, field: str, ts_field: str, unit: str = "day",
+) -> DataFrame:
+    """ES ``cumulative_cardinality``: distinct ``field`` values seen in
+    the histogram up to and including each bucket (net-new user
+    counting).
+
+    Scale shape: ONE aggregation on the key (its first bucket), one
+    bucket-sized count, and a window over the bucket table — never a
+    distinct-per-prefix explosion, never more than one pass over the
+    corpus per side."""
+    firsts = (
+        df.where(F.col(ts_field).isNotNull() & F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(F.min(F.date_trunc(unit, F.col(ts_field))).alias("key_ts"))
+        .groupBy("key_ts")
+        .agg(F.count(F.lit(1)).alias("_new"))
+    )
+    w = Window.orderBy("key_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        date_histogram_agg(df, ts_field, unit)
+        .join(firsts, "key_ts", "left")
+        .withColumn(
+            "cumulative_cardinality",
+            F.sum(F.coalesce(F.col("_new"), F.lit(0)))
+            .over(w).cast("bigint"),
+        )
+        .drop("_new")
+    )
+
+
+def variable_width_histogram_agg(
+    df: DataFrame, field: str, buckets: int = 4, iters: int = 10,
+) -> DataFrame:
+    """ES ``variable_width_histogram``: 1-D clustering of a numeric
+    field into ``buckets`` buckets.  ES's streaming one-pass collector
+    is shard-order-dependent; this is the deterministic re-expression —
+    Lloyd's k-means seeded with equal-width centroids
+    ``min + (i+0.5)·(max−min)/k``, fixed ``iters`` rounds, ties to the
+    lower centroid.  Integer-valued fields make every step exact FP
+    arithmetic (sums of ints, one divide), so results are
+    engine-reproducible bit-for-bit.
+
+    Scale shape: each round is ONE map-side-combined aggregation over
+    the cached value column (k rows out); the centroid table lives on
+    the driver (k values).  Returns (key, min, max, doc_count) ordered
+    by centroid, ES's bucket shape."""
+    vals = df.where(F.col(field).isNotNull()).select(
+        F.col(field).cast("double").alias("x")
+    )
+    vals = vals.cache()
+    lo, hi = vals.agg(F.min("x"), F.max("x")).first()
+    if lo is None:
+        return vals.select(
+            F.lit(0.0).alias("key"), F.lit(0.0).alias("min"),
+            F.lit(0.0).alias("max"), F.lit(0).cast("bigint")
+            .alias("doc_count"),
+        ).limit(0)
+    cents = [lo + (i + 0.5) * (hi - lo) / buckets for i in range(buckets)]
+
+    def assign(c):
+        # argmin over the centroid list; ties -> lower index
+        best_i, best_d = F.lit(0), F.abs(F.col("x") - F.lit(c[0]))
+        for i in range(1, len(c)):
+            d = F.abs(F.col("x") - F.lit(c[i]))
+            best_i = F.when(d < best_d, F.lit(i)).otherwise(best_i)
+            best_d = F.when(d < best_d, d).otherwise(best_d)
+        return best_i
+
+    for _ in range(iters):
+        upd = dict(
+            vals.groupBy(assign(cents).alias("i"))
+            .agg(F.avg("x").alias("c")).collect()
+        )
+        nxt = [upd.get(i, cents[i]) for i in range(buckets)]
+        if nxt == cents:
+            break
+        cents = nxt
+    out = (
+        vals.groupBy(assign(cents).alias("i"))
+        .agg(
+            F.min("x").alias("min"), F.max("x").alias("max"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+    )
+    key = F.lit(None).cast("double")
+    for i, c in enumerate(cents):
+        key = F.when(F.col("i") == i, F.lit(float(c))).otherwise(key)
+    return (
+        out.select(
+            key.alias("key"), "min", "max",
+            F.col("doc_count").cast("bigint").alias("doc_count"),
+        ).orderBy("key")
+    )
+
+
+def categorize_text_agg(
+    df: DataFrame, text_col: str | Column, size: int = 10,
+) -> DataFrame:
+    """ES ``categorize_text``: semi-structured (log) messages grouped
+    by token template.  Deterministic spec: lowercase, split on
+    non-alphanumeric runs, any digit-bearing token becomes the
+    ``%{NUM}`` placeholder, the template is the space-joined result.
+    Returns the top ``size`` templates (doc_count DESC, key ASC).
+
+    One map-side-combined hash aggregation; the template expression is
+    pure codegen (split + transform + array_join)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    tmpl = F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.when(t.rlike("[0-9]"), F.lit("%{NUM}")).otherwise(t),
+        ),
+        " ",
+    )
+    return (
+        df.groupBy(tmpl.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def frequent_item_sets_agg(
+    df: DataFrame, items_col: str | Column,
+    minimum_support: float = 0.1, size: int = 10,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` (sizes 1 and 2): itemsets appearing in
+    at least ``minimum_support`` of the rows.  Apriori over pairs: the
+    per-row item array is deduplicated, singles are one hash agg, pairs
+    are a self-equi-join on the row id bounded by true co-occurrence
+    (never |rows|² — a pair only materializes where both items share a
+    row).  Returns (items array ASC-sorted, support, doc_count) ordered
+    by doc_count DESC / items ASC."""
+    c = F.col(items_col) if isinstance(items_col, str) else items_col
+    total = df.count()
+    # row id MUST be assigned before the explode (inside the same
+    # select a generator re-evaluates it per OUTPUT element) and the
+    # frame cached so both self-join sides see the same ids
+    base = df.select(
+        F.monotonically_increasing_id().alias("_rid"),
+        F.array_distinct(c).alias("_items"),
+    ).cache()
+    ex = base.select(
+        "_rid", F.explode("_items").alias("item")
+    ).where(F.col("item").isNotNull())
+    floor_n = minimum_support * total
+    singles = (
+        ex.groupBy("item").agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") >= floor_n)
+    )
+    # apriori prune: only frequent singles can form a frequent pair
+    exf = ex.join(F.broadcast(singles.select("item")), "item")
+    l, r = exf.alias("l"), exf.alias("r")
+    pairs = (
+        l.join(r, (F.col("l._rid") == F.col("r._rid"))
+               & (F.col("l.item") < F.col("r.item")))
+        .groupBy(F.col("l.item").alias("a"), F.col("r.item").alias("b"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") >= floor_n)
+        .select(F.array("a", "b").alias("items"), "doc_count")
+    )
+    out = singles.select(
+        F.array("item").alias("items"), "doc_count"
+    ).unionByName(pairs)
+    return (
+        out.select(
+            "items",
+            F.round(F.col("doc_count") / F.lit(float(total)), 6)
+            .alias("support"),
+            F.col("doc_count").cast("bigint").alias("doc_count"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("items"))
+        .limit(size)
+    )
+
+
+def nested_terms_agg(
+    df: DataFrame, nested_col: str, key_field: str, size: int = 10,
+) -> DataFrame:
+    """ES ``nested`` agg + ``terms`` sub-agg: switch context to the
+    array-of-struct elements and bucket THEM (doc_count = matching
+    nested docs, not parents).  One explode + one hash agg — parents
+    without elements contribute nothing and are never widened."""
+    return (
+        df.select(F.explode(nested_col).alias("_e"))
+        .groupBy(F.col(f"_e.{key_field}").alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def reverse_nested_agg(
+    df: DataFrame, nested_col: str, key_field: str, id_col: str,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``reverse_nested`` under a nested terms bucket: per nested
+    key, the number of PARENT docs owning at least one such element.
+    The explode is collapsed to distinct (parent, key) pairs before
+    the count, so the wide stage carries parent-cardinality rows."""
+    return (
+        df.select(F.col(id_col), F.explode(nested_col).alias("_e"))
+        .select(id_col, F.col(f"_e.{key_field}").alias("key"))
+        .distinct()
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("parent_count"))
+        .orderBy(F.desc("parent_count"), F.asc("key"))
+        .limit(size)
+    )

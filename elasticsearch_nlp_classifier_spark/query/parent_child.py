@@ -115,3 +115,33 @@ def children_agg(
         .agg(F.sum("_nc").cast("bigint").alias("doc_count"))
         .orderBy(F.desc("doc_count"), F.asc("key"))
     )
+
+
+def parent_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    bucket_field: str,
+    child_filter: Column | None = None,
+) -> DataFrame:
+    """ES ``parent`` agg (the reverse of :func:`children_agg`): bucket
+    the (matching) CHILD docs by ``bucket_field`` and report, per
+    bucket, how many distinct PARENT docs own at least one such child.
+
+    Scale shape: the child side collapses to distinct (parent ref,
+    bucket) pairs before anything joins — the semi-join against the
+    parent table and the final count both run at parent cardinality,
+    never at child cardinality.  Returns ``(key, doc_count)`` ordered
+    count desc / key asc."""
+    ch = children if child_filter is None else children.where(child_filter)
+    pairs = ch.select(
+        F.col(child_key).alias(parent_key),
+        F.col(bucket_field).alias("key"),
+    ).distinct()
+    return (
+        pairs.join(parents.select(parent_key).distinct(), parent_key)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+    )
