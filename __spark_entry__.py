@@ -2428,6 +2428,68 @@ def q_intervals_unordered(spark, sf_dir):
                            analyzer="simple_code")
 
 
+def q_span_containing(spark, sf_dir):
+    """Lucene SpanContainingQuery: ordered (data .. value, slop<=2)
+    spans that contain a 'table' occurrence.  Big spans enumerate
+    greedy-minimally per anchor (query/spans.py:span_containing)."""
+    from elasticsearch_nlp_classifier_spark.query import span_containing
+
+    ix = _pos_physical_index(spark, sf_dir)
+    return span_containing(ix, ("data", "value", 2), "table",
+                           analyzer="simple_code")
+
+
+def q_span_within(spark, sf_dir):
+    """Lucene SpanWithinQuery: 'table' occurrences inside an ordered
+    (data .. value, slop<=3) span."""
+    from elasticsearch_nlp_classifier_spark.query import span_within
+
+    ix = _pos_physical_index(spark, sf_dir)
+    return span_within(ix, "table", ("data", "value", 3),
+                       analyzer="simple_code")
+
+
+def q_span_multi(spark, sf_dir):
+    """ES span_multi (SpanMultiTermQueryWrapper): prefix 'val*'
+    expanded against the term dictionary, unioned as term spans."""
+    from elasticsearch_nlp_classifier_spark.query import span_multi
+
+    ix = _pos_physical_index(spark, sf_dir)
+    return span_multi(ix, "val*")
+
+
+def q_simple_query_string(spark, sf_dir):
+    """ES simple_query_string: the lenient user-facing grammar
+    (`QueryBuilders.simpleQueryStringQuery` on the reference's client).
+    `data + valu* | table + -"data value"` = (data AND valu*) OR
+    (table AND NOT adjacent-phrase "data value")."""
+    from elasticsearch_nlp_classifier_spark.functions import (
+        compile_simple_query_string,
+    )
+
+    docs = _docs(spark, sf_dir)
+    col = compile_simple_query_string(
+        'data + valu* | table + -"data value"',
+        fields=["text"], text_fields={"text"}, analyzer="simple_code",
+    )
+    return docs.where(col).select("doc_id")
+
+
+def q_sqs_phrase_slop(spark, sf_dir):
+    """simple_query_string sloppy phrase: '"data value"~1' — ordered
+    occurrence within a 3-position window (anchored-greedy chain)."""
+    from elasticsearch_nlp_classifier_spark.functions import (
+        compile_simple_query_string,
+    )
+
+    docs = _docs(spark, sf_dir)
+    col = compile_simple_query_string(
+        '"data value"~1',
+        fields=["text"], text_fields={"text"}, analyzer="simple_code",
+    )
+    return docs.where(col).select("doc_id")
+
+
 def q_agg_string_stats(spark, sf_dir):
     """ES string_stats agg over documents.text (length stats + char
     Shannon entropy)."""
@@ -2959,6 +3021,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": q_span_first,
         "span_not": q_span_not,
         "intervals_unordered": q_intervals_unordered,
+        "span_containing": q_span_containing,
+        "span_within": q_span_within,
+        "span_multi": q_span_multi,
+        "simple_query_string": q_simple_query_string,
+        "sqs_phrase_slop": q_sqs_phrase_slop,
         "agg_string_stats": q_agg_string_stats,
         "agg_boxplot": q_agg_boxplot,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -5388,6 +5455,80 @@ def oracle_sql() -> dict[str, str]:
             WHERE nt IS NOT NULL AND nv IS NOT NULL
               AND greatest(nt, nv) - pos - 1 <= 2
             GROUP BY 1""",
+        "span_containing": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            ),
+            big AS (
+              SELECT a.doc_id, a.pos AS p,
+                (SELECT min(b.pos) FROM pos b
+                 WHERE b.doc_id = a.doc_id AND b.term = 'value'
+                   AND b.pos > a.pos) AS q
+              FROM pos a WHERE a.term = 'data'
+            ),
+            valid AS (
+              SELECT doc_id, p, q FROM big
+              WHERE q IS NOT NULL AND q - p - 1 <= 2
+            )
+            SELECT v.doc_id, count(*)::BIGINT AS n_matches
+            FROM valid v
+            WHERE EXISTS (
+              SELECT 1 FROM pos l
+              WHERE l.doc_id = v.doc_id AND l.term = 'table'
+                AND l.pos BETWEEN v.p AND v.q)
+            GROUP BY 1""",
+        "span_within": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            ),
+            big AS (
+              SELECT a.doc_id, a.pos AS p,
+                (SELECT min(b.pos) FROM pos b
+                 WHERE b.doc_id = a.doc_id AND b.term = 'value'
+                   AND b.pos > a.pos) AS q
+              FROM pos a WHERE a.term = 'data'
+            ),
+            valid AS (
+              SELECT doc_id, p, q FROM big
+              WHERE q IS NOT NULL AND q - p - 1 <= 3
+            )
+            SELECT l.doc_id, count(*)::BIGINT AS n_matches
+            FROM pos l
+            WHERE l.term = 'table' AND EXISTS (
+              SELECT 1 FROM valid v
+              WHERE v.doc_id = l.doc_id AND l.pos BETWEEN v.p AND v.q)
+            GROUP BY 1""",
+        "span_multi": f"""
+            WITH {_TOKS},
+            pos AS (SELECT doc_id, unnest(w) AS term FROM toks)
+            SELECT doc_id, count(*)::BIGINT AS n_matches
+            FROM pos WHERE term LIKE 'val%'
+            GROUP BY 1""",
+        "simple_query_string": f"""
+            WITH {_TOKS}
+            SELECT doc_id FROM toks
+            WHERE (list_contains(w, 'data')
+                   AND len(list_filter(w, x -> x LIKE 'valu%')) > 0)
+               OR (list_contains(w, 'table')
+                   AND len([i for i in range(1, len(w))
+                            if w[i] = 'data' AND w[i+1] = 'value']) = 0)""",
+        "sqs_phrase_slop": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id, unnest(w) AS term,
+                     unnest(range(len(w))) AS pos
+              FROM toks
+            )
+            SELECT DISTINCT a.doc_id
+            FROM pos a JOIN pos b USING (doc_id)
+            WHERE a.term = 'data' AND b.term = 'value'
+              AND b.pos > a.pos AND b.pos - a.pos <= 2""",
         "agg_string_stats": """
             WITH base AS (
               SELECT count(*)::BIGINT AS count,

@@ -1,2 +1,6 @@
 from .filters import *  # noqa: F401,F403
-from .query_string import QueryStringError, compile_query_string  # noqa: F401
+from .query_string import (  # noqa: F401
+    QueryStringError,
+    compile_query_string,
+    compile_simple_query_string,
+)

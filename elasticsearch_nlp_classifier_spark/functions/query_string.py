@@ -266,3 +266,237 @@ def compile_query_string(
     if not tokens:
         return F.lit(True)
     return _Parser(tokens, default_field, text_fields, analyzer).parse()
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string — ES's fault-tolerant user-facing grammar
+# ---------------------------------------------------------------------------
+
+_SQS_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<or>\|) |
+        (?P<and>\+) |
+        (?P<quoted>-?"[^"]*"(?:~\d+)?) |
+        (?P<word>[^\s()|+]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _sqs_lex(s: str) -> list[str]:
+    """Lenient lexer: anything unlexable is skipped (never raises —
+    the defining contract of ``simple_query_string`` vs ``query_string``).
+    An unterminated quote swallows the rest of the input as a phrase,
+    matching Lucene ``SimpleQueryParser``'s consume-to-EOF behavior."""
+    out, pos = [], 0
+    while pos < len(s):
+        if s[pos] == '"' and s.find('"', pos + 1) == -1:
+            body = s[pos + 1:].strip()
+            if body:
+                out.append('"' + body + '"')
+            break
+        m = _SQS_TOKEN.match(s, pos)
+        if not m or m.end() == pos:
+            pos += 1  # skip the offending char, keep going
+            continue
+        pos = m.end()
+        out.append(m.group().strip())
+    return out
+
+
+class _SimpleParser:
+    """ES ``simple_query_string`` (Lucene ``SimpleQueryParser``) over a
+    list of fields.  Grammar (all operators optional, input never
+    rejected):
+
+        query   := or_expr
+        or_expr := and_expr ('|' and_expr)*
+        and_expr:= unary (('+' | juxtaposition) unary)*
+        unary   := '-' unary | primary
+        primary := '(' query ')' | '"phrase"'[~slop] | term['*'][~fuzz]
+
+    Juxtaposition (whitespace) combines with ``default_operator``
+    (ES default: OR).  ``+`` is AND and binds tighter than ``|``.
+    A clause matches a document when it matches ANY of ``fields``
+    (ES's per-field dis_max, collapsed to boolean in filter context).
+    ``"a b"~n`` is phrase slop: the analyzed tokens in order within a
+    window of ``len + n`` positions (anchored-greedy chain — exact for
+    existence).  Everything compiles to one Catalyst expression tree.
+    """
+
+    def __init__(
+        self,
+        tokens: list[str],
+        fields: list[str],
+        text_fields: set[str] | None,
+        analyzer: str,
+        default_operator: str,
+    ):
+        self.toks = tokens
+        self.i = 0
+        self.fields = fields
+        self.default_and = default_operator.lower() == "and"
+        # reuse the query_string matchers for per-field clause tests
+        self._m = _Parser([], fields[0], text_fields, analyzer)
+        from ..analyzer.chain import get_analyzer
+
+        self._tokenize = get_analyzer(analyzer).tokenize
+        self.analyzer = analyzer
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> Column:
+        col = self.or_expr()
+        while self.peek() is not None:  # stray ')' etc.: lenient skip
+            self.next()
+            nxt = self.or_expr()
+            col = col if nxt is None else (
+                nxt if col is None else col | nxt
+            )
+        return F.lit(True) if col is None else col
+
+    def or_expr(self) -> Column | None:
+        left = self.and_expr()
+        while self.peek() == "|":
+            self.next()
+            right = self.and_expr()
+            if right is not None:
+                left = right if left is None else left | right
+        return left
+
+    def and_expr(self) -> Column | None:
+        left = None
+        explicit_and = False
+        while self.peek() not in (None, "|", ")"):
+            if self.peek() == "+":
+                self.next()
+                explicit_and = True
+                continue
+            clause = self.unary()
+            if clause is None:
+                continue
+            if left is None:
+                left = clause
+            elif explicit_and or self.default_and:
+                left = left & clause
+            else:
+                left = left | clause
+            explicit_and = False
+        return left
+
+    def unary(self) -> Column | None:
+        t = self.peek()
+        if t == "(":
+            self.next()
+            inner = self.or_expr()
+            if self.peek() == ")":
+                self.next()
+            return inner
+        if t is not None and len(t) > 1 and t[0] == "-" and not t.startswith('"'):
+            self.toks[self.i] = t[1:]
+            inner = self.unary()
+            return None if inner is None else ~inner
+        return self.clause(self.next())
+
+    def clause(self, t: str) -> Column | None:
+        if t in ("(", ")", "|", "+", "-"):
+            return None  # bare operator with nothing to apply to
+        slop = 0
+        if t.startswith('"'):
+            m = re.match(r'^(".*")~(\d+)$', t, re.DOTALL)
+            if m:
+                t, slop = m.group(1), int(m.group(2))
+        cols = [self._field_clause(f, t, slop) for f in self.fields]
+        cols = [c for c in cols if c is not None]
+        if not cols:
+            return None
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return out
+
+    def _field_clause(self, field: str, value: str, slop: int) -> Column | None:
+        if (
+            slop > 0
+            and field in self._m.text_fields
+            and value.startswith('"')
+            and value.endswith('"')
+        ):
+            toks = self._tokenize(value[1:-1])
+            if not toks:
+                return None
+            if len(toks) == 1:
+                from ..analyzer.spark_udfs import analyze
+
+                return F.array_contains(analyze(field, self.analyzer), toks[0])
+            return _sloppy_phrase(field, toks, slop, self.analyzer)
+        return self._m._match(field, value, contains=False)
+
+
+def _sloppy_phrase(
+    field: str, toks: list[str], slop: int, analyzer: str
+) -> Column:
+    """Ordered sloppy-phrase test over the analyzed token array: does an
+    in-order occurrence of ``toks`` exist with window width at most
+    ``len(toks) + slop``?  Anchored-greedy chain — anchor at each
+    occurrence of the first token, then repeatedly take each next
+    token's earliest position strictly after the previous one; greedy
+    minimizes the end position, so existence is decided exactly.  Pure
+    JVM higher-order expressions (zero UDF)."""
+    from ..analyzer.spark_udfs import analyze
+
+    w = analyze(field, analyzer)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)))
+
+    def pos_of(tok: str):  # 1-based positions of tok in w
+        return F.filter(idx, lambda i: F.element_at(w, i) == F.lit(tok))
+
+    def chain(p, remaining: list[str]):
+        if not remaining:
+            return p
+        nxt = F.array_min(F.filter(pos_of(remaining[0]), lambda q: q > p))
+        return chain(nxt, remaining[1:])
+
+    budget = F.lit(len(toks) + slop - 1)
+    anchors = pos_of(toks[0])
+    end = lambda p: chain(p, toks[1:])  # noqa: E731
+    return F.exists(
+        anchors,
+        lambda p: end(p).isNotNull() & (end(p) - p <= budget),
+    )
+
+
+def compile_simple_query_string(
+    s: str,
+    fields: list[str] | tuple[str, ...] = ("content",),
+    text_fields: set[str] | None = None,
+    analyzer: str = "simple_code",
+    default_operator: str = "or",
+) -> Column:
+    """ES ``simple_query_string``: the end-user-safe query grammar
+    (``+ | - "..." * ~N ( )``) that NEVER raises on malformed input —
+    bad syntax degrades to terms or is skipped, exactly the property ES
+    guarantees so that raw user text can be passed through.  Matches
+    any of ``fields``; fields in ``text_fields`` use analyzed-token
+    semantics (tokens, phrases, prefixes, fuzzy — see ``_Parser``).
+
+    Reference surface: the same `RestHighLevelClient` the reference
+    hands its users (`utils/elasticsearch/ElasticsearchService.java`)
+    exposes `QueryBuilders.simpleQueryStringQuery`; this is that query
+    re-expressed as one Catalyst boolean expression (codegen-friendly,
+    no UDFs).  Empty/blank input = match-all, like ES.
+    """
+    tokens = _sqs_lex(s)
+    if not tokens:
+        return F.lit(True)
+    return _SimpleParser(
+        tokens, list(fields), text_fields, analyzer, default_operator
+    ).parse()

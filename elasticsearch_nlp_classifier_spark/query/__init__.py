@@ -73,9 +73,12 @@ from .phrase import match_phrase_prefix  # noqa: F401
 from .rescore import decay_score, random_score  # noqa: F401
 from .spans import (  # noqa: F401
     intervals_match,
+    span_containing,
     span_first,
+    span_multi,
     span_not,
     span_or,
+    span_within,
 )
 from .aggs import (  # noqa: F401
     boxplot_agg,

@@ -48,7 +48,10 @@ from ..index.blocks import N_TERM_BUCKETS, PhysicalIndex
 from ..index.deletes import live_docs
 from .phrase import positional_postings
 
-__all__ = ["span_or", "span_first", "span_not", "intervals_match"]
+__all__ = [
+    "span_or", "span_first", "span_not", "intervals_match",
+    "span_containing", "span_within", "span_multi",
+]
 
 _EMPTY = "doc_id bigint, n_matches bigint"
 
@@ -253,5 +256,170 @@ def intervals_match(
         )
         .where(F.col("n_matches") > 0)
         .select("doc_id", "n_matches")
+    )
+    return live_docs(index, res) if respect_deletes else res
+
+
+def _big_span_pairs(t1: str, t2: str, slop: int):
+    """Column factory for the enumerated 'big' spans of an ordered
+    two-term window (SpanNearQuery(t1, t2, slop, inOrder=true) as the
+    outer query of containing/within): for each anchor position ``p``
+    of ``t1``, the span is ``[p, q]`` with ``q`` = ``t2``'s earliest
+    position strictly after ``p`` — greedy-minimal like Lucene's span
+    iterator — kept when ``q - p - 1 <= slop``.  Expects columns
+    ``pos_a`` (t1 positions) and ``pos_b`` (t2 positions); returns the
+    array of valid anchors ``p`` (one span per anchor)."""
+    def q_of(p):
+        return F.array_min(F.filter(F.col("pos_b"), lambda q: q > p))
+
+    return F.filter(
+        F.col("pos_a"),
+        lambda p: q_of(p).isNotNull()
+        & (q_of(p) - p - F.lit(1) <= F.lit(slop)),
+    ), q_of
+
+
+def _two_term_frame(index, t1, t2, little, n_buckets):
+    """(doc_id, pos_a, pos_b, pos_l) for docs holding all three terms —
+    each side a single-term pruned positional decode, joins df-bounded."""
+    terms = sorted({t1, t2, little})
+    pp = positional_postings(index, terms, n_buckets).cache()
+    out = (
+        pp.where(F.col("term") == t1)
+        .select("doc_id", F.col("positions").alias("pos_a"))
+        .join(
+            pp.where(F.col("term") == t2)
+            .select("doc_id", F.col("positions").alias("pos_b")),
+            "doc_id",
+        )
+        .join(
+            pp.where(F.col("term") == little)
+            .select("doc_id", F.col("positions").alias("pos_l")),
+            "doc_id",
+        )
+    )
+    return out
+
+
+def span_containing(
+    index: PhysicalIndex,
+    big: tuple[str, str, int],
+    little: str,
+    analyzer: str = "code",
+    n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
+) -> DataFrame:
+    """Lucene ``SpanContainingQuery``: spans of ``big`` that contain a
+    span of ``little``.  ``big`` is an ordered two-term window
+    ``(t1, t2, slop)`` — its spans enumerate greedy-minimally per
+    ``t1`` anchor (see ``_big_span_pairs``); ``little`` is a term.
+    ``n_matches`` counts big spans ``[p, q]`` holding a ``little``
+    occurrence ``r`` with ``p <= r <= q``.
+
+    Scale shape: three single-term pruned decodes + two df-bounded
+    doc_id joins; containment is one JVM array expression.  Reference
+    surface: `utils/elasticsearch/ElasticsearchService.java` exposes
+    `QueryBuilders.spanContainingQuery`."""
+    t1, t2, slop = big
+    (a1,) = _analyzed_terms(t1, analyzer) or [None]
+    (a2,) = _analyzed_terms(t2, analyzer) or [None]
+    (al,) = _analyzed_terms(little, analyzer) or [None]
+    spark = index.spark
+    if not all([a1, a2, al]) or a1 == a2:
+        return spark.createDataFrame([], _EMPTY)
+    frame = _two_term_frame(index, a1, a2, al, n_buckets)
+    anchors, q_of = _big_span_pairs(a1, a2, slop)
+
+    def contains_little(p):
+        return F.exists(
+            F.col("pos_l"), lambda r: (r >= p) & (r <= q_of(p))
+        )
+
+    res = (
+        frame.withColumn(
+            "n_matches",
+            F.size(F.filter(anchors, contains_little)).cast("bigint"),
+        )
+        .where(F.col("n_matches") > 0)
+        .select("doc_id", "n_matches")
+    )
+    return live_docs(index, res) if respect_deletes else res
+
+
+def span_within(
+    index: PhysicalIndex,
+    little: str,
+    big: tuple[str, str, int],
+    analyzer: str = "code",
+    n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
+) -> DataFrame:
+    """Lucene ``SpanWithinQuery`` — the dual of ``span_containing``:
+    occurrences of ``little`` that lie inside some ``big`` span.
+    ``n_matches`` counts little positions ``r`` for which a big span
+    ``[p, q]`` exists with ``p <= r <= q``.  Same plan shape as
+    ``span_containing``."""
+    t1, t2, slop = big
+    (a1,) = _analyzed_terms(t1, analyzer) or [None]
+    (a2,) = _analyzed_terms(t2, analyzer) or [None]
+    (al,) = _analyzed_terms(little, analyzer) or [None]
+    spark = index.spark
+    if not all([a1, a2, al]) or a1 == a2:
+        return spark.createDataFrame([], _EMPTY)
+    frame = _two_term_frame(index, a1, a2, al, n_buckets)
+    anchors, q_of = _big_span_pairs(a1, a2, slop)
+
+    def inside_some_big(r):
+        return F.exists(
+            anchors, lambda p: (r >= p) & (r <= q_of(p))
+        )
+
+    res = (
+        frame.withColumn(
+            "n_matches",
+            F.size(F.filter(F.col("pos_l"), inside_some_big)).cast("bigint"),
+        )
+        .where(F.col("n_matches") > 0)
+        .select("doc_id", "n_matches")
+    )
+    return live_docs(index, res) if respect_deletes else res
+
+
+def span_multi(
+    index: PhysicalIndex,
+    pattern: str,
+    max_expansions: int = 50,
+    n_buckets: int = N_TERM_BUCKETS,
+    respect_deletes: bool = True,
+) -> DataFrame:
+    """Lucene ``SpanMultiTermQueryWrapper`` (ES ``span_multi``): a
+    multi-term query — prefix (``pre*``) or wildcard (``*``/``?``) —
+    rewritten to the union of its dictionary expansions' term spans
+    (Lucene's SpanOr rewrite).  The pattern probes the vocabulary-sized
+    ``term_stats`` table only (never postings), capped term-ASC at
+    ``max_expansions`` like the dictionary-expansion queries in
+    ``mlt.py``; the union is then one pruned positional decode + hash
+    aggregate, identical to :func:`span_or`."""
+    spark = index.spark
+    if pattern.endswith("*") and not any(c in pattern[:-1] for c in "*?"):
+        probe = F.col("term").startswith(pattern[:-1].lower())
+    else:
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else
+            c if c.isalnum() else "\\" + c
+            for c in pattern.lower()
+        ) + "$"
+        probe = F.col("term").rlike(rx)
+    rows = (
+        index.term_stats.where(probe)
+        .select("term").orderBy("term").limit(max_expansions).collect()
+    )
+    slots = [r["term"] for r in rows]
+    if not slots:
+        return spark.createDataFrame([], _EMPTY)
+    pp = positional_postings(index, slots, n_buckets)
+    res = (
+        pp.groupBy("doc_id")
+        .agg(F.sum(F.size("positions")).cast("bigint").alias("n_matches"))
     )
     return live_docs(index, res) if respect_deletes else res

@@ -144,3 +144,82 @@ def test_analyzed_fuzzy(tbl):
     )
     assert sorted(r.id for r in tbl.where(col).select("id").collect()) \
         == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string — the lenient end-user grammar
+# ---------------------------------------------------------------------------
+
+from elasticsearch_nlp_classifier_spark.functions import (  # noqa: E402
+    compile_simple_query_string,
+)
+
+
+def sids(tbl, qs, **kw):
+    kw.setdefault("fields", ["content"])
+    kw.setdefault("text_fields", {"content"})
+    col = compile_simple_query_string(qs, **kw)
+    return sorted(r.id for r in tbl.where(col).select("id").collect())
+
+
+def test_sqs_default_or(tbl):
+    # whitespace = OR by default (ES default_operator=OR)
+    assert sids(tbl, "quick hello") == [1, 3, 4]
+
+
+def test_sqs_default_and(tbl):
+    assert sids(tbl, "quick fox", default_operator="and") == [1]
+
+
+def test_sqs_plus_is_and_pipe_is_or(tbl):
+    assert sids(tbl, "quick + fox") == [1]
+    assert sids(tbl, "fox | world") == [1, 4]
+    # + binds tighter than |
+    assert sids(tbl, "fox + quick | world") == [1, 4]
+
+
+def test_sqs_negation_and_parens(tbl):
+    assert sids(tbl, "quick + -fox") == [3]
+    assert sids(tbl, "(fox | dogs) + -lazy") == [1]
+
+
+def test_sqs_phrase_prefix_fuzzy(tbl):
+    assert sids(tbl, '"quick brown"') == [1]
+    assert sids(tbl, "qui*") == [1, 3]
+    assert sids(tbl, "quik~1") == [1, 3]
+
+
+def test_sqs_phrase_slop(tbl):
+    # "quick fox"~0: not adjacent in doc 1 ("quick brown fox") -> no hit
+    assert sids(tbl, '"quick fox"') == []
+    assert sids(tbl, '"quick fox"~0') == []
+    assert sids(tbl, '"quick fox"~1') == [1]
+    # anchored greedy must consider the second anchor in doc 3
+    # ("quick quick slow"): "quick slow"~0 matches at anchor 2
+    assert sids(tbl, '"quick slow"~0') == [3]
+
+
+def test_sqs_negated_phrase(tbl):
+    assert sids(tbl, 'quick + -"quick brown"') == [3]
+
+
+def test_sqs_multi_field(tbl):
+    got = sids(
+        tbl, "python | world",
+        fields=["lang", "content"], text_fields={"content"},
+    )
+    assert got == [1, 3, 4]
+
+
+def test_sqs_never_raises_on_garbage(tbl):
+    # unbalanced parens / quotes / stray operators: degrade, don't raise
+    assert sids(tbl, ")(((") == [1, 2, 3, 4, 5]  # nothing usable -> match all
+    assert sids(tbl, 'fox AND') == [1]  # AND is just a term here (no match) OR'd
+    assert sids(tbl, '"unterminated fox') == []  # phrase to EOF
+    assert sids(tbl, "| | fox") == [1]
+    assert sids(tbl, "quick )") == [1, 3]
+
+
+def test_sqs_empty_is_match_all(tbl):
+    assert sids(tbl, "") == [1, 2, 3, 4, 5]
+    assert sids(tbl, "   ") == [1, 2, 3, 4, 5]

@@ -400,3 +400,82 @@ def test_scripted_metric_mergeable(spark):
         want[g] = round(sum(vs) / len(vs), 6)
     assert out == want
     assert isinstance(pd.DataFrame(), pd.DataFrame)  # pandas used above
+
+
+# ------------------------------------------- span_containing / within / multi
+
+
+def _big_spans(ws, t1, t2, slop):
+    out = []
+    for p, w in enumerate(ws):
+        if w != t1:
+            continue
+        qs = [q for q, v in enumerate(ws) if v == t2 and q > p]
+        if not qs:
+            continue
+        q = min(qs)  # greedy-minimal, as the engine documents
+        if q - p - 1 <= slop:
+            out.append((p, q))
+    return out
+
+
+@pytest.mark.parametrize("slop", [0, 1, 3])
+def test_span_containing_vs_spec(pos_index, slop):
+    from elasticsearch_nlp_classifier_spark.query import span_containing
+
+    got = _rows(span_containing(
+        pos_index, ("quick", "fox", slop), "brown",
+        analyzer="simple_code",
+    ))
+    want = {}
+    for i, ws in TOKS.items():
+        n = sum(
+            1 for (p, q) in _big_spans(ws, "quick", "fox", slop)
+            if any(ws[r] == "brown" for r in range(p, q + 1))
+        )
+        if n > 0:
+            want[i] = n
+    assert got == want
+
+
+@pytest.mark.parametrize("slop", [0, 2, 4])
+def test_span_within_vs_spec(pos_index, slop):
+    from elasticsearch_nlp_classifier_spark.query import span_within
+
+    got = _rows(span_within(
+        pos_index, "brown", ("quick", "fox", slop),
+        analyzer="simple_code",
+    ))
+    want = {}
+    for i, ws in TOKS.items():
+        spans = _big_spans(ws, "quick", "fox", slop)
+        n = sum(
+            1 for r, w in enumerate(ws)
+            if w == "brown" and any(p <= r <= q for (p, q) in spans)
+        )
+        if n > 0:
+            want[i] = n
+    assert got == want
+
+
+def test_span_multi_prefix_and_wildcard(pos_index):
+    from elasticsearch_nlp_classifier_spark.query import span_multi
+
+    # prefix: qu* -> {quick}
+    got = _rows(span_multi(pos_index, "qu*"))
+    want = {i: sum(1 for w in ws if w.startswith("qu"))
+            for i, ws in TOKS.items()}
+    want = {i: n for i, n in want.items() if n > 0}
+    assert got == want
+
+    # wildcard with ?: f?x -> {fox}
+    got = _rows(span_multi(pos_index, "f?x"))
+    want = {i: sum(1 for w in ws if w == "fox") for i, ws in TOKS.items()}
+    want = {i: n for i, n in want.items() if n > 0}
+    assert got == want
+
+
+def test_span_multi_no_expansion_is_empty(pos_index):
+    from elasticsearch_nlp_classifier_spark.query import span_multi
+
+    assert span_multi(pos_index, "zzz*").count() == 0
