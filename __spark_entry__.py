@@ -2590,6 +2590,103 @@ def q_geo_distance_rings(spark, sf_dir):
     )
 
 
+def q_agg_geohash_grid(spark, sf_dir):
+    """ES geohash_grid agg (base-32 Niemeyer cells, arithmetic
+    interleave — query/geo.py:geohash_key) over the same synthetic
+    customer coordinates as geo_grid."""
+    from elasticsearch_nlp_classifier_spark.query import geohash_grid_agg
+
+    g = _cust_geo(spark, sf_dir)
+    return geohash_grid_agg(g, F.col("lat"), F.col("lon"),
+                            precision=3, size=20)
+
+
+def q_agg_random_sampler(spark, sf_dir):
+    """ES random_sampler agg: deterministic md5-uniform doc sample at
+    p=0.5, per-lang counts scaled back to population estimates."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        random_sampler_counts,
+    )
+
+    return random_sampler_counts(
+        _docs(spark, sf_dir), 0.5, "lang", seed="rs1"
+    )
+
+
+def q_agg_ip_prefix(spark, sf_dir):
+    """ES ip_prefix agg over a runtime-field IPv4 address (also
+    exercises runtime_mappings — query/api.py:with_runtime_fields):
+    ip = 10.(doc_id%4).(doc_id%256).9, bucketed at /20."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        ip_prefix_agg,
+        with_runtime_fields,
+    )
+
+    docs = with_runtime_fields(
+        _docs(spark, sf_dir),
+        {"ip": "concat('10.', cast(doc_id % 4 as string), '.', "
+               "cast(doc_id % 256 as string), '.9')"},
+    )
+    return ip_prefix_agg(docs, "ip", 20)
+
+
+def q_agg_change_point(spark, sf_dir):
+    """ES change_point sibling agg: the max-|Welch-t| mean-shift split
+    over the daily event-count series (key = first post-change day)."""
+    from elasticsearch_nlp_classifier_spark.query import change_point_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    out = change_point_agg(daily, "day", "doc_count")
+    return out.select(
+        F.date_format("key", "yyyy-MM-dd").alias("day"),
+        "t_stat_r6", "left_mean_r6", "right_mean_r6",
+    )
+
+
+def q_agg_bucket_correlation(spark, sf_dir):
+    """ES bucket_correlation pipeline agg: Pearson corr between per-lang
+    doc_counts and a fixed indicator vector."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        bucket_correlation_agg,
+    )
+
+    buckets = (
+        _docs(spark, sf_dir)
+        .groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    ind = {"en": 1.0, "de": 0.5, "fr": 0.0}
+    return bucket_correlation_agg(buckets, "key", "doc_count", ind)
+
+
+def q_agg_ks_test(spark, sf_dir):
+    """ES bucket_count_ks_test sibling agg: KS D-statistic of the
+    per-event-type count distribution vs uniform."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        bucket_count_ks_test_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = (
+        ev.groupBy(F.col("event_type").alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    return bucket_count_ks_test_agg(buckets, "key", "doc_count")
+
+
+def q_terms_enum(spark, sf_dir):
+    """ES _terms_enum: first 8 dictionary terms with prefix 's' from
+    the physical index's term_stats (vocabulary scan, no postings)."""
+    from elasticsearch_nlp_classifier_spark.query import terms_enum
+
+    ix = _physical_index(spark, sf_dir)
+    return terms_enum(ix, "s", size=8)
+
+
 def q_feat_hash_embed(spark, sf_dir):
     """Feature-hashed TF-IDF embeddings (hashing trick, Weinberger et
     al. 2009) — emitted as dense (doc_id, j, val) cells so the full
@@ -3026,6 +3123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_multi": q_span_multi,
         "simple_query_string": q_simple_query_string,
         "sqs_phrase_slop": q_sqs_phrase_slop,
+        "agg_geohash_grid": q_agg_geohash_grid,
+        "agg_random_sampler": q_agg_random_sampler,
+        "agg_ip_prefix": q_agg_ip_prefix,
+        "agg_change_point": q_agg_change_point,
+        "agg_bucket_correlation": q_agg_bucket_correlation,
+        "agg_ks_test": q_agg_ks_test,
+        "terms_enum": q_terms_enum,
         "agg_string_stats": q_agg_string_stats,
         "agg_boxplot": q_agg_boxplot,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -3742,6 +3846,22 @@ SELECT term, levenshtein(term, 'dat')::BIGINT AS dist, df
 FROM stats
 WHERE abs(length(term) - 3) <= 2 AND levenshtein(term, 'dat') <= 2
 ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
+
+
+def _geohash_grid_oracle() -> str:
+    """agg_geohash_grid twin: the SAME unrolled interleave arithmetic
+    (query/geo.py:geohash_key_sql) over the synthetic customer coords —
+    cell ordinates are floor() of exact integer-derived doubles, so the
+    keys agree bit-for-bit."""
+    from elasticsearch_nlp_classifier_spark.query.geo import geohash_key_sql
+
+    lat = "(((c_custkey * 37) % 18000) / 100.0 - 90.0)"
+    lon = "(((c_custkey * 73) % 36000) / 100.0 - 180.0)"
+    gh = geohash_key_sql(lat, lon, 3)
+    return f"""
+        WITH k AS (SELECT {gh} AS key FROM customer)
+        SELECT key, count(*)::BIGINT AS doc_count
+        FROM k GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 20"""
 
 
 def _hash_u(id_expr: str, salt: str) -> str:
@@ -5529,6 +5649,101 @@ def oracle_sql() -> dict[str, str]:
             FROM pos a JOIN pos b USING (doc_id)
             WHERE a.term = 'data' AND b.term = 'value'
               AND b.pos > a.pos AND b.pos - a.pos <= 2""",
+        "agg_geohash_grid": _geohash_grid_oracle(),
+        "agg_random_sampler": f"""
+            SELECT lang AS key,
+                   count(*)::BIGINT AS sampled_count,
+                   CAST(round(count(*) / 0.5) AS BIGINT) AS doc_count
+            FROM documents
+            WHERE {_hash_u('doc_id', 'rs1')} < 0.5
+            GROUP BY 1""",
+        "agg_ip_prefix": """
+            WITH ips AS (
+              SELECT '10.' || CAST(doc_id % 4 AS VARCHAR) || '.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.9' AS ip
+              FROM documents
+            ),
+            n AS (
+              SELECT CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                   + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                   + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                   + CAST(string_split(ip, '.')[4] AS BIGINT) AS v
+              FROM ips
+            ),
+            net AS (SELECT (v >> 12) << 12 AS m FROM n)
+            SELECT CAST(m >> 24 AS VARCHAR) || '.'
+                   || CAST((m >> 16) % 256 AS VARCHAR) || '.'
+                   || CAST((m >> 8) % 256 AS VARCHAR) || '.'
+                   || CAST(m % 256 AS VARCHAR) || '/20' AS key,
+                   count(*)::BIGINT AS doc_count
+            FROM net GROUP BY 1""",
+        "agg_change_point": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS day,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1
+            ),
+            b AS (
+              SELECT day, v,
+                     row_number() OVER (ORDER BY day) AS rn,
+                     sum(v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cs,
+                     sum(v * v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cs2,
+                     count(*) OVER () AS n,
+                     sum(v) OVER () AS s,
+                     sum(v * v) OVER () AS s2,
+                     lead(day) OVER (ORDER BY day) AS cp_day
+              FROM daily
+            ),
+            sc AS (
+              SELECT cp_day,
+                     (cs / rn - (s - cs) / (n - rn)) / sqrt(
+                       ((cs2 - rn * (cs / rn) * (cs / rn)) / (rn - 1)) / rn
+                       + ((s2 - cs2 - (n - rn) * ((s - cs) / (n - rn))
+                           * ((s - cs) / (n - rn))) / (n - rn - 1))
+                         / (n - rn)) AS t,
+                     cs / rn AS m1,
+                     (s - cs) / (n - rn) AS m2
+              FROM b WHERE rn >= 2 AND rn <= n - 2
+            )
+            SELECT strftime(cp_day, '%Y-%m-%d') AS day,
+                   round(t, 6) AS t_stat_r6,
+                   round(m1, 6) AS left_mean_r6,
+                   round(m2, 6) AS right_mean_r6
+            FROM sc
+            ORDER BY round(abs(t), 9) DESC, cp_day ASC LIMIT 1""",
+        "agg_bucket_correlation": """
+            WITH buckets AS (
+              SELECT lang AS key, CAST(count(*) AS DOUBLE) AS c
+              FROM documents GROUP BY 1
+            ),
+            ind(key, i) AS (
+              VALUES ('en', 1.0), ('de', 0.5), ('fr', 0.0)
+            )
+            SELECT round(corr(b.c, coalesce(ind.i, 0.0)), 6)
+                     AS correlation_r6
+            FROM buckets b LEFT JOIN ind USING (key)""",
+        "agg_ks_test": """
+            WITH buckets AS (
+              SELECT event_type AS key, CAST(count(*) AS DOUBLE) AS c
+              FROM events GROUP BY 1
+            ),
+            b AS (
+              SELECT key, c, 1.0 AS f,
+                     sum(c) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) / sum(c) OVER () AS ca,
+                     sum(1.0) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) / sum(1.0) OVER () AS ce
+              FROM buckets
+            )
+            SELECT round(max(abs(ca - ce)), 6) AS d_statistic_r6
+            FROM b""",
+        "terms_enum": f"""
+            WITH {_TOKS},
+            v AS (SELECT DISTINCT unnest(w) AS term FROM toks)
+            SELECT term FROM v WHERE term LIKE 's%'
+            ORDER BY term LIMIT 8""",
         "agg_string_stats": """
             WITH base AS (
               SELECT count(*)::BIGINT AS count,

@@ -93,9 +93,21 @@ from .geo import (  # noqa: F401
     geo_centroid_agg,
     geo_distance_agg,
     geo_distance_query,
+    geohash_grid_agg,
+    geohash_key,
+    geohash_key_sql,
     geotile_grid_agg,
     haversine_km,
 )
+from .aggs import (  # noqa: F401
+    bucket_correlation_agg,
+    bucket_count_ks_test_agg,
+    change_point_agg,
+    ip_prefix_agg,
+    random_sampler_agg,
+    random_sampler_counts,
+)
+from .api import terms_enum, with_runtime_fields  # noqa: F401
 from .parent_child import (  # noqa: F401
     children_agg,
     has_child,

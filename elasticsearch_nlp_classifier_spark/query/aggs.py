@@ -1416,3 +1416,213 @@ def reverse_nested_agg(
         .orderBy(F.desc("parent_count"), F.asc("key"))
         .limit(size)
     )
+
+
+def random_sampler_agg(
+    df: DataFrame, probability: float, seed: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``random_sampler`` bucket agg: include each doc independently
+    with ``probability`` and run sub-aggregations on the sample, whose
+    counts the caller scales by ``1/probability`` (ES does this
+    automatically; :func:`random_sampler_counts` is that composition).
+
+    The draw is the engine's deterministic md5-uniform
+    (``operators/sampling.py``), so the sample is reproducible across
+    partitionings/retries AND replayable in ANSI SQL — unlike ES's
+    per-shard RNG.  Pure scan-side filter: at 100 TB this is the
+    cheapest agg container there is (no shuffle, pushdown-friendly)."""
+    from ..operators.sampling import hash_uniform
+
+    return df.where(hash_uniform(id_col, seed) < F.lit(probability))
+
+
+def random_sampler_counts(
+    df: DataFrame, probability: float, key_field: str, seed: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``random_sampler`` + terms doc_count, scaled to full-population
+    estimates like ES reports them: ``doc_count = sampled / p``
+    (rounded to bigint).  One sampled hash agg."""
+    return (
+        random_sampler_agg(df, probability, seed, id_col)
+        .groupBy(F.col(key_field).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("sampled_count"),
+            F.round(F.count(F.lit(1)) / F.lit(probability))
+            .cast("bigint").alias("doc_count"),
+        )
+    )
+
+
+def ip_prefix_agg(
+    df: DataFrame, ip_field: str, prefix_length: int,
+) -> DataFrame:
+    """ES ``ip_prefix`` agg: bucket IPv4 addresses by their
+    ``/prefix_length`` network.  The address folds to uint32
+    (:func:`ip_numeric`), masks with shift arithmetic, and renders back
+    to the dotted-quad network key — one hash aggregation, all JVM
+    integer math."""
+    if not 0 < prefix_length <= 32:
+        raise ValueError("prefix_length must be in (0, 32]")
+    shift = 32 - prefix_length
+    n = ip_numeric(F.col(ip_field))
+    net = F.shiftleft(F.shiftright(n, shift), shift)
+    key = F.concat_ws(
+        ".",
+        (F.shiftright(net, 24) % 256).cast("string"),
+        (F.shiftright(net, 16) % 256).cast("string"),
+        (F.shiftright(net, 8) % 256).cast("string"),
+        (net % 256).cast("string"),
+    )
+    return (
+        df.where(F.col(ip_field).isNotNull())
+        .groupBy(
+            F.concat(key, F.lit(f"/{prefix_length}")).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def change_point_agg(
+    buckets: DataFrame, key_col: str, value_col: str,
+) -> DataFrame:
+    """ES ``change_point`` sibling agg (the core mean-shift detector):
+    over a key-ordered bucket series, find the split that maximizes the
+    absolute Welch t-statistic between the left and right segments —
+    the returned ``key`` is the first bucket of the right (post-change)
+    segment, ES's ``change_point.bucket.key``.
+
+    Deterministic and exact: every split with at least 2 buckets on
+    each side is scored from prefix sums (one pass of window functions
+    over the BUCKET table — the corpus reduction already happened in
+    the parent agg, so this is O(buckets) however big the data was);
+    ties break to the earliest key.  ES wraps several detectors with
+    ml-model p-values; this engine pins the documented, replayable
+    statistic instead (the SQL oracle recomputes it bit-for-bit).
+
+    Returns one row: (key, t_stat_r6, left_mean_r6, right_mean_r6).
+    """
+    w_ord = Window.orderBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    v = F.col(value_col).cast("double")
+    b = (
+        buckets.select(
+            F.col(key_col).alias("key"),
+            v.alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(Window.orderBy("key")))
+        .withColumn("cs", F.sum("v").over(w_ord))
+        .withColumn("cs2", F.sum(F.col("v") * F.col("v")).over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("s", F.sum("v").over(w_all))
+        .withColumn("s2", F.sum(F.col("v") * F.col("v")).over(w_all))
+    )
+    n1 = F.col("rn").cast("double")
+    n2 = (F.col("n") - F.col("rn")).cast("double")
+    m1 = F.col("cs") / n1
+    m2 = (F.col("s") - F.col("cs")) / n2
+    var1 = (F.col("cs2") - n1 * m1 * m1) / (n1 - 1)
+    var2 = (F.col("s2") - F.col("cs2") - n2 * m2 * m2) / (n2 - 1)
+    t = (m1 - m2) / F.sqrt(var1 / n1 + var2 / n2)
+    scored = (
+        # change point = FIRST bucket of the right segment, so take the
+        # next key BEFORE filtering splits (the row after the last
+        # valid split exists but is itself no valid split)
+        b.withColumn(
+            "cp_key", F.lead("key", 1).over(Window.orderBy("key"))
+        )
+        .where((F.col("rn") >= 2) & (F.col("rn") <= F.col("n") - 2))
+        .select(
+            F.col("cp_key").alias("key"),
+            t.alias("t"),
+            m1.alias("m1"),
+            m2.alias("m2"),
+        )
+    )
+    return (
+        # rank on the ROUNDED statistic: prefix-sum float noise must not
+        # decide ties between genuinely equal splits (alternating series
+        # produce exact |t| ties whose unrounded windows differ at 1e-16)
+        scored.orderBy(F.round(F.abs(F.col("t")), 9).desc(), F.asc("key"))
+        .limit(1)
+        .select(
+            "key",
+            F.round("t", 6).alias("t_stat_r6"),
+            F.round("m1", 6).alias("left_mean_r6"),
+            F.round("m2", 6).alias("right_mean_r6"),
+        )
+    )
+
+
+def bucket_correlation_agg(
+    buckets: DataFrame, key_col: str, count_col: str,
+    indicator: dict[object, float],
+) -> DataFrame:
+    """ES ``bucket_correlation`` pipeline agg (``count_correlation``
+    function): Pearson correlation between the bucket doc_counts and a
+    caller-supplied indicator vector keyed by bucket.  The indicator is
+    a tiny driver-side map — it broadcast-joins onto the bucket table
+    (buckets missing from the map contribute 0, like ES's dense vector
+    form).  One ``corr`` aggregate over O(buckets) rows."""
+    spark = buckets.sparkSession
+    ind = spark.createDataFrame(
+        [(k, float(x)) for k, x in indicator.items()],
+        f"{key_col} {buckets.schema[key_col].dataType.simpleString()}, _ind double",
+    )
+    joined = (
+        buckets.join(F.broadcast(ind), key_col, "left")
+        .select(
+            F.col(count_col).cast("double").alias("_c"),
+            F.coalesce("_ind", F.lit(0.0)).alias("_i"),
+        )
+    )
+    return joined.agg(
+        F.round(F.corr("_c", "_i"), 6).alias("correlation_r6")
+    )
+
+
+def bucket_count_ks_test_agg(
+    buckets: DataFrame, key_col: str, count_col: str,
+    fractions: list[float] | None = None,
+) -> DataFrame:
+    """ES ``bucket_count_ks_test`` sibling agg: the Kolmogorov-Smirnov
+    statistic between the bucket doc_count distribution and an expected
+    one — ``fractions`` (per ordered bucket, like ES's parameter) or
+    uniform when omitted.  D = max_k |ECDF_actual(k) − ECDF_expected(k)|
+    via one cumulative window over the bucket table; the p-value ladder
+    ES adds on top is ml-plugin territory — the statistic is the
+    replayable contract here.  Returns one row (d_statistic_r6)."""
+    w_ord = Window.orderBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = buckets.select(
+        F.col(key_col).alias("key"),
+        F.col(count_col).cast("double").alias("c"),
+    ).withColumn("rn", F.row_number().over(Window.orderBy("key")))
+    if fractions is not None:
+        spark = buckets.sparkSession
+        fr = spark.createDataFrame(
+            [(i + 1, float(f)) for i, f in enumerate(fractions)],
+            "rn int, f double",
+        )
+        b = b.join(F.broadcast(fr), "rn", "left").withColumn(
+            "f", F.coalesce("f", F.lit(0.0))
+        )
+    else:
+        b = b.withColumn("f", F.lit(1.0))
+    b = (
+        b.withColumn("ca", F.sum("c").over(w_ord) / F.sum("c").over(w_all))
+        .withColumn("ce", F.sum("f").over(w_ord) / F.sum("f").over(w_all))
+    )
+    return b.agg(
+        F.round(F.max(F.abs(F.col("ca") - F.col("ce"))), 6)
+        .alias("d_statistic_r6")
+    )

@@ -38,6 +38,8 @@ __all__ = [
     "validate_query",
     "render_search_template",
     "mget",
+    "terms_enum",
+    "with_runtime_fields",
 ]
 
 
@@ -142,3 +144,43 @@ def mget(
         .withColumn("found", F.coalesce(F.col("_found"), F.lit(False)))
         .drop("_found")
     )
+
+
+def terms_enum(
+    index, prefix: str = "", size: int = 10,
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """ES ``POST /<index>/_terms_enum``: the first ``size`` indexed
+    terms with the given prefix, in term (dictionary) order — ES's
+    auto-complete-on-keyword endpoint.  A filter + TakeOrdered over the
+    vocabulary-sized ``term_stats`` table; postings are never touched.
+
+    (`utils/elasticsearch/ElasticsearchService.java` exposes this via
+    the stock client; ES also returns only live-doc terms — here
+    tombstoned docs may still hold a term until vacuum, documented.)"""
+    t = index.term_stats.select("term")
+    if prefix:
+        if case_insensitive:
+            t = t.where(F.lower(F.col("term")).startswith(prefix.lower()))
+        else:
+            t = t.where(F.col("term").startswith(prefix))
+    return t.orderBy("term").limit(size)
+
+
+def with_runtime_fields(df: DataFrame, mappings: dict) -> DataFrame:
+    """ES ``runtime_mappings`` / ``script_fields``: derived fields
+    declared per-search and usable in queries, aggs, and the response —
+    without reindexing.  Each mapping value is either a Column or an
+    SQL expression string (the Painless-script analog; stays entirely
+    inside Catalyst, so runtime fields filter/aggregate with codegen
+    exactly like indexed ones — the classic ES caveat that runtime
+    fields scan slower than doc_values applies to ES, not here, since
+    Parquet scans recompute projections either way)."""
+    from pyspark.sql import Column
+
+    out = df
+    for name, expr in mappings.items():
+        out = out.withColumn(
+            name, expr if isinstance(expr, Column) else F.expr(expr)
+        )
+    return out

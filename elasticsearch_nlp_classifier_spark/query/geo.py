@@ -176,3 +176,92 @@ def geo_bounds_agg(df: DataFrame, lat: Column, lon: Column) -> DataFrame:
         F.max(lon).alias("right"),
         F.count(F.lit(1)).alias("count"),
     )
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_key(lat: Column, lon: Column, precision: int) -> Column:
+    """ES ``geohash_grid`` bucket key: the standard base-32 geohash of
+    ``precision`` characters (Niemeyer encoding — longitude owns the
+    even interleaved bits, most significant first).
+
+    Computed arithmetically, not by bisection: with ``b = 5·precision``
+    total bits, ``nx = ceil(b/2)`` longitude bits and ``ny = b − nx``
+    latitude bits, the cell ordinates are
+    ``x = floor((lon+180)/360 · 2^nx)``, ``y = floor((lat+90)/180 ·
+    2^ny)`` and the geohash integer interleaves their bits x-first.
+    The interleave unrolls to a constant ``b``-term sum of JVM
+    shift/mask expressions (b ≤ 60 at ES's max precision 12) and each
+    output char is an ``element_at`` into the base-32 alphabet — the
+    whole key stays inside whole-stage codegen, so the agg is a plain
+    hash aggregate exactly like :func:`geotile_key`."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in [1, 12]")
+    b = 5 * precision
+    nx = (b + 1) // 2
+    ny = b // 2
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nx)))
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << ny)))
+    x = F.least(x, F.lit((1 << nx) - 1)).cast("bigint")
+    y = F.least(y, F.lit((1 << ny) - 1)).cast("bigint")
+    g = F.lit(0).cast("bigint")
+    for i in range(b):  # bit i of the geohash, MSB first
+        if i % 2 == 0:  # longitude bit i//2 (MSB first)
+            src, nbits, j = x, nx, i // 2
+        else:
+            src, nbits, j = y, ny, i // 2
+        bit = F.shiftright(src, nbits - 1 - j) % 2
+        g = g + F.shiftleft(bit, b - 1 - i)
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            alpha,
+            (F.shiftright(g, 5 * (precision - 1 - c)) % 32 + 1).cast("int"),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_grid_agg(
+    df: DataFrame, lat: Column, lon: Column,
+    precision: int = 5, size: int = 10,
+) -> DataFrame:
+    """ES ``geohash_grid`` agg: doc_count per geohash cell, top ``size``
+    by count (tie → key ASC).  Same plan shape as ``geotile_grid`` —
+    hash aggregate with map-side combine + TakeOrdered."""
+    return (
+        df.select(geohash_key(lat, lon, precision).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def geohash_key_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
+    """ANSI-SQL twin of :func:`geohash_key` (same unrolled interleave,
+    DuckDB bit operators) — oracle generation, like
+    ``operators/sampling.py:hash_uniform_sql``."""
+    b = 5 * precision
+    nx = (b + 1) // 2
+    ny = b // 2
+    x = (f"least(CAST(floor((CAST({lon_expr} AS DOUBLE) + 180.0) / 360.0"
+         f" * CAST({1 << nx} AS DOUBLE)) AS BIGINT), {(1 << nx) - 1})")
+    y = (f"least(CAST(floor((CAST({lat_expr} AS DOUBLE) + 90.0) / 180.0"
+         f" * CAST({1 << ny} AS DOUBLE)) AS BIGINT), {(1 << ny) - 1})")
+    terms = []
+    for i in range(b):
+        if i % 2 == 0:
+            src, nbits, j = x, nx, i // 2
+        else:
+            src, nbits, j = y, ny, i // 2
+        terms.append(f"((({src} >> {nbits - 1 - j}) % 2) << {b - 1 - i})")
+    g = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST(({g} >> {5 * (precision - 1 - c)}) % 32 + 1 AS INT), 1)"
+        for c in range(precision)
+    ]
+    return " || ".join(chars)
