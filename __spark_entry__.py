@@ -2678,6 +2678,24 @@ def q_agg_ks_test(spark, sf_dir):
     return bucket_count_ks_test_agg(buckets, "key", "doc_count")
 
 
+def q_sparse_vector(spark, sf_dir):
+    """ES sparse_vector / text_expansion query: top-10 by
+    sum(q_weight * doc_weight) over a feature-postings relation —
+    doc weights are the deterministic tf*ln(1+N/df) expansion analog
+    (query/sparse.py; a learned encoder's table drops in unchanged)."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        sparse_vector_topk,
+        text_expansion_features,
+    )
+
+    feats = text_expansion_features(
+        _docs(spark, sf_dir), "text", analyzer="simple_code"
+    )
+    return sparse_vector_topk(
+        feats, {"data": 2.0, "value": 1.0, "slow": 1.5}, k=10
+    )
+
+
 def q_terms_enum(spark, sf_dir):
     """ES _terms_enum: first 8 dictionary terms with prefix 's' from
     the physical index's term_stats (vocabulary scan, no postings)."""
@@ -3130,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bucket_correlation": q_agg_bucket_correlation,
         "agg_ks_test": q_agg_ks_test,
         "terms_enum": q_terms_enum,
+        "sparse_vector": q_sparse_vector,
         "agg_string_stats": q_agg_string_stats,
         "agg_boxplot": q_agg_boxplot,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -5744,6 +5763,33 @@ def oracle_sql() -> dict[str, str]:
             v AS (SELECT DISTINCT unnest(w) AS term FROM toks)
             SELECT term FROM v WHERE term LIKE 's%'
             ORDER BY term LIMIT 8""",
+        "sparse_vector": f"""
+            WITH {_BM25_BASE},
+            feats AS (
+              SELECT tf.doc_id, tf.term AS feature,
+                     tf.tf::DOUBLE * ln(1.0 + (SELECT n FROM corpus)::DOUBLE
+                                        / stats.df) AS weight
+              FROM tf JOIN stats ON tf.term = stats.term
+            ),
+            q(feature, q_weight) AS (
+              VALUES ('data', 2.0::DOUBLE), ('value', 1.0::DOUBLE),
+                     ('slow', 1.5::DOUBLE)
+            ),
+            scored AS (
+              SELECT doc_id, sum(weight * q_weight) AS score
+              FROM feats JOIN q USING (feature)
+              GROUP BY 1
+            ),
+            top AS (
+              SELECT doc_id, round(score, 9) AS score_r9
+              FROM scored
+              ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+            )
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_r9 DESC, doc_id ASC)
+                     ::INT AS rank,
+                   score_r9
+            FROM top""",
         "agg_string_stats": """
             WITH base AS (
               SELECT count(*)::BIGINT AS count,

@@ -146,3 +146,7 @@ from .aggs import (  # noqa: F401
     variable_width_histogram_agg,
 )
 from .parent_child import parent_agg  # noqa: F401
+from .sparse import (  # noqa: F401
+    sparse_vector_topk,
+    text_expansion_features,
+)

@@ -169,3 +169,83 @@ def test_chunk_coverage_and_overlap_invariants(spark, docs):
 def test_chunk_validates_params(spark, docs):
     with pytest.raises(ValueError):
         chunk_documents(docs, 10, 10)
+
+
+# --------------------------------------------------------- sparse_vector
+
+
+def test_sparse_vector_topk_vs_plain_python(spark):
+    import math
+
+    from elasticsearch_nlp_classifier_spark.query import (
+        sparse_vector_topk,
+        text_expansion_features,
+    )
+
+    docs = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "apple cherry cherry date"),
+        (3, "date elderberry"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    feats = text_expansion_features(df, "text", analyzer="simple_code")
+
+    # plain-python twin of the expansion weights
+    toks = {i: t.split() for i, t in docs}
+    n = sum(1 for ws in toks.values() if ws)
+    dfreq = {}
+    for ws in toks.values():
+        for t in set(ws):
+            dfreq[t] = dfreq.get(t, 0) + 1
+
+    def w(i, t):
+        return toks[i].count(t) * math.log(1 + n / dfreq[t])
+
+    got_feats = {(r.doc_id, r.feature): r.weight for r in feats.collect()}
+    for (i, t), v in got_feats.items():
+        assert v == __import__("pytest").approx(w(i, t))
+
+    q = {"apple": 2.0, "cherry": 1.0, "missing": 5.0}
+    got = [(r.doc_id, r.rank, r.score_r9)
+           for r in sparse_vector_topk(feats, q, k=3).collect()]
+    spec = sorted(
+        (
+            (i, round(sum(qw * w(i, t) for t, qw in q.items()
+                          if t in toks[i]), 9))
+            for i in toks if any(t in toks[i] for t in q)
+        ),
+        key=lambda p: (-p[1], p[0]),
+    )[:3]
+    assert got == [(i, r + 1, s) for r, (i, s) in enumerate(spec)]
+
+
+def test_sparse_vector_empty_query(spark):
+    from elasticsearch_nlp_classifier_spark.query import sparse_vector_topk
+
+    feats = spark.createDataFrame(
+        [(0, "a", 1.0)], "doc_id bigint, feature string, weight double"
+    )
+    assert sparse_vector_topk(feats, {}, k=5).count() == 0
+
+
+def test_sparse_vector_prunes_scan_to_query_features(spark):
+    from elasticsearch_nlp_classifier_spark.query import sparse_vector_topk
+
+    feats = spark.createDataFrame(
+        [(0, "a", 1.0), (0, "b", 2.0), (1, "b", 1.0), (1, "zz", 9.0)],
+        "doc_id bigint, feature string, weight double",
+    )
+    plan = sparse_vector_topk(
+        feats, {"b": 1.0}, k=2
+    )._jdf.queryExecution().executedPlan().toString()
+    # the query-feature restriction must sit in the scan-side filter,
+    # not after the join (Catalyst folds a 1-element isin to equality)
+    assert "IN (b)" in plan or "= b)" in plan, plan[:2000]
+    assert plan.index("= b)" if "= b)" in plan else "IN (b)") > plan.index(
+        "BroadcastHashJoin"
+    ), "feature filter must be below the join (scan side)"
+    got = [(r.doc_id, r.score_r9)
+           for r in sparse_vector_topk(feats, {"b": 1.0}, k=2).collect()]
+    assert got == [(0, 2.0), (1, 1.0)]
