@@ -162,3 +162,66 @@ def test_fuzzy_respects_deletes(index):
         index, q, k=8, max_edits=1, analyzer="simple_code"
     ).toPandas()
     assert 7 not in set(got.doc_id)
+
+
+# ------------------------------------------------------ point-in-time (PIT)
+
+
+def test_pit_freezes_tombstones(spark, index):
+    from elasticsearch_nlp_classifier_spark.index.pit import (
+        open_pit,
+        pit_search,
+    )
+    from elasticsearch_nlp_classifier_spark.query.wand import wand_topk
+
+    delete_docs(index, [4])
+    pit = open_pit(index)
+    before = [(r.doc_id, r.score) for r in pit_search(
+        pit, "spark engine", k=5, analyzer="simple_code").collect()]
+
+    # deletes landing AFTER open_pit are invisible through the PIT...
+    delete_docs(index, [0, 6])
+    again = [(r.doc_id, r.score) for r in pit_search(
+        pit, "spark engine", k=5, analyzer="simple_code").collect()]
+    assert again == before
+    assert any(d in {0, 6} for d, _ in again)  # pre-delete docs still rank
+
+    # ...but a live search reflects them
+    live = {r.doc_id for r in wand_topk(
+        index, QUERIES.iloc[:1], k=5, analyzer="simple_code").collect()}
+    assert live.isdisjoint({0, 4, 6})
+
+
+def test_pit_live_docs_consistent_pagination(spark, docs, index):
+    from elasticsearch_nlp_classifier_spark.index.pit import (
+        open_pit,
+        pit_live_docs,
+    )
+    from elasticsearch_nlp_classifier_spark.query.search import search_after
+
+    hits = docs.select("doc_id", F.col("doc_id").cast("double").alias("s"))
+    pit = open_pit(index)  # zero deletes frozen
+    page1 = search_after(
+        pit_live_docs(pit, hits), after=None, sort_field="s", size=3)
+    last = page1.collect()[-1]  # ids 7,6,5 (s desc) -> cursor (5.0, 5)
+    delete_docs(index, [3])  # concurrent delete between pages
+    page2 = search_after(
+        pit_live_docs(pit, hits), after=(last.sort_value, last.id),
+        sort_field="s", size=3)
+    # the PIT page still contains doc 3; a fresh (non-PIT) view drops it
+    assert [r.id for r in page2.collect()] == [4, 3, 2]
+    fresh = search_after(
+        live_docs(index, hits), after=(last.sort_value, last.id),
+        sort_field="s", size=3)
+    assert [r.id for r in fresh.collect()] == [4, 2, 1]
+
+
+def test_pit_open_on_fresh_index_is_empty_tombstones(spark, index):
+    from elasticsearch_nlp_classifier_spark.index.pit import (
+        open_pit,
+        pit_deleted_array,
+    )
+
+    pit = open_pit(index)
+    assert pit_deleted_array(pit).size == 0
+    assert pit.pit_id
