@@ -2678,6 +2678,60 @@ def q_agg_ks_test(spark, sf_dir):
     return bucket_count_ks_test_agg(buckets, "key", "doc_count")
 
 
+def q_search_as_you_type(spark, sf_dir):
+    """ES search_as_you_type: multi_match bool_prefix over the base
+    field + its ._2gram shingle subfield (an index built with the
+    simple_code_shingle2 JVM analyzer — analyzer/filters.py), summed
+    most_fields-style.  Frames cover the whole corpus at this SF, so
+    the SQL twin is exact."""
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query.mlt import (
+        search_as_you_type_topk,
+    )
+
+    key = (id(spark), sf_dir, "sayt2")
+    if key not in _POS_IX_CACHE:
+        out = tempfile.mkdtemp(prefix="sayt_ix_") + "/idx"
+        _POS_IX_CACHE[key] = build_physical_index(
+            _docs(spark, sf_dir), out, text_col="text",
+            analyzer="simple_code_shingle2",
+        )
+    sh2 = _POS_IX_CACHE[key]
+    base = _physical_index(spark, sf_dir)
+    out = search_as_you_type_topk(
+        base, sh2, "data val", k=10, analyzer="simple_code",
+        window=100000,
+    )
+    return out.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score_r6"),
+    )
+
+
+def q_analysis_shingles(spark, sf_dir):
+    """ES shingle token filter (the ._2gram subfield's analysis): per-
+    doc 2-shingle term frequencies via the pure-JVM expression chain."""
+    docs = _docs(spark, sf_dir)
+    from elasticsearch_nlp_classifier_spark.analyzer.spark_udfs import (
+        analyze,
+    )
+
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(analyze("text", "simple_code_shingle2"))
+            .alias("shingle"),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
 def q_sparse_vector(spark, sf_dir):
     """ES sparse_vector / text_expansion query: top-10 by
     sum(q_weight * doc_weight) over a feature-postings relation —
@@ -3149,6 +3203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_ks_test": q_agg_ks_test,
         "terms_enum": q_terms_enum,
         "sparse_vector": q_sparse_vector,
+        "search_as_you_type": q_search_as_you_type,
+        "analysis_shingles": q_analysis_shingles,
         "agg_string_stats": q_agg_string_stats,
         "agg_boxplot": q_agg_boxplot,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -3609,6 +3665,67 @@ exp AS (SELECT term FROM stats WHERE term LIKE 'val%'
 qt AS (SELECT 'data' AS term UNION SELECT term FROM exp),
 """ + _BM25_TAIL
 
+# search_as_you_type twin: base-field bool_prefix score + the ._2gram
+# shingle subfield's bool_prefix score (query "data val" analyzed by
+# the shingle2 chain = ONE trailing shingle -> pure prefix expansion
+# 'data val%'), summed most_fields-style (query/mlt.py:
+# search_as_you_type_topk; per-field frames are full here).
+_SAYT_SQL = _BM25_BASE + """,
+exp AS (SELECT term FROM stats WHERE term LIKE 'val%'
+        ORDER BY term LIMIT 50),
+qt AS (SELECT 'data' AS term UNION SELECT term FROM exp),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n FROM corpus) - s.df + 0.5) / (s.df + 0.5))
+           * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM corpus)))
+           AS c
+  FROM tf JOIN qt USING (term) JOIN stats s USING (term)
+  JOIN dl USING (doc_id)
+),
+base AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY 1),
+shw AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+              ELSE CAST([] AS VARCHAR[]) END AS w2
+  FROM toks
+),
+dl2 AS (SELECT doc_id, len(w2)::BIGINT AS dl FROM shw WHERE len(w2) > 0),
+posts2 AS (SELECT doc_id, unnest(w2) AS term FROM shw),
+tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM posts2 GROUP BY 1, 2),
+stats2 AS (SELECT term, count(*)::BIGINT AS df FROM tf2 GROUP BY 1),
+corpus2 AS (SELECT count(*)::BIGINT AS n,
+                   sum(dl)::DOUBLE / count(*) AS avgdl FROM dl2),
+qt2 AS (SELECT term FROM stats2 WHERE term LIKE 'data val%'
+        ORDER BY term LIMIT 50),
+contrib2 AS (
+  SELECT tf2.doc_id,
+         ln(1 + ((SELECT n FROM corpus2) - s.df + 0.5) / (s.df + 0.5))
+           * tf2.tf
+           / (tf2.tf + 1.2 * (0.25 + 0.75 * dl2.dl
+                              / (SELECT avgdl FROM corpus2)))
+           AS c
+  FROM tf2 JOIN qt2 USING (term) JOIN stats2 s USING (term)
+  JOIN dl2 USING (doc_id)
+),
+shsc AS (SELECT doc_id, sum(c) AS score FROM contrib2 GROUP BY 1),
+comb AS (
+  SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
+         coalesce(b.score, 0.0) + coalesce(s.score, 0.0) AS score
+  FROM base b FULL OUTER JOIN shsc s USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC)
+           AS rank,
+         round(score, 6) AS score_r6
+  FROM comb
+)
+SELECT rank::BIGINT AS rank, doc_id, score_r6 FROM ranked
+WHERE rank <= 10"""
+
 # BM25 full score set (no top-k cut) for the feature-scoring twins
 _BM25_SCORES = _BM25_SQL[: _BM25_SQL.index("ranked AS (")].replace(
     "{QUERY}", "data value table"
@@ -3931,6 +4048,19 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TF} SELECT DISTINCT term FROM tf ORDER BY term""",
         "a7_bm25_topk": "WITH " + _BM25_SQL.replace("{QUERY}", "data value table"),
         "match_bool_prefix": "WITH " + _MBP_SQL,
+        "search_as_you_type": "WITH " + _SAYT_SQL,
+        "analysis_shingles": f"""
+            WITH {_TOKS},
+            sh AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 2
+                       THEN [w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]
+                       ELSE CAST([] AS VARCHAR[]) END) AS shingle
+              FROM toks
+            )
+            SELECT doc_id, shingle, count(*)::BIGINT AS tf
+            FROM sh GROUP BY 1, 2""",
         "agg_rate_moving_fn": _RATE_MOVING_SQL,
         "agg_cumulative_cardinality": _CUMCARD_SQL,
         "agg_variable_width_histogram": _vwh_sql(4, 10),

@@ -83,13 +83,19 @@ _SPLITTERS = {
 
 @dataclass(frozen=True)
 class Analyzer:
-    """A configured tokenizer chain. Immutable; safe to ship to executors."""
+    """A configured tokenizer chain. Immutable; safe to ship to executors.
+
+    ``token_filter`` names an optional terminal ES-style token filter
+    (``TOKEN_FILTERS``: shingle2/shingle3/edge_ngram — the autocomplete
+    analysis components; ``analyzer/filters.py`` holds the Column
+    twins)."""
 
     split: str = "twitter"
     use_clean_twitter: bool = False
     use_lowercase: bool = True
     use_stopwords: bool = True
     use_stemming: bool = True
+    token_filter: str = ""
 
     def tokenize(self, text: str) -> list[str]:
         if text is None:
@@ -103,6 +109,8 @@ class Analyzer:
             tokens = remove_stopwords(tokens)
         if self.use_stemming:
             tokens = [stem_cached(t) for t in tokens]
+        if self.token_filter:
+            tokens = TOKEN_FILTERS[self.token_filter](tokens)
         return tokens
 
     def tokenize_fields(self, *texts: str | None) -> list[str]:
@@ -126,6 +134,30 @@ SIMPLE_CODE = Analyzer(
     use_stopwords=False, use_stemming=False,
 )
 
+def _shingle2(toks: list[str]) -> list[str]:
+    from .filters import shingle_list
+
+    return shingle_list(toks, 2)
+
+
+def _shingle3(toks: list[str]) -> list[str]:
+    from .filters import shingle_list
+
+    return shingle_list(toks, 3)
+
+
+def _edge_ngram(toks: list[str]) -> list[str]:
+    from .filters import edge_ngram_list
+
+    return edge_ngram_list(toks, 1, 10)
+
+
+TOKEN_FILTERS = {
+    "shingle2": _shingle2,
+    "shingle3": _shingle3,
+    "edge_ngram": _edge_ngram,
+}
+
 ANALYZERS: dict[str, Analyzer] = {
     "default": DEFAULT,
     "clean_twitter": CLEAN_TWITTER,
@@ -135,6 +167,21 @@ ANALYZERS: dict[str, Analyzer] = {
     "tab": Analyzer(
         split="tab", use_lowercase=False,
         use_stopwords=False, use_stemming=False,
+    ),
+    # search_as_you_type subfield analyzers (._2gram / ._3gram) and the
+    # edge_ngram autocomplete expansion, over the oracle-replicable
+    # simple_code splitter
+    "simple_code_shingle2": Analyzer(
+        split="simple_code", use_lowercase=False, use_stopwords=False,
+        use_stemming=False, token_filter="shingle2",
+    ),
+    "simple_code_shingle3": Analyzer(
+        split="simple_code", use_lowercase=False, use_stopwords=False,
+        use_stemming=False, token_filter="shingle3",
+    ),
+    "simple_code_edge": Analyzer(
+        split="simple_code", use_lowercase=False, use_stopwords=False,
+        use_stemming=False, token_filter="edge_ngram",
     ),
 }
 

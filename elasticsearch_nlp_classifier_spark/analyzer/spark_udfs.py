@@ -114,8 +114,26 @@ def code_tokens(col: Column | str) -> Column:
     )
 
 
+def _shingled_simple_code(n: int):
+    def expr(col: Column | str) -> Column:
+        from .filters import shingle_tokens_col
+
+        return shingle_tokens_col(simple_code_tokens(col), n)
+
+    return expr
+
+
+def _edge_simple_code(col: Column | str) -> Column:
+    from .filters import edge_ngram_tokens_col
+
+    return edge_ngram_tokens_col(simple_code_tokens(col), 1, 10)
+
+
 # Analyzers whose full chain is expressible as built-in JVM expressions.
 JVM_TOKEN_EXPRS = {
     "simple_code": simple_code_tokens,
     "code": code_tokens,
+    "simple_code_shingle2": _shingled_simple_code(2),
+    "simple_code_shingle3": _shingled_simple_code(3),
+    "simple_code_edge": _edge_simple_code,
 }

@@ -286,3 +286,66 @@ def more_like_this(
         .select("query_id", F.col("rank2").cast("int").alias("rank"),
                 "doc_id", "score")
     )
+
+
+def search_as_you_type_topk(
+    index: PhysicalIndex,
+    shingle2_index: PhysicalIndex,
+    query: str,
+    k: int = 10,
+    boost_2gram: float = 1.0,
+    analyzer: str = "code",
+    shingle_analyzer: str = "simple_code_shingle2",
+    window: int = 100,
+    max_expansions: int = 50,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """ES ``search_as_you_type`` field queried with the default
+    ``multi_match`` ``bool_prefix`` over the base field and its
+    ``._2gram`` shingle subfield: per-field score = bool_prefix BM25
+    (complete tokens/shingles as terms, trailing one as a dictionary
+    prefix expansion), combined ``most_fields``-style as
+    ``base + boost_2gram · 2gram``.  In-order progress ("data val")
+    produces trailing 2-gram shingles ("data val") that only in-order
+    documents can prefix-match — that is the whole point of the shingle
+    subfields, reproduced exactly.
+
+    The shingle subfield is just an index built with the
+    ``simple_code_shingle2`` analyzer (JVM expression chain —
+    ``analyzer/filters.py``); both per-field scorers are the existing
+    :func:`match_bool_prefix_topk`, so the plan is two pruned block
+    scans + one broadcast-sized score join.  Like ``rrf``/``rescore``,
+    the combination works on bounded per-field frames (``window``
+    deepest hits each) — document rather than pretend otherwise."""
+    from pyspark.sql.window import Window
+
+    base = match_bool_prefix_topk(
+        index, query, k=window, max_expansions=max_expansions,
+        analyzer=analyzer, n_buckets=n_buckets,
+    ).select("doc_id", F.col("score").alias("s_base"))
+    sh = match_bool_prefix_topk(
+        shingle2_index, query, k=window, max_expansions=max_expansions,
+        analyzer=shingle_analyzer, n_buckets=n_buckets,
+    ).select("doc_id", F.col("score").alias("s_2gram"))
+    combined = (
+        base.join(sh, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce("s_base", F.lit(0.0))
+                + F.lit(float(boost_2gram))
+                * F.coalesce("s_2gram", F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.round("score", 9).desc(), F.asc("doc_id"))
+    return (
+        combined.orderBy(F.round("score", 9).desc(), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            F.lit(0).alias("query_id"),
+            F.row_number().over(w).alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )
