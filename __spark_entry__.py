@@ -2732,6 +2732,38 @@ def q_analysis_shingles(spark, sf_dir):
     )
 
 
+def q_agg_moving_percentiles(spark, sf_dir):
+    """ES moving_percentiles pipeline agg: sliding-window (3) exact
+    p50 with quantile_cont interpolation over daily event counts."""
+    from elasticsearch_nlp_classifier_spark.query.aggs import (
+        moving_percentiles_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    out = moving_percentiles_agg(daily, "day", "doc_count",
+                                 window=3, percentile=0.5)
+    return out.select(
+        F.date_format("key", "yyyy-MM-dd").alias("day"), "p50_r6"
+    )
+
+
+def q_agg_geo_line(spark, sf_dir):
+    """ES geo_line agg (relational form): per bucket, the first 12
+    track points in sort order as (key, seq, lon, lat) rows."""
+    from elasticsearch_nlp_classifier_spark.query.aggs import geo_line_agg
+
+    g = _cust_geo(spark, sf_dir).withColumn(
+        "grp", (F.col("c_custkey") % 5).cast("bigint")
+    )
+    return geo_line_agg(
+        g, "grp", "c_custkey", F.col("lat"), F.col("lon"), size=12
+    )
+
+
 def q_sparse_vector(spark, sf_dir):
     """ES sparse_vector / text_expansion query: top-10 by
     sum(q_weight * doc_weight) over a feature-postings relation —
@@ -3205,6 +3237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_vector": q_sparse_vector,
         "search_as_you_type": q_search_as_you_type,
         "analysis_shingles": q_analysis_shingles,
+        "agg_moving_percentiles": q_agg_moving_percentiles,
+        "agg_geo_line": q_agg_geo_line,
         "agg_string_stats": q_agg_string_stats,
         "agg_boxplot": q_agg_boxplot,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -5893,6 +5927,52 @@ def oracle_sql() -> dict[str, str]:
             v AS (SELECT DISTINCT unnest(w) AS term FROM toks)
             SELECT term FROM v WHERE term LIKE 's%'
             ORDER BY term LIMIT 8""",
+        "agg_moving_percentiles": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS day,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1
+            ),
+            win AS (
+              SELECT day,
+                     list_sort(list(v) OVER (ORDER BY day ROWS BETWEEN
+                       2 PRECEDING AND CURRENT ROW)) AS arr
+              FROM daily
+            ),
+            ix AS (
+              SELECT day, arr,
+                     (len(arr) - 1)::DOUBLE * 0.5 AS idx
+              FROM win
+            ),
+            v AS (
+              SELECT day,
+                     arr[CAST(floor(idx) AS INT) + 1]
+                       * (1.0 - (idx - floor(idx)))
+                     + coalesce(arr[CAST(floor(idx) AS INT) + 2],
+                                arr[CAST(floor(idx) AS INT) + 1])
+                       * (idx - floor(idx)) AS p50
+              FROM ix
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   round(p50, 6) AS p50_r6
+            FROM v""",
+        "agg_geo_line": """
+            WITH g AS (
+              SELECT c_custkey, c_custkey % 5 AS grp,
+                     ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+                     ((c_custkey * 73) % 36000) / 100.0 - 180.0 AS lon
+              FROM customer
+            ),
+            r AS (
+              SELECT grp AS key,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY c_custkey) AS seq,
+                     lon, lat
+              FROM g
+            )
+            SELECT key, seq::BIGINT AS seq,
+                   round(lon, 6) AS lon_r6, round(lat, 6) AS lat_r6
+            FROM r WHERE seq <= 12""",
         "sparse_vector": f"""
             WITH {_BM25_BASE},
             feats AS (

@@ -1626,3 +1626,76 @@ def bucket_count_ks_test_agg(
         F.round(F.max(F.abs(F.col("ca") - F.col("ce"))), 6)
         .alias("d_statistic_r6")
     )
+
+
+def moving_percentiles_agg(
+    buckets: DataFrame, key_col: str, value_col: str,
+    window: int, percentile: float = 0.5,
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline agg: a sliding-window
+    percentile over the parent histogram's metric (window = this bucket
+    and the ``window-1`` before it; buckets before the window fills
+    report the percentile of what exists, like ES).
+
+    Exact linear-interpolation percentile (R-7 / ``quantile_cont``
+    semantics — the oracle replays it with ``list_sort`` + the same
+    interpolation): the window's values collect into an array (bounded
+    by ``window``, an O(buckets·window) frame over the already-reduced
+    bucket table), sort JVM-side, interpolate with ``element_at``.
+    ES uses a merged TDigest per window; the exact form is the stronger
+    contract and identical for small windows."""
+    if not 0.0 <= percentile <= 1.0:
+        raise ValueError("percentile must be in [0, 1]")
+    w = Window.orderBy("key").rowsBetween(-(window - 1), 0)
+    b = buckets.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    arr = F.sort_array(F.collect_list("v").over(w))
+    n = F.size(arr)
+    idx = (n - 1).cast("double") * F.lit(float(percentile))
+    lo = F.floor(idx).cast("int")
+    frac = idx - lo.cast("double")
+    # try_element_at: lo+2 overruns the array when frac == 0 (ANSI mode
+    # would throw); the coalesce makes that term a no-op
+    val = (
+        F.try_element_at(arr, lo + 1) * (F.lit(1.0) - frac)
+        + F.coalesce(
+            F.try_element_at(arr, lo + 2), F.try_element_at(arr, lo + 1)
+        ) * frac
+    )
+    return b.select(
+        "key", F.round(val, 6).alias(f"p{int(percentile * 100)}_r6")
+    )
+
+
+def geo_line_agg(
+    df: DataFrame, key_col: str, sort_col: str,
+    lat: Column, lon: Column, size: int = 10000,
+) -> DataFrame:
+    """ES ``geo_line`` agg in relational form: per bucket, the points
+    ordered by ``sort_col`` (ascending, the track order) capped at
+    ``size`` — one row per line vertex ``(key, seq, lon_r6, lat_r6)``
+    instead of a GeoJSON blob (same information, hashable/joinable).
+
+    One hash aggregation collecting ``(sort, lon, lat)`` structs with
+    map-side combine, JVM ``sort_array`` + ``slice`` for the cap, then
+    posexplode — the shuffle carries at most ``size`` points per key
+    ... a skewed track is bounded by the cap exactly as in ES."""
+    pts = F.sort_array(
+        F.collect_list(F.struct(
+            F.col(sort_col).alias("s"), lon.alias("x"), lat.alias("y"),
+        ))
+    )
+    capped = F.slice(pts, 1, size)
+    return (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(capped.alias("_pts"))
+        .select("key", F.posexplode("_pts").alias("seq", "_p"))
+        .select(
+            "key",
+            (F.col("seq") + 1).cast("bigint").alias("seq"),
+            F.round(F.col("_p.x"), 6).alias("lon_r6"),
+            F.round(F.col("_p.y"), 6).alias("lat_r6"),
+        )
+    )

@@ -243,3 +243,47 @@ def test_runtime_fields_filter_and_agg(spark):
     )
     assert sorted(r.id for r in rt.where("cheap").collect()) == [1, 2]
     assert rt.agg(F.sum("total")).collect()[0][0] == pytest.approx(360.0)
+
+
+# ---------------------------------------------- moving_percentiles / geo_line
+
+
+def test_moving_percentiles_vs_numpy(spark):
+    vals = [10.0, 2.0, 7.0, 4.0, 9.0, 1.0, 6.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k int, v double"
+    )
+    from elasticsearch_nlp_classifier_spark.query.aggs import (
+        moving_percentiles_agg,
+    )
+
+    for p in (0.5, 0.9, 0.0, 1.0):
+        got = {r.key: r[1] for r in moving_percentiles_agg(
+            df, "k", "v", window=3, percentile=p).collect()}
+        for i in range(len(vals)):
+            w = vals[max(0, i - 2):i + 1]
+            want = round(float(np.percentile(w, p * 100,
+                                             method="linear")), 6)
+            assert got[i] == pytest.approx(want), (i, p)
+
+
+def test_geo_line_orders_and_caps(spark):
+    rows = [
+        # (key, t, lat, lon)
+        ("a", 3, 10.0, 3.0), ("a", 1, 10.0, 1.0), ("a", 2, 10.0, 2.0),
+        ("b", 1, -5.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, lat double, lon double")
+    from elasticsearch_nlp_classifier_spark.query.aggs import geo_line_agg
+
+    got = [(r.key, r.seq, r.lon_r6, r.lat_r6) for r in geo_line_agg(
+        df, "k", "t", F.col("lat"), F.col("lon")
+    ).orderBy("key", "seq").collect()]
+    assert got == [
+        ("a", 1, 1.0, 10.0), ("a", 2, 2.0, 10.0), ("a", 3, 3.0, 10.0),
+        ("b", 1, 9.0, -5.0),
+    ]
+    capped = geo_line_agg(df, "k", "t", F.col("lat"), F.col("lon"), size=2)
+    assert capped.where("key = 'a'").count() == 2
+    assert [r.seq for r in capped.where("key = 'a'")
+            .orderBy("seq").collect()] == [1, 2]
