@@ -2764,6 +2764,37 @@ def q_agg_geo_line(spark, sf_dir):
     )
 
 
+def q_alias_search(spark, sf_dir):
+    """ES filtered alias over two indexes: BM25 through the alias —
+    union-merged global stats, filter (lang='en') applied as query
+    context BEFORE the top-k cut, never perturbing idf/avgdl
+    (index/aliases.py)."""
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.index.aliases import (
+        AliasRegistry,
+    )
+
+    docs = _docs(spark, sf_dir)
+    mk = lambda d: build_logical_index(d, "text", "simple_code")  # noqa
+    reg = AliasRegistry()
+    reg.put_alias(
+        "en_docs",
+        [mk(docs.where("doc_id % 2 = 0")), mk(docs.where("doc_id % 2 = 1"))],
+        doc_filter=docs.where("lang = 'en'").select("doc_id"),
+    )
+    q = spark.createDataFrame(
+        [(0, "data value table")], "query_id int, query_text string"
+    )
+    out = reg.search("en_docs", q, k=10, analyzer="simple_code")
+    return out.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score_r6"),
+    )
+
+
 def q_sparse_vector(spark, sf_dir):
     """ES sparse_vector / text_expansion query: top-10 by
     sum(q_weight * doc_weight) over a feature-postings relation —
@@ -3239,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analysis_shingles": q_analysis_shingles,
         "agg_moving_percentiles": q_agg_moving_percentiles,
         "agg_geo_line": q_agg_geo_line,
+        "alias_search": q_alias_search,
         "agg_string_stats": q_agg_string_stats,
         "agg_boxplot": q_agg_boxplot,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -5956,6 +5988,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(day, '%Y-%m-%d') AS day,
                    round(p50, 6) AS p50_r6
             FROM v""",
+        "alias_search": "WITH " + _BM25_BASE + """,
+            qt AS (SELECT DISTINCT unnest(list_filter(
+                     string_split_regex(lower('data value table'),
+                                        '[^a-z0-9]+'),
+                     x -> x <> '')) AS term),
+            contrib AS (
+              SELECT tf.doc_id,
+                     ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                          / (s.df + 0.5))
+                       * tf.tf
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                          / (SELECT avgdl FROM corpus)))
+                       AS c
+              FROM tf JOIN qt USING (term) JOIN stats s USING (term)
+              JOIN dl USING (doc_id)
+              WHERE tf.doc_id IN
+                    (SELECT doc_id FROM documents WHERE lang = 'en')
+            ),
+            scores AS (SELECT doc_id, sum(c) AS score
+                       FROM contrib GROUP BY 1),
+            ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY round(score, 9) DESC,
+                                        doc_id ASC) AS rank,
+                     round(score, 6) AS score_r6
+              FROM scores
+            )
+            SELECT rank::BIGINT AS rank, doc_id, score_r6
+            FROM ranked WHERE rank <= 10""",
         "agg_geo_line": """
             WITH g AS (
               SELECT c_custkey, c_custkey % 5 AS grp,
