@@ -500,3 +500,21 @@ def compile_simple_query_string(
     return _SimpleParser(
         tokens, list(fields), text_fields, analyzer, default_operator
     ).parse()
+
+
+def compile_wrapper_query(
+    b64: str,
+    default_field: str = "content",
+    text_fields: set[str] | None = None,
+    analyzer: str = "simple_code",
+) -> Column:
+    """ES ``wrapper`` query: a base64-encoded query smuggled through
+    typed client APIs (`QueryBuilders.wrapperQuery` on the reference's
+    stock client).  ES wraps raw query-DSL JSON; this engine's textual
+    query form is the query string, so the payload is a base64
+    query-string — decoded and compiled through
+    :func:`compile_query_string` unchanged."""
+    import base64
+
+    s = base64.b64decode(b64.encode("ascii")).decode("utf-8")
+    return compile_query_string(s, default_field, text_fields, analyzer)

@@ -223,3 +223,15 @@ def test_sqs_never_raises_on_garbage(tbl):
 def test_sqs_empty_is_match_all(tbl):
     assert sids(tbl, "") == [1, 2, 3, 4, 5]
     assert sids(tbl, "   ") == [1, 2, 3, 4, 5]
+
+
+def test_wrapper_query_decodes_and_compiles(tbl):
+    import base64
+
+    from elasticsearch_nlp_classifier_spark.functions import (
+        compile_wrapper_query,
+    )
+
+    b64 = base64.b64encode(b"lang:python AND quick").decode()
+    col = compile_wrapper_query(b64, "content")
+    assert sorted(r.id for r in tbl.where(col).collect()) == [1, 3]
