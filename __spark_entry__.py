@@ -2764,6 +2764,32 @@ def q_agg_geo_line(spark, sf_dir):
     )
 
 
+def q_split_cluster_safe(spark, sf_dir):
+    """Leakage-controlled split: near-duplicate clusters never straddle
+    train/val/test (operators/sampling.py:cluster_safe_split).  Exact-
+    content pairs over triple-planted dups give triangle components;
+    each doc hashes on its component representative."""
+    from elasticsearch_nlp_classifier_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") < 5)
+    d = docs.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 10_000)
+    ).unionByName(base.withColumn("doc_id", F.col("doc_id") + 20_000))
+    h = F.sha2(F.col("text").cast("string"), 256)
+    a = d.select(F.col("doc_id").alias("id_a"), h.alias("_h"))
+    b = d.select(F.col("doc_id").alias("id_b"), h.alias("_h"))
+    pairs = a.join(b, "_h").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    out = cluster_safe_split(
+        d, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "split")
+
+
 def q_alias_search(spark, sf_dir):
     """ES filtered alias over two indexes: BM25 through the alias —
     union-merged global stats, filter (lang='en') applied as query
@@ -2967,6 +2993,21 @@ def q_eql_sequence(spark, sf_dir):
     steps = [F.col("event_type") == t
              for t in ("view", "click", "purchase")]
     return eql_sequence(ev, "user_id", steps, maxspan_s=172800.0)
+
+
+def q_eql_until(spark, sf_dir):
+    """EQL sequence with an `until` terminator: view -> purchase within
+    2 days, voided when a 'click' lands strictly between anchor and
+    chain end (ES: sequences expire on the until event)."""
+    from elasticsearch_nlp_classifier_spark.query import eql_sequence
+
+    ev = _events(spark, sf_dir)
+    return eql_sequence(
+        ev, "user_id",
+        [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+        maxspan_s=172800.0,
+        until=F.col("event_type") == "click",
+    )
 
 
 def q_agg_bucket_pipeline2(spark, sf_dir):
@@ -3271,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_moving_percentiles": q_agg_moving_percentiles,
         "agg_geo_line": q_agg_geo_line,
         "alias_search": q_alias_search,
+        "split_cluster_safe": q_split_cluster_safe,
         "agg_string_stats": q_agg_string_stats,
         "agg_boxplot": q_agg_boxplot,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -3288,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_ip_range": q_agg_ip_range,
         "cross_fields": q_cross_fields,
         "eql_sequence": q_eql_sequence,
+        "eql_until": q_eql_until,
         "agg_bucket_pipeline2": q_agg_bucket_pipeline2,
         "agg_percentiles_bucket": q_agg_percentiles_bucket,
         "agg_rate_moving_fn": q_agg_rate_moving_fn,
@@ -4048,6 +4091,16 @@ SELECT term, levenshtein(term, 'dat')::BIGINT AS dist, df
 FROM stats
 WHERE abs(length(term) - 3) <= 2 AND levenshtein(term, 'dat') <= 2
 ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
+
+
+def _cluster_split_case() -> str:
+    from elasticsearch_nlp_classifier_spark.operators.sampling import (
+        hash_split_sql,
+    )
+
+    return hash_split_sql(
+        {"train": 0.8, "val": 0.1, "test": 0.1}, id_expr="r", salt="split"
+    )
 
 
 def _geohash_grid_oracle() -> str:
@@ -5988,6 +6041,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(day, '%Y-%m-%d') AS day,
                    round(p50, 6) AS p50_r6
             FROM v""",
+        "split_cluster_safe": f"""
+            WITH {_DUPS3_SQL},
+            rep AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY text) AS r
+              FROM docs_dup
+            )
+            SELECT doc_id, {_cluster_split_case()} AS split
+            FROM rep""",
         "alias_search": "WITH " + _BM25_BASE + """,
             qt AS (SELECT DISTINCT unnest(list_filter(
                      string_split_regex(lower('data value table'),
@@ -6428,6 +6490,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*)::BIGINT AS n_matches
             FROM c2 WHERE t2 - t0 <= 172800.0
             GROUP BY 1""",
+        "eql_until": """
+            WITH e AS (SELECT user_id, epoch(ts) AS t, event_type
+                       FROM events),
+            s0 AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+            s1 AS (SELECT user_id, t FROM e
+                   WHERE event_type = 'purchase'),
+            u AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+            c1 AS (
+              SELECT s0.user_id, s0.t AS t0, min(s1.t) AS t1
+              FROM s0 JOIN s1 ON s1.user_id = s0.user_id
+                             AND s1.t > s0.t
+              GROUP BY 1, 2
+            ),
+            ok AS (
+              SELECT user_id, t0, t1 FROM c1
+              WHERE t1 - t0 <= 172800.0
+                AND NOT EXISTS (
+                  SELECT 1 FROM u
+                  WHERE u.user_id = c1.user_id
+                    AND u.t > c1.t0 AND u.t < c1.t1)
+            )
+            SELECT user_id, count(*)::BIGINT AS n_matches
+            FROM ok GROUP BY 1""",
         "agg_bucket_pipeline2": """
             WITH b AS (
               SELECT epoch(date_trunc('hour', ts))::BIGINT AS key_epoch,

@@ -75,6 +75,7 @@ from .quality import (  # noqa: F401
 )
 from .redact import PII_PATTERNS, pii_stats, redact_pii  # noqa: F401
 from .sampling import (  # noqa: F401
+    cluster_safe_split,
     hash_split,
     hash_split_sql,
     hash_uniform,

@@ -222,3 +222,44 @@ def resample_to_mix(
         .where(hash_uniform(id_col, salt) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-controlled train/val/test split: near-duplicate CLUSTERS
+    never straddle splits.
+
+    A plain hash split puts two near-identical documents on opposite
+    sides of the train/eval boundary — the classic contamination bug
+    that inflates eval scores on web-scale corpora (the reason
+    The Pile / RefinedWeb dedup *before* splitting).  Here every doc's
+    split is decided by the hash of its duplicate-cluster
+    REPRESENTATIVE (the component's min id from
+    ``dedup.dup_clusters`` — any near-dup pair source: MinHash,
+    SimHash, embedding cosine); docs in no pair hash on their own id,
+    which is the same thing (they are singleton clusters), so the
+    assignment degrades exactly to :func:`hash_split` when ``pairs``
+    is empty.
+
+    Scale shape: the cluster closure is the existing O(log² n)
+    large-star/small-star job; its output is member-sized (≪ corpus),
+    so attaching representatives is one broadcast-able left join, and
+    the split itself stays a scan-side projection."""
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(pairs)  # (id, cluster_id = component min)
+    rep = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("_rep")
+    )
+    tagged = df.join(F.broadcast(rep), id_col, "left").withColumn(
+        "_rep", F.coalesce("_rep", F.col(id_col))
+    )
+    out = hash_split(tagged, weights, id_col="_rep", salt=salt,
+                     out_col=out_col)
+    return out.drop("_rep")

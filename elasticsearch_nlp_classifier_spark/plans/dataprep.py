@@ -66,10 +66,22 @@ def run_dataprep(
     mix_group_col: str = "source",
     max_ppl: float | None = None,
     pack_seq_len: int | None = None,
+    resumable: bool = False,
 ) -> dict:
     """Run the pipeline and write one parquet dataset per split under
     ``{out_dir}/{split}``.  Returns the lineage records (also appended
-    to ``lineage.jsonl``)."""
+    to ``lineage.jsonl``).
+
+    ``resumable=True`` materializes every stage to
+    ``{out_dir}/_stages/<name>`` with a completion manifest written
+    AFTER the parquet commit; a rerun with the same ``out_dir`` skips
+    every completed stage (lineage records it as ``resumed``) and
+    recomputes from the first missing one — the index builder's
+    kill-and-rerun contract (``index/blocks.py`` per-bucket manifests)
+    extended to the data-prep DAG.  Off by default: checkpointing
+    trades the fused lazy plan for per-stage parquet round-trips, the
+    right trade on a multi-hour 100 TB run and the wrong one on a
+    laptop-sized pass."""
     from ..operators import (
         chunk_documents,
         decontaminate,
@@ -91,11 +103,30 @@ def run_dataprep(
     records = []
 
     def stage(name: str, fn, df: DataFrame, n_in: int) -> tuple:
+        ckpt = f"{out_dir}/_stages/{name}"
+        manifest = f"{ckpt}/_stage_manifest.json"
+        if resumable and os.path.exists(manifest):
+            with open(manifest) as f:
+                prev = json.load(f)
+            out = docs.sparkSession.read.parquet(ckpt)
+            rec = {"stage": name, "rows_in": prev["rows_in"],
+                   "rows_out": prev["rows_out"], "wall_s": 0.0,
+                   "resumed": True}
+            _log(out_dir, **rec)
+            records.append(rec)
+            return out, prev["rows_out"]
         t0 = time.time()
         out = fn(df)
+        if resumable:
+            out.write.mode("overwrite").parquet(ckpt)
+            out = docs.sparkSession.read.parquet(ckpt)
         n_out = out.count()
         rec = {"stage": name, "rows_in": n_in, "rows_out": n_out,
                "wall_s": round(time.time() - t0, 2)}
+        if resumable:
+            # manifest AFTER the parquet commit = the completion marker
+            with open(manifest, "w") as f:
+                json.dump(rec, f)
         _log(out_dir, **rec)
         records.append(rec)
         return out, n_out

@@ -52,29 +52,40 @@ def eql_sequence(
     steps: list[Column],
     ts_col: str = "ts",
     maxspan_s: float | None = None,
+    until: Column | None = None,
 ) -> DataFrame:
     """(by, n_matches): entities whose event stream contains the step
     predicates in timestamp order (strictly increasing), optionally
     within ``maxspan_s`` seconds from first to last step.
 
     ``steps`` are arbitrary Column predicates over the event row —
-    the EQL ``[ where ... ]`` clauses."""
+    the EQL ``[ where ... ]`` clauses.  ``until`` is EQL's sequence
+    terminator: an event matching it strictly between the anchor and
+    the chain's end voids that sequence (ES: "sequences expire when
+    the until event occurs").  Its timestamps ride the same single
+    scan + hash agg as the steps — no extra pass."""
     if not steps:
         raise ValueError("eql_sequence needs at least one step")
     t = F.col(ts_col).cast("timestamp").cast("double")
     k = len(steps)
 
-    proj = events.select(
-        F.col(by),
-        t.alias("_t"),
-        *[steps[i].alias(f"_s{i}") for i in range(k)],
-    )
-    per_entity = proj.groupBy(by).agg(*[
+    cols = [steps[i].alias(f"_s{i}") for i in range(k)]
+    if until is not None:
+        cols.append(until.alias("_u"))
+    proj = events.select(F.col(by), t.alias("_t"), *cols)
+    aggs = [
         F.array_sort(
             F.collect_list(F.when(F.col(f"_s{i}"), F.col("_t")))
         ).alias(f"ts_{i}")
         for i in range(k)
-    ])
+    ]
+    if until is not None:
+        aggs.append(
+            F.array_sort(
+                F.collect_list(F.when(F.col("_u"), F.col("_t")))
+            ).alias("ts_u")
+        )
+    per_entity = proj.groupBy(by).agg(*aggs)
 
     if k == 1:
         res = per_entity.select(
@@ -96,6 +107,10 @@ def eql_sequence(
         ok = end.isNotNull()
         if maxspan_s is not None:
             ok = ok & ((end - anchor) <= F.lit(float(maxspan_s)))
+        if until is not None:
+            ok = ok & ~F.exists(
+                F.col("ts_u"), lambda u: (u > anchor) & (u < end)
+            )
         return ok
 
     return (

@@ -149,3 +149,43 @@ def test_date_histogram_feeds_pipeline(spark):
         bucket_script_agg(b, F.col("doc_count") * 2, "dbl"),
         F.col("dbl") >= 6)
     assert all(r["dbl"] == 6.0 for r in out.collect())
+
+
+def test_eql_until_voids_interrupted_sequences(spark):
+    from elasticsearch_nlp_classifier_spark.query import eql_sequence
+
+    rows = [
+        # user 1: view -> purchase, clean        -> matches
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "purchase"),
+        # user 2: view -> click -> purchase      -> voided by until
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:30:00", "click"),
+        (2, "2024-01-01 11:00:00", "purchase"),
+        # user 3: click BEFORE the anchor doesn't void
+        (3, "2024-01-01 09:00:00", "click"),
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 11:00:00", "purchase"),
+        # user 4: first anchor voided, SECOND view anchors a clean run
+        (4, "2024-01-01 08:00:00", "view"),
+        (4, "2024-01-01 08:30:00", "click"),
+        (4, "2024-01-01 09:00:00", "view"),
+        (4, "2024-01-01 10:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows],
+        "user_id bigint, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.user_id: r.n_matches for r in eql_sequence(
+        ev, "user_id",
+        [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+        until=F.col("event_type") == "click",
+    ).collect()}
+    assert got == {1: 1, 3: 1, 4: 1}
+
+    # without until, user 2 matches and user 4 has both anchors
+    got2 = {r.user_id: r.n_matches for r in eql_sequence(
+        ev, "user_id",
+        [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+    ).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1, 4: 2}

@@ -284,3 +284,56 @@ def test_dataprep_full_llm_pipeline(spark, tmp_path):
     # only targeted sources survive the mix
     lines = [json.loads(l) for l in open(f"{out_dir}/lineage.jsonl")]
     assert [l["stage"] for l in lines] == ["input"] + stages
+
+
+def test_dataprep_resumable_skips_completed_stages(spark, tmp_path):
+    """resumable=True: stage checkpoints + completion manifests — a
+    rerun with the same out_dir resumes every completed stage; deleting
+    a later stage's manifest recomputes from there while earlier stages
+    stay resumed.  Outputs identical across cold and resumed runs."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_nlp_classifier_spark.plans import run_dataprep
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    kw = dict(
+        max_tokens=32, overlap=4, near_dup_threshold=0.5,
+        quality_thresholds={"min_words": 1, "min_mean_word_len": 0.0,
+                            "max_symbol_word_ratio": 1.0,
+                            "min_alpha_word_frac": 0.0},
+        resumable=True,
+    )
+    out_dir = str(tmp_path / "prep_r")
+    res1 = run_dataprep(docs, out_dir, **kw)
+    train1 = sorted(
+        r.chunk_text
+        for r in spark.read.parquet(f"{out_dir}/train").collect()
+    )
+    assert not any(r.get("resumed") for r in res1["records"])
+
+    # full rerun: every checkpointed stage resumes, output unchanged
+    res2 = run_dataprep(docs, out_dir, **kw)
+    staged = [r for r in res2["records"]
+              if r["stage"] not in ("input", "split_write")]
+    assert staged and all(r.get("resumed") for r in staged)
+    train2 = sorted(
+        r.chunk_text
+        for r in spark.read.parquet(f"{out_dir}/train").collect()
+    )
+    assert train2 == train1
+
+    # kill-and-rerun from the middle: drop the chunk stage's manifest
+    _os.remove(f"{out_dir}/_stages/chunk/_stage_manifest.json")
+    res3 = run_dataprep(docs, out_dir, **kw)
+    by_stage = {r["stage"]: r for r in res3["records"]}
+    assert by_stage["exact_dedup"].get("resumed")
+    assert not by_stage["chunk"].get("resumed")
+    train3 = sorted(
+        r.chunk_text
+        for r in spark.read.parquet(f"{out_dir}/train").collect()
+    )
+    assert train3 == train1

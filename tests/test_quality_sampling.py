@@ -248,3 +248,50 @@ def test_cosine_topk_filtered_prefilter_semantics(spark):
                               "query_id bigint, query_vec array<double>")
     out = cosine_topk_filtered(emb, allowed, q, k=3).collect()
     assert [r.vec_id for r in out] == [4, 5, 6]   # k full matches, in-filter
+
+
+# ------------------------------------------------------- cluster_safe_split
+
+
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    from elasticsearch_nlp_classifier_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    # chain component {0,1,2} and pair {10, 11}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {r.doc_id: r.split for r in cluster_safe_split(
+        docs, pairs, {"train": 0.5, "test": 0.5}).collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11]
+    # members hash on the representative: doc 1/2 get doc 0's draw
+    base = {r.doc_id: r.split for r in hash_split(
+        docs, {"train": 0.5, "test": 0.5}).collect()}
+    assert got[0] == base[0]
+    assert got[10] == base[10]
+    # singletons are untouched relative to plain hash_split
+    for i in set(range(40)) - {0, 1, 2, 10, 11}:
+        assert got[i] == base[i]
+
+
+def test_cluster_safe_split_empty_pairs_is_hash_split(spark):
+    from elasticsearch_nlp_classifier_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(20)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    got = {r.doc_id: r.split for r in cluster_safe_split(
+        docs, pairs, {"a": 0.3, "b": 0.7}).collect()}
+    want = {r.doc_id: r.split for r in hash_split(
+        docs, {"a": 0.3, "b": 0.7}).collect()}
+    assert got == want
