@@ -3159,6 +3159,74 @@ def q_agg_parent(spark, sf_dir):
     )
 
 
+def q_esql_stats(spark, sf_dir):
+    """ES|QL `POST /_query` pipeline (WHERE → EVAL → STATS BY) compiled
+    to a pure-Catalyst DataFrame plan by query/esql.py — zero UDFs, so
+    the filter pushes to the parquet scan and the agg is one hash
+    aggregation with map-side combine."""
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return esql(
+        'FROM events '
+        '| WHERE event_type IN ("click", "view") AND value > 0 '
+        "| EVAL day_s = TO_LONG(DATE_TRUNC(1 day, ts)) "
+        "| STATS n = COUNT(*), total = ROUND(SUM(value), 6), "
+        "mx = ROUND(MAX(value), 6) BY day_s, event_type",
+        {"events": ev},
+    )
+
+
+def q_esql_docs(spark, sf_dir):
+    """ES|QL string/multivalue surface (LIKE, SPLIT → MV_COUNT, BUCKET)
+    over the documents table."""
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return esql(
+        "FROM documents "
+        '| WHERE text LIKE "*data*" AND lang IS NOT NULL '
+        '| EVAL nw = MV_COUNT(SPLIT(text, " ")), lang_up = TO_UPPER(lang), '
+        "cb = BUCKET(n_chars, 200) "
+        "| STATS docs = COUNT(*), avg_nw = ROUND(AVG(nw), 6) BY lang_up, cb",
+        {"documents": docs},
+    )
+
+
+def q_esql_enrich(spark, sf_dir):
+    """ES|QL ENRICH (broadcast lookup join — the same physical strategy
+    as ES's node-replicated enrich index) + COALESCE + STATS."""
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pol = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive"),
+         ("purchase", "transactional")],
+        "event_type string, kind string",
+    )
+    return esql(
+        "FROM events | ENRICH kinds ON event_type WITH kind "
+        '| EVAL k = COALESCE(kind, "other") | STATS n = COUNT(*) BY k',
+        {"events": ev},
+        enrich_policies={"kinds": (pol, "event_type")},
+    )
+
+
+def q_esql_dissect(spark, sf_dir):
+    """ES|QL DISSECT structured extraction (compiled to
+    regexp_extract) feeding a grouped aggregation."""
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return esql(
+        "FROM events "
+        '| EVAL s = CONCAT(event_type, "-", TO_STRING(user_id)) '
+        '| DISSECT s "%{et}-%{uid}" '
+        "| STATS n = COUNT(*), users = COUNT_DISTINCT(uid) BY et",
+        {"events": ev},
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -3346,6 +3414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinned_query": q_pinned_query,
         "script_score": q_script_score,
         "combined_fields": q_combined_fields,
+        "esql_stats": q_esql_stats,
+        "esql_docs": q_esql_docs,
+        "esql_enrich": q_esql_enrich,
+        "esql_dissect": q_esql_dissect,
     }
 
 
@@ -6536,6 +6608,43 @@ def oracle_sql() -> dict[str, str]:
                  (VALUES (25.0::DOUBLE, 1), (50.0::DOUBLE, 2),
                          (75.0::DOUBLE, 3), (99.0::DOUBLE, 4))
                    AS p(percent, i)""",
+        "esql_stats": """
+            SELECT epoch(date_trunc('day', ts))::BIGINT AS day_s,
+                   event_type,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 6) AS total,
+                   round(max(value), 6) AS mx
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value > 0
+            GROUP BY 1, 2""",
+        "esql_docs": """
+            WITH f AS (
+              SELECT upper(lang) AS lang_up,
+                     (floor(n_chars / 200))::BIGINT * 200 AS cb,
+                     len(string_split(text, ' '))::INT AS nw
+              FROM documents
+              WHERE text LIKE '%data%' AND lang IS NOT NULL
+            )
+            SELECT lang_up, cb, count(*)::BIGINT AS docs,
+                   round(avg(nw), 6) AS avg_nw
+            FROM f GROUP BY 1, 2""",
+        "esql_enrich": """
+            WITH pol(event_type, kind) AS (VALUES
+              ('click', 'interactive'), ('view', 'passive'),
+              ('purchase', 'transactional'))
+            SELECT coalesce(pol.kind, 'other') AS k, count(*)::BIGINT AS n
+            FROM events LEFT JOIN pol USING (event_type)
+            GROUP BY 1""",
+        "esql_dissect": """
+            WITH s AS (
+              SELECT event_type || '-' || user_id::VARCHAR AS s
+              FROM events
+            )
+            SELECT regexp_extract(s, '^(.*?)-(.*?)$', 1) AS et,
+                   count(*)::BIGINT AS n,
+                   count(DISTINCT regexp_extract(s, '^(.*?)-(.*?)$', 2))::BIGINT
+                     AS users
+            FROM s GROUP BY 1""",
     }
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}

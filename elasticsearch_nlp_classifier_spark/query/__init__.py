@@ -150,3 +150,4 @@ from .sparse import (  # noqa: F401
     sparse_vector_topk,
     text_expansion_features,
 )
+from .esql import esql, EsqlError  # noqa: F401
