@@ -3227,6 +3227,77 @@ def q_esql_dissect(spark, sf_dir):
     )
 
 
+def q_transform_pivot(spark, sf_dir):
+    """ES pivot _transform (terms + date_histogram group_by with the
+    mergeable agg set) — one hash aggregation, plans/transform.py."""
+    from elasticsearch_nlp_classifier_spark.plans.transform import (
+        pivot_transform,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = pivot_transform(
+        ev,
+        group_by={"user_id": "terms", "day": ("date_histogram", "ts", 86400)},
+        aggregations={"n": ("value_count", "event_id"),
+                      "total": ("sum", "value"),
+                      "card": ("cardinality", "event_type")},
+    )
+    return out.select(
+        "user_id", "day", "n", F.round("total", 6).alias("total_r6"), "card"
+    )
+
+
+def q_transform_latest(spark, sf_dir):
+    """ES latest _transform: newest event per user via one max_by hash
+    aggregation (no window shuffle-sort)."""
+    from elasticsearch_nlp_classifier_spark.plans.transform import (
+        latest_transform,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = latest_transform(ev, ["user_id"], "ts", tiebreak="event_id")
+    return out.select(
+        "user_id", "event_id", "event_type",
+        F.round("value", 6).alias("value_r6"),
+        F.unix_timestamp(F.col("ts")).alias("ts_s"),
+    )
+
+
+def q_transform_continuous(spark, sf_dir):
+    """Continuous pivot transform: two checkpointed sync ticks (first
+    half of the event stream, then the rest) whose merged destination
+    must equal a full batch recompute — the oracle IS that full
+    recompute, so this gates the incremental path's exactness."""
+    import shutil
+
+    from elasticsearch_nlp_classifier_spark.plans.transform import (
+        read_transform_dest,
+        run_continuous,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dest = os.path.join(_oracle_scratch(), "transform_continuous")
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    cut = ev.agg(
+        F.percentile_approx(F.unix_timestamp(F.col("ts")), 0.5)
+    ).collect()[0][0]
+    gb = {"user_id": "terms"}
+    aggs = {"n": ("value_count", "event_id"), "total": ("sum", "value"),
+            "avg_v": ("avg", "value")}
+    run_continuous(spark, ev.where(F.unix_timestamp(F.col("ts")) <= cut),
+                   dest, gb, aggs, sync_field="ts")
+    run_continuous(spark, ev, dest, gb, aggs, sync_field="ts")
+    out = read_transform_dest(spark, dest)
+    return out.select(
+        "user_id", "n", F.round("total", 6).alias("total_r6"),
+        F.round("avg_v", 6).alias("avg_r6"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -3418,6 +3489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_docs": q_esql_docs,
         "esql_enrich": q_esql_enrich,
         "esql_dissect": q_esql_dissect,
+        "transform_pivot": q_transform_pivot,
+        "transform_latest": q_transform_latest,
+        "transform_continuous": q_transform_continuous,
     }
 
 
@@ -6645,6 +6719,28 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT regexp_extract(s, '^(.*?)-(.*?)$', 2))::BIGINT
                      AS users
             FROM s GROUP BY 1""",
+        "transform_pivot": """
+            SELECT user_id,
+                   (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day,
+                   count(event_id)::BIGINT AS n,
+                   round(sum(value), 6) AS total_r6,
+                   count(DISTINCT event_type)::BIGINT AS card
+            FROM events GROUP BY 1, 2""",
+        "transform_latest": """
+            WITH r AS (
+              SELECT user_id, event_id, event_type, value,
+                     floor(epoch(ts))::BIGINT AS ts_s,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_id, event_type,
+                   round(value, 6) AS value_r6, ts_s
+            FROM r WHERE rn = 1""",
+        "transform_continuous": """
+            SELECT user_id, count(event_id)::BIGINT AS n,
+                   round(sum(value), 6) AS total_r6,
+                   round(avg(value), 6) AS avg_r6
+            FROM events GROUP BY 1""",
     }
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}
