@@ -3298,6 +3298,34 @@ def q_transform_continuous(spark, sf_dir):
     )
 
 
+def q_retriever_rrf(spark, sf_dir):
+    """ES 8.x retriever tree: rrf{standard(match) + knn(cosine)} —
+    query/retriever.py composes the WAND-BM25 and ANN leaves and fuses
+    with reciprocal-rank; the oracle re-derives both rankings and the
+    fusion in SQL."""
+    from elasticsearch_nlp_classifier_spark.query.retriever import (
+        RetrieverContext,
+        retrieve,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    ctx = RetrieverContext(index=_logical_index(spark, sf_dir), docs=docs,
+                           embeddings=emb, analyzer="simple_code")
+    spec = {"retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"match": {"text": "data value table"}}}},
+            {"knn": {"field": "embedding", "query_vector": qvec, "k": 20}},
+        ],
+        "rank_window_size": 20,
+        "rank_constant": 60,
+    }}}
+    out = retrieve(spec, ctx, k=10)
+    return out.select("rank", "doc_id", F.round("score", 9).alias("score_r9"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -3492,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_pivot": q_transform_pivot,
         "transform_latest": q_transform_latest,
         "transform_continuous": q_transform_continuous,
+        "retriever_rrf": q_retriever_rrf,
     }
 
 
@@ -6741,6 +6770,45 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_r6,
                    round(avg(value), 6) AS avg_r6
             FROM events GROUP BY 1""",
+        "retriever_rrf": "WITH " + _BM25_SCORES + """
+            lex AS (
+              SELECT doc_id, row_number() OVER (
+                       ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+              FROM scores
+            ),
+            q7 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 7),
+            cosed AS (
+              SELECT e.vec_id AS doc_id,
+                     list_dot_product(e.embedding::DOUBLE[], q7.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q7.qv, q7.qv))) AS cosv
+              FROM embeddings e CROSS JOIN q7
+            ),
+            vec AS (
+              SELECT doc_id, row_number() OVER (
+                       ORDER BY round(cosv, 9) DESC, doc_id ASC) AS rank
+              FROM cosed
+            ),
+            parts AS (
+              SELECT doc_id, 1.0 / (60 + rank) AS rrf FROM lex
+              WHERE rank <= 20
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rank) AS rrf FROM vec
+              WHERE rank <= 20
+            ),
+            fused AS (SELECT doc_id, sum(rrf) AS score FROM parts
+                      GROUP BY 1),
+            fin AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY round(score, 12) DESC,
+                                        doc_id ASC) AS rank,
+                     round(score, 9) AS score_r9
+              FROM fused
+            )
+            SELECT rank::BIGINT AS rank, doc_id, score_r9
+            FROM fin WHERE rank <= 10""",
     }
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}

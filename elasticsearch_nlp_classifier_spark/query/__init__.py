@@ -151,3 +151,4 @@ from .sparse import (  # noqa: F401
     text_expansion_features,
 )
 from .esql import esql, EsqlError  # noqa: F401
+from .retriever import RetrieverContext, retrieve  # noqa: F401
