@@ -3326,6 +3326,24 @@ def q_retriever_rrf(spark, sf_dir):
     return out.select("rank", "doc_id", F.round("score", 9).alias("score_r9"))
 
 
+def q_ann_int8(spark, sf_dir):
+    """int8 scalar-quantized kNN (ES int8_hnsw analog): quantized
+    shortlist (4× smaller scan) + exact float rerank.  The rerank
+    window makes the end result EXACTLY the brute float top-k, so the
+    oracle is the same brute cosine SQL — an end-to-end exactness gate
+    on the quantized path."""
+    from elasticsearch_nlp_classifier_spark.operators.quantize import (
+        int8_knn_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return int8_knn_topk(emb, q, k=5, rerank=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -3521,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_latest": q_transform_latest,
         "transform_continuous": q_transform_continuous,
         "retriever_rrf": q_retriever_rrf,
+        "ann_int8": q_ann_int8,
     }
 
 
@@ -6809,6 +6828,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rank::BIGINT AS rank, doc_id, score_r9
             FROM fin WHERE rank <= 10""",
+        "ann_int8": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos, 9) DESC, vec_id ASC) AS rank,
+                     round(cos, 6) AS cos_r6
+              FROM scored
+            )
+            SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
+            FROM ranked WHERE rank <= 5""",
     }
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}
