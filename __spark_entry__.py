@@ -43,6 +43,31 @@ stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
 corpus AS (SELECT count(*)::BIGINT AS n,
                   sum(dl)::DOUBLE / count(*) AS avgdl FROM dl)"""
 
+# one _graph/explore significance wave from seed 'data' (JLH score,
+# vertices_per_hop=5, min_doc_count=2) — shared by the vertices and
+# edges oracle entries
+_GRAPH_WAVE = _TF + """,
+seed_docs AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'data'),
+n_fg AS (SELECT count(*)::DOUBLE AS n FROM seed_docs),
+n_all AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+fg AS (SELECT term, count(*)::BIGINT AS fg_count
+       FROM tf JOIN seed_docs USING (doc_id)
+       GROUP BY 1 HAVING count(*) >= 2),
+bg AS (SELECT term, count(*)::BIGINT AS bg_count FROM tf GROUP BY 1),
+g_scored AS (
+  SELECT f.term, fg_count, bg_count,
+         CASE WHEN fg_count / (SELECT n FROM n_fg)
+                   > bg_count / (SELECT n FROM n_all)
+         THEN (fg_count / (SELECT n FROM n_fg)
+               - bg_count / (SELECT n FROM n_all))
+              * ((fg_count / (SELECT n FROM n_fg))
+                 / (bg_count / (SELECT n FROM n_all)))
+         ELSE 0.0 END AS score
+  FROM fg f JOIN bg USING (term)
+  WHERE f.term <> 'data'),
+wave AS (SELECT term, fg_count, bg_count, score FROM g_scored
+         ORDER BY round(score, 9) DESC, term ASC LIMIT 5)"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1400,6 +1425,44 @@ def q_agg_significant_terms(spark, sf_dir):
     idx = _logical_index(spark, sf_dir)
     fg = docs.where(F.col("lang") == "en").select("doc_id")
     return significant_terms(fg, idx.postings, size=10)
+
+
+def _graph_parts(spark, sf_dir):
+    from elasticsearch_nlp_classifier_spark.query import graph_explore
+
+    docs = _docs(spark, sf_dir)
+    idx = _logical_index(spark, sf_dir)
+    n_docs = docs.select("doc_id").distinct().count()
+    return graph_explore(
+        idx.postings, idx.term_stats, n_docs,
+        seed_terms=["data"], hops=1, vertices_per_hop=5,
+        min_doc_count=2,
+    )
+
+
+def q_graph_explore_vertices(spark, sf_dir):
+    """ES _graph/explore: one significance wave out from seed term
+    'data' — top-5 JLH-scored co-occurring vertices."""
+    verts, _ = _graph_parts(spark, sf_dir)
+    return verts
+
+
+def q_graph_explore_edges(spark, sf_dir):
+    """ES _graph/explore: doc-overlap edges seed→wave-1 vertices."""
+    _, edges = _graph_parts(spark, sf_dir)
+    return edges
+
+
+def q_ml_outlier_detection(spark, sf_dir):
+    """ES data-frame-analytics outlier_detection: per-row kNN ensemble
+    (kth-NN dist, mean kNN dist, LOF, LDOF, min-max ensemble score)
+    over the embeddings table — exact kNN baseline (the IVF approximate
+    path is the scale route, pinned by recall tests)."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        outlier_scores,
+    )
+
+    return outlier_scores(_emb(spark, sf_dir), k=5)
 
 
 def q_span_near(spark, sf_dir):
@@ -3432,6 +3495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": q_agg_cardinality,
         "agg_top_hits": q_agg_top_hits,
         "agg_significant_terms": q_agg_significant_terms,
+        "graph_explore_vertices": q_graph_explore_vertices,
+        "graph_explore_edges": q_graph_explore_edges,
+        "ml_outlier_detection": q_ml_outlier_detection,
         "agg_date_range": q_agg_date_range,
         "agg_filters": q_agg_filters,
         "agg_missing": q_agg_missing,
@@ -5351,6 +5417,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, fg_df, bg_df, score FROM scored
             WHERE score > 0
             ORDER BY score DESC, term ASC LIMIT 10""",
+        "graph_explore_vertices": f"""
+            WITH {_GRAPH_WAVE}
+            SELECT term, 1::INTEGER AS hop, fg_count, bg_count,
+                   round(score, 6) AS score_r6
+            FROM wave""",
+        "graph_explore_edges": f"""
+            WITH {_GRAPH_WAVE}
+            SELECT 'data' AS source, tf.term AS target,
+                   count(DISTINCT tf.doc_id)::BIGINT AS overlap
+            FROM tf JOIN seed_docs USING (doc_id)
+            JOIN wave w ON tf.term = w.term
+            GROUP BY 1, 2
+            HAVING count(DISTINCT tf.doc_id) >= 2""",
+        "ml_outlier_detection": """
+            WITH dists AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                     sqrt(list_sum([
+                       (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+                       * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+                       FOR i IN generate_series(1, len(a.embedding))
+                     ])) AS dist
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id <> b.vec_id
+            ),
+            knn AS (
+              SELECT * FROM (
+                SELECT vec_id, nbr_id, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dist ASC, nbr_id ASC) AS rank
+                FROM dists
+              ) WHERE rank <= 5
+            ),
+            base AS (SELECT vec_id, max(dist) AS kth_dist,
+                            avg(dist) AS mean_dist
+                     FROM knn GROUP BY 1),
+            reach AS (SELECT k.vec_id,
+                             greatest(k.dist, o.kth_dist) AS reach
+                      FROM knn k JOIN base o ON k.nbr_id = o.vec_id),
+            lrd AS (SELECT vec_id,
+                           1.0 / greatest(avg(reach), 1e-12) AS lrd
+                    FROM reach GROUP BY 1),
+            lofv AS (
+              SELECT k.vec_id, avg(lo.lrd) / any_value(p.lrd) AS lof
+              FROM knn k JOIN lrd lo ON k.nbr_id = lo.vec_id
+              JOIN lrd p ON k.vec_id = p.vec_id
+              GROUP BY k.vec_id
+            ),
+            nbr_pairs AS (
+              SELECT x.vec_id, x.nbr_id AS a, y.nbr_id AS b
+              FROM knn x JOIN knn y USING (vec_id)
+              WHERE x.nbr_id < y.nbr_id
+            ),
+            inner_d AS (
+              SELECT p.vec_id, avg(d.dist) AS inner_mean
+              FROM nbr_pairs p
+              JOIN dists d ON d.vec_id = p.a AND d.nbr_id = p.b
+              GROUP BY 1
+            ),
+            m AS (
+              SELECT b.vec_id,
+                     round(b.kth_dist, 6) AS kth_dist_r6,
+                     round(b.mean_dist, 6) AS mean_dist_r6,
+                     round(l.lof, 6) AS lof_r6,
+                     round(b.mean_dist
+                           / greatest(i.inner_mean, 1e-12), 6)
+                       AS ldof_r6
+              FROM base b JOIN lofv l USING (vec_id)
+              JOIN inner_d i USING (vec_id)
+            ),
+            ex AS (SELECT min(kth_dist_r6) AS k0, max(kth_dist_r6) AS k1,
+                          min(mean_dist_r6) AS m0, max(mean_dist_r6) AS m1,
+                          min(lof_r6) AS l0, max(lof_r6) AS l1,
+                          min(ldof_r6) AS d0, max(ldof_r6) AS d1
+                   FROM m)
+            SELECT vec_id, kth_dist_r6, mean_dist_r6, lof_r6, ldof_r6,
+                   round((
+                     (CASE WHEN k1 > k0
+                      THEN (kth_dist_r6 - k0) / (k1 - k0)
+                      ELSE 0.0 END)
+                   + (CASE WHEN m1 > m0
+                      THEN (mean_dist_r6 - m0) / (m1 - m0)
+                      ELSE 0.0 END)
+                   + (CASE WHEN l1 > l0
+                      THEN (lof_r6 - l0) / (l1 - l0)
+                      ELSE 0.0 END)
+                   + (CASE WHEN d1 > d0
+                      THEN (ldof_r6 - d0) / (d1 - d0)
+                      ELSE 0.0 END)) / 4.0, 6) AS outlier_score_r6
+            FROM m, ex""",
         "bool_query": f"""
             WITH {_BM25_BASE},
             clause(term, clause, boost) AS (VALUES

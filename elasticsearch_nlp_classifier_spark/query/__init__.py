@@ -55,6 +55,7 @@ from .aggs import (  # noqa: F401
     value_count_agg,
     weighted_avg_agg,
 )
+from .graph import graph_explore  # noqa: F401
 from .rank_eval import rank_eval  # noqa: F401
 from .rollup import (  # noqa: F401
     build_rollup,
