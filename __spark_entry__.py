@@ -1465,6 +1465,20 @@ def q_ml_outlier_detection(spark, sf_dir):
     return outlier_scores(_emb(spark, sf_dir), k=5)
 
 
+def q_ml_anomaly_count(spark, sf_dir):
+    """ES ML anomaly detection, count detector split by event_type:
+    hourly buckets (dense zero-fill), robust median/MAD baseline,
+    0-100 record scores."""
+    from elasticsearch_nlp_classifier_spark.operators import (
+        anomaly_detect,
+    )
+
+    return anomaly_detect(
+        _events(spark, sf_dir), detector="count",
+        by_field="event_type", bucket_span_s=3600,
+    )
+
+
 def q_span_near(spark, sf_dir):
     """Lucene ordered SpanNearQuery: terms in order within a slop
     window over the positional block index."""
@@ -3498,6 +3512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_explore_vertices": q_graph_explore_vertices,
         "graph_explore_edges": q_graph_explore_edges,
         "ml_outlier_detection": q_ml_outlier_detection,
+        "ml_anomaly_count": q_ml_anomaly_count,
         "agg_date_range": q_agg_date_range,
         "agg_filters": q_agg_filters,
         "agg_missing": q_agg_missing,
@@ -5506,6 +5521,41 @@ def oracle_sql() -> dict[str, str]:
                       THEN (ldof_r6 - d0) / (d1 - d0)
                       ELSE 0.0 END)) / 4.0, 6) AS outlier_score_r6
             FROM m, ex""",
+        "ml_anomaly_count": """
+            WITH m0 AS (
+              SELECT event_type,
+                     (floor(epoch(ts) / 3600) * 3600)::BIGINT
+                       AS bucket_start,
+                     count(*)::DOUBLE AS metric
+              FROM events GROUP BY 1, 2
+            ),
+            rng AS (SELECT event_type, min(bucket_start) AS mn,
+                           max(bucket_start) AS mx
+                    FROM m0 GROUP BY 1),
+            dense AS (SELECT event_type,
+                             unnest(generate_series(mn, mx, 3600))
+                               AS bucket_start
+                      FROM rng),
+            m AS (SELECT d.event_type, d.bucket_start,
+                         coalesce(m0.metric, 0.0) AS metric
+                  FROM dense d
+                  LEFT JOIN m0 USING (event_type, bucket_start)),
+            med AS (SELECT event_type, median(metric) AS typical
+                    FROM m GROUP BY 1),
+            dev AS (SELECT m.event_type, m.bucket_start, m.metric,
+                           med.typical,
+                           abs(m.metric - med.typical) AS absdev
+                    FROM m JOIN med USING (event_type)),
+            mad AS (SELECT event_type, median(absdev) AS mad
+                    FROM dev GROUP BY 1)
+            SELECT dev.event_type, dev.bucket_start,
+                   round(dev.metric, 6) AS metric_r6,
+                   round(dev.typical, 6) AS typical_r6,
+                   round(100.0 * (1.0 - exp(
+                     -((dev.absdev / (1.4826 * mad.mad + 1e-9))
+                       * (dev.absdev / (1.4826 * mad.mad + 1e-9)))
+                     / 2.0)), 6) AS record_score_r6
+            FROM dev JOIN mad USING (event_type)""",
         "bool_query": f"""
             WITH {_BM25_BASE},
             clause(term, clause, boost) AS (VALUES

@@ -47,6 +47,7 @@ from .multimodal import (  # noqa: F401
     resize_images,
     synthetic_media,
 )
+from .anomaly import anomaly_detect  # noqa: F401
 from .outliers import knn_table, outlier_scores  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_near_dup_pairs,
