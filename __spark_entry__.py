@@ -1479,6 +1479,24 @@ def q_ml_anomaly_count(spark, sf_dir):
     )
 
 
+def q_rank_vectors_maxsim(spark, sf_dir):
+    """ES 8.16 rank_vectors (ColBERT late interaction): per-doc
+    multi-vectors (embedding split into 8 chunks), maxSimDotProduct
+    top-5 per query — pure nested-HOF Catalyst expression."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        maxsim_topk,
+        split_vectors,
+    )
+
+    mv = split_vectors(_emb(spark, sf_dir), "embedding", 8).select(
+        "vec_id", "vecs"
+    )
+    queries = mv.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("vecs").alias("qvecs")
+    )
+    return maxsim_topk(mv, queries, k=5, id_col="vec_id")
+
+
 def q_span_near(spark, sf_dir):
     """Lucene ordered SpanNearQuery: terms in order within a slop
     window over the positional block index."""
@@ -3513,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_explore_edges": q_graph_explore_edges,
         "ml_outlier_detection": q_ml_outlier_detection,
         "ml_anomaly_count": q_ml_anomaly_count,
+        "rank_vectors_maxsim": q_rank_vectors_maxsim,
         "agg_date_range": q_agg_date_range,
         "agg_filters": q_agg_filters,
         "agg_missing": q_agg_missing,
@@ -5556,6 +5575,31 @@ def oracle_sql() -> dict[str, str]:
                        * (dev.absdev / (1.4826 * mad.mad + 1e-9)))
                      / 2.0)), 6) AS record_score_r6
             FROM dev JOIN mad USING (event_type)""",
+        "rank_vectors_maxsim": """
+            WITH chunked AS (
+              SELECT vec_id,
+                     [ embedding[(c-1)*8+1 : c*8]::DOUBLE[]
+                       FOR c IN generate_series(1, 8) ] AS vecs
+              FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, vecs AS qvecs
+                  FROM chunked WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, d.vec_id AS doc_id,
+                     round(list_sum(list_transform(q.qvecs,
+                       qv -> list_max(list_transform(d.vecs,
+                               dv -> list_dot_product(qv, dv))))), 6)
+                       AS score_r6
+              FROM chunked d CROSS JOIN q
+              WHERE d.vec_id <> q.query_id
+            )
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score_r6 DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score_r6
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank""",
         "bool_query": f"""
             WITH {_BM25_BASE},
             clause(term, clause, boost) AS (VALUES

@@ -56,6 +56,11 @@ from .aggs import (  # noqa: F401
     weighted_avg_agg,
 )
 from .graph import graph_explore  # noqa: F401
+from .late_interaction import (  # noqa: F401
+    maxsim_rerank_ivf,
+    maxsim_topk,
+    split_vectors,
+)
 from .rank_eval import rank_eval  # noqa: F401
 from .rollup import (  # noqa: F401
     build_rollup,
