@@ -1479,6 +1479,15 @@ def q_ml_anomaly_count(spark, sf_dir):
     )
 
 
+def q_ml_regression_simple(spark, sf_dir):
+    """ES data-frame-analytics regression (linear analog), simple
+    closed form: value ~ user_id over events — one aggregation,
+    slope/intercept/r2 twin of DuckDB's regr_* functions."""
+    from elasticsearch_nlp_classifier_spark.operators import fit_simple
+
+    return fit_simple(_events(spark, sf_dir), "user_id", "value")
+
+
 def q_rank_vectors_maxsim(spark, sf_dir):
     """ES 8.16 rank_vectors (ColBERT late interaction): per-doc
     multi-vectors (embedding split into 8 chunks), maxSimDotProduct
@@ -3532,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_outlier_detection": q_ml_outlier_detection,
         "ml_anomaly_count": q_ml_anomaly_count,
         "rank_vectors_maxsim": q_rank_vectors_maxsim,
+        "ml_regression_simple": q_ml_regression_simple,
         "agg_date_range": q_agg_date_range,
         "agg_filters": q_agg_filters,
         "agg_missing": q_agg_missing,
@@ -5600,6 +5610,14 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
             ORDER BY query_id, rank""",
+        "ml_regression_simple": """
+            SELECT round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept,
+                   round(regr_r2(y, x), 6) AS r2,
+                   count(*)::BIGINT AS n
+            FROM (SELECT user_id::DOUBLE AS x, value::DOUBLE AS y
+                  FROM events
+                  WHERE user_id IS NOT NULL AND value IS NOT NULL)""",
         "bool_query": f"""
             WITH {_BM25_BASE},
             clause(term, clause, boost) AS (VALUES

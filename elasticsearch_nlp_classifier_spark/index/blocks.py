@@ -63,6 +63,39 @@ BLOCK_SCHEMA = (
 #: no extra offsets are stored (Lucene's .prx-style layout).
 BLOCK_SCHEMA_POS = BLOCK_SCHEMA + ", pos_vb binary"
 
+#: shuffle-side schema: ``tid`` (collision-checked xxhash64 of the
+#: term) instead of the term string — the encode exchange carries a
+#: fixed 8-byte key per posting, not a variable string; strings are
+#: re-attached to the 128×-smaller blocks table by a dictionary join.
+BLOCK_SCHEMA_TID = "tid bigint, " + BLOCK_SCHEMA.split(", ", 1)[1]
+BLOCK_SCHEMA_TID_POS = BLOCK_SCHEMA_TID + ", pos_vb binary"
+
+
+def _tid_expr(col, seed: int):
+    """The shuffle key: xxhash64 of the term (chained with ``seed``
+    when a collision forced a re-draw — see ``_choose_tid_seed``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c) if seed == 0 else F.xxhash64(c, F.lit(seed))
+
+
+def _choose_tid_seed(terms: DataFrame, max_attempts: int = 3) -> int:
+    """Smallest seed whose xxhash64 is injective on this vocabulary —
+    one vocabulary-sized aggregation per attempt (almost always one:
+    collision odds are ~V²/2⁶⁴).  Exactness guarantee: a collision
+    would silently merge two terms' postings, so the hashed shuffle key
+    is only ever used under this check."""
+    for seed in range(max_attempts):
+        r = terms.agg(
+            F.countDistinct("term").alias("nt"),
+            F.countDistinct(_tid_expr("term", seed)).alias("nh"),
+        ).collect()[0]
+        if r["nt"] == r["nh"]:
+            return seed
+    raise RuntimeError(
+        f"no collision-free xxhash64 seed in {max_attempts} attempts "
+        "(vocabulary adversarial?) — cannot use hashed shuffle keys"
+    )
+
 
 def _encode_group(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.DataFrame:
     """Encode one (term, salt) posting run into blocks. Input columns:
@@ -104,20 +137,33 @@ def encode_blocks(
     salt_threshold: int = 50_000,
     shuffle_partitions: int | None = None,
     hot_terms: list[str] | None = None,
+    term_dict: DataFrame | None = None,
 ) -> DataFrame:
     """postings (doc_id, term, tf, dl) -> blocks DataFrame.
 
     Hot terms (df > salt_threshold) get range-salted across ``n_salts``
-    reducers; the repartition(term, salt) is the build's only wide
+    reducers; the repartition(tid, salt) is the build's only wide
     dependency.  Encoding runs as ONE ``mapInArrow`` per shuffle
-    partition over (term, salt, doc_id)-sorted rows — groups are
+    partition over (tid, salt, doc_id)-sorted rows — groups are
     contiguous, and a carry buffer stitches groups that straddle Arrow
     batch boundaries, so there is no per-group Arrow round-trip (54k
     tiny applyInPandas groups were the original build bottleneck).
 
+    **The exchange carries no strings**: the shuffle key is ``tid``
+    (xxhash64 of the term, injectivity-checked on the vocabulary with
+    seed re-draw — exact, never probabilistic) and tf/dl travel as
+    int32, so a posting row through the wide dependency is ~24 fixed
+    bytes instead of ~40+ with a variable string.  Term strings are
+    re-attached to the blocks table (1/block_size the rows of
+    postings) by a dictionary join that AQE turns into a broadcast
+    for any normal vocabulary; a 10⁹-term vocabulary degrades to a
+    blocks-sized shuffle join, still ≪ the postings exchange.
+
     ``hot_terms``: precollected df>threshold term list (tiny — Zipf
     head only); pass it when term_stats already exists to avoid an
-    extra aggregation job, else it is computed here."""
+    extra aggregation job, else it is computed here.
+    ``term_dict``: distinct-term DataFrame (column ``term``) when the
+    caller already has one (e.g. term_stats); derived here otherwise."""
     if hot_terms is None:
         hot_terms = [
             r[0]
@@ -138,11 +184,20 @@ def encode_blocks(
         salt = F.lit(0)
     p = postings.withColumn("salt", salt)
 
+    if term_dict is None:
+        term_dict = postings.select("term").distinct()
+    term_dict = term_dict.cache()
+    tid_seed = _choose_tid_seed(term_dict)
+
     with_positions = "positions" in postings.columns
-    cols = ["term", "salt", "doc_id", "tf", "dl"] + (
-        ["positions"] if with_positions else []
-    )
-    # 2 waves per core: the (term, salt) hash distribution is even in
+    cols = [
+        _tid_expr("term", tid_seed).alias("tid"),
+        F.col("salt"),
+        F.col("doc_id"),
+        F.col("tf").cast("int").alias("tf"),
+        F.col("dl").cast("int").alias("dl"),
+    ] + ([F.col("positions")] if with_positions else [])
+    # 2 waves per core: the (tid, salt) hash distribution is even in
     # expectation but not per-partition; twice as many partitions halves
     # the straggler tail at a negligible task-overhead cost.
     n_shuffle = shuffle_partitions or (
@@ -150,11 +205,11 @@ def encode_blocks(
     )
     sorted_p = (
         p.select(*cols)
-        .repartition(n_shuffle, "term", "salt")
-        .sortWithinPartitions("term", "salt", "doc_id")
+        .repartition(n_shuffle, "tid", "salt")
+        .sortWithinPartitions("tid", "salt", "doc_id")
     )
 
-    out_schema = BLOCK_SCHEMA_POS if with_positions else BLOCK_SCHEMA
+    out_schema = BLOCK_SCHEMA_TID_POS if with_positions else BLOCK_SCHEMA_TID
 
     def encode_partition(batches):
         """mapInArrow: the hot path never materializes Python objects —
@@ -193,28 +248,37 @@ def encode_blocks(
             if t.num_rows:
                 yield _encode_arrow(t, block_size, avgdl)
 
-    return sorted_p.mapInArrow(encode_partition, out_schema)
+    encoded = sorted_p.mapInArrow(encode_partition, out_schema)
+    # string re-attachment: vocabulary-sized dict vs blocks-sized left
+    # side; no join hint — AQE broadcasts any normal vocabulary, and a
+    # too-big dict correctly degrades to a shuffle join of the (small)
+    # blocks table
+    dict_df = term_dict.select(
+        _tid_expr("term", tid_seed).alias("tid"), "term"
+    )
+    out_cols = ["term", "salt", "block_id", "n", "first_doc",
+                "last_doc", "max_tfhat", "docs_vb", "tfs_vb", "dls_vb"]
+    if with_positions:
+        out_cols.append("pos_vb")
+    return encoded.join(dict_df, "tid").select(*out_cols)
 
 
 def _last_group_start(t, prev) -> int | None:
-    """Start index (within ``t``) of the trailing (term, salt) group of
+    """Start index (within ``t``) of the trailing (tid, salt) group of
     ``prev``+``t``, or None when every row continues a single group —
     the batch-stitch contract of ``encode_partition``.  ``t`` must be a
-    single-batch Table (one chunk per column); rows are (term, salt,
+    single-batch Table (one chunk per column); rows are (tid, salt,
     doc_id)-sorted so groups are contiguous."""
-    import pyarrow.compute as pc
-
-    term = t.column("term").chunk(0)
+    tids = t.column("tid").chunk(0).to_numpy()
     salts = t.column("salt").chunk(0).to_numpy()
-    codes = pc.dictionary_encode(term).indices.to_numpy()
-    change = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+    change = (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
     nz = np.flatnonzero(change)
     if len(nz):
         return int(nz[-1] + 1)
     if prev is None:
         return None
     same = (
-        term[0].as_py() == prev.column("term")[-1].as_py()
+        int(tids[0]) == prev.column("tid")[-1].as_py()
         and int(salts[0]) == prev.column("salt")[-1].as_py()
     )
     return None if same else 0
@@ -234,30 +298,28 @@ def _binary_from_segments(buf: bytes, off: np.ndarray):
 
 
 def _encode_arrow(t, block_size: int, avgdl: float):
-    """Encode all contiguous (term, salt) groups of a sorted Arrow
+    """Encode all contiguous (tid, salt) groups of a sorted Arrow
     table into one blocks RecordBatch — the vectorization strategy of
     ``_encode_partition_groups`` (block boundaries by arithmetic on
     group offsets, ``reduceat`` aggregates, ONE segmented-varbyte pass
-    per payload column) with Arrow-native I/O on top: term strings are
-    never materialized as Python objects (C++ ``dictionary_encode`` +
-    ``take``) and payload columns are built zero-copy from the
-    segmented buffers."""
+    per payload column) with Arrow-native I/O on top: the group key is
+    the fixed-width ``tid`` (no string materialization at all — group
+    detection is an int64 vector compare) and payload columns are
+    built zero-copy from the segmented buffers."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from .codec import vb_encode_segmented
 
-    term = t.column("term").chunk(0)
+    tids = t.column("tid").chunk(0).to_numpy()
     docs = t.column("doc_id").chunk(0).to_numpy()
     tfs = t.column("tf").chunk(0).to_numpy()
     dls = t.column("dl").chunk(0).to_numpy()
     salts = t.column("salt").chunk(0).to_numpy()
     n = len(docs)
-    codes = pc.dictionary_encode(term).indices.to_numpy()
 
     gchange = np.empty(n, dtype=bool)
     gchange[0] = True
-    gchange[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+    gchange[1:] = (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
     gid = np.cumsum(gchange) - 1
     gstart_idx = np.flatnonzero(gchange)
     pos = np.arange(n, dtype=np.int64) - gstart_idx[gid]
@@ -276,7 +338,7 @@ def _encode_arrow(t, block_size: int, avgdl: float):
     dls_buf, dls_off = vb_encode_segmented(dls.astype(np.uint64), bstarts)
 
     arrays = [
-        pc.take(term, pa.array(bstarts)),
+        pa.array(tids[bstarts], type=pa.int64()),
         pa.array(salts[bstarts].astype(np.int32), type=pa.int32()),
         pa.array((pos[bstarts] // block_size).astype(np.int32),
                  type=pa.int32()),
@@ -288,7 +350,7 @@ def _encode_arrow(t, block_size: int, avgdl: float):
         _binary_from_segments(tfs_buf, tfs_off),
         _binary_from_segments(dls_buf, dls_off),
     ]
-    names = ["term", "salt", "block_id", "n", "first_doc", "last_doc",
+    names = ["tid", "salt", "block_id", "n", "first_doc", "last_doc",
              "max_tfhat", "docs_vb", "tfs_vb", "dls_vb"]
     if "positions" in t.column_names:
         # flat position stream in posting order (zero-copy list

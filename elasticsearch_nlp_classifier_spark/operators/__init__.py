@@ -48,6 +48,12 @@ from .multimodal import (  # noqa: F401
     synthetic_media,
 )
 from .anomaly import anomaly_detect  # noqa: F401
+from .regression import (  # noqa: F401
+    fit_linear,
+    fit_simple,
+    predict_linear,
+    regression_eval,
+)
 from .outliers import knn_table, outlier_scores  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_near_dup_pairs,

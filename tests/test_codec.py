@@ -147,8 +147,15 @@ def test_arrow_partition_encode_matches_pandas():
     pdf = pdf.sort_values(["term", "salt", "doc_id"]).reset_index(drop=True)
 
     want = _encode_partition_groups(pdf, block_size=16, avgdl=42.5)
-    t = pa.Table.from_pandas(pdf, preserve_index=False).combine_chunks()
+    # the Arrow hot path keys groups by the fixed-width tid, never the
+    # string — feed it a deterministic term->tid mapping and map back
+    tid_of = {t: i + 1000 for i, t in enumerate(sorted(pdf["term"].unique()))}
+    apdf = pdf.copy()
+    apdf.insert(0, "tid", apdf.pop("term").map(tid_of).astype("int64"))
+    t = pa.Table.from_pandas(apdf, preserve_index=False).combine_chunks()
     got = _encode_arrow(t, 16, 42.5).to_pandas()
+    term_of = {v: k for k, v in tid_of.items()}
+    got.insert(0, "term", got.pop("tid").map(term_of))
 
     key = ["term", "salt", "block_id"]
     got = got.sort_values(key).reset_index(drop=True)

@@ -170,3 +170,62 @@ def test_index_build_has_single_wide_dependency(corpus_sf_tiny):
     # only the plan above the cache boundary is the build's own
     own = p.split("InMemoryTableScan")[0]
     assert own.count("Exchange") == 1, p
+
+
+def test_batch3_scoring_paths_are_jvm_only(spark):
+    """Round-2 batch-3 scale paths: maxsim late interaction, anomaly
+    detection, exact-kNN distance expression, regression closed form
+    and JVM prediction, graph-explore wave — all pure built-ins (no
+    Python evaluator of any kind in the plan)."""
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.anomaly import (
+        anomaly_detect,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.outliers import (
+        knn_table,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.regression import (
+        fit_simple,
+        predict_linear,
+    )
+    from elasticsearch_nlp_classifier_spark.query.late_interaction import (
+        maxsim_topk,
+        split_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    mv = split_vectors(emb, "embedding", 8).select("vec_id", "vecs")
+    queries = mv.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("vecs").alias("qvecs")
+    )
+    idx = build_logical_index(docs, text_col="text",
+                              analyzer="simple_code",
+                              doc_id_col="doc_id")
+    from elasticsearch_nlp_classifier_spark.query.graph import _wave
+
+    plans = {
+        "maxsim": plan(
+            maxsim_topk(mv, queries, k=5, id_col="vec_id"), "simple"),
+        "anomaly": plan(
+            anomaly_detect(ev, detector="count", by_field="event_type"),
+            "simple"),
+        "knn_exact": plan(knn_table(emb, k=3), "simple"),
+        "regr_simple": plan(fit_simple(ev, "user_id", "value"), "simple"),
+        "regr_predict": plan(
+            predict_linear(
+                emb.select("vec_id",
+                           F.col("embedding").alias("features")),
+                {"beta": [0.1] * 64, "intercept": 0.5}, "features"),
+            "simple"),
+        "graph_wave": plan(
+            _wave(idx.postings, idx.term_stats, 500, ["data"], 5, 2,
+                  True), "simple"),
+    }
+    for name, p in plans.items():
+        assert "EvalPython" not in p, name
+        assert "mapinpandas" not in p.lower(), name
