@@ -714,41 +714,45 @@ def build_physical_index(
     # cores-many part files (not a fixed tiny coalesce: a 4-task write
     # is identical serial weight at every cluster size — pure Amdahl
     # drag); file creates are cheap under RawLocalFileSystem and the
-    # stats table stays O(cores) files
+    # stats table stays O(cores) files.  The write job doubles as the
+    # stats job: an Observation on the stats rows yields n_terms,
+    # sum_doc_freq and sum_ttf (Σ_terms ttf ≡ Σ_postings tf) for free —
+    # each avoided driver-side job boundary is serial time Amdahl
+    # charges at high core counts.
+    from pyspark.sql import Observation
+
     t_ts = time.time()
-    ts.coalesce(
-        max(4, spark.sparkContext.defaultParallelism)
-    ).write.mode("overwrite").options(**BLOCKS_WRITE_OPTIONS).parquet(
-        f"{out_path}/term_stats"
+    obs_ts = Observation("ts_stats")
+    (
+        ts.observe(
+            obs_ts,
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").alias("sdf"),
+            F.sum("ttf").alias("sttf"),
+        )
+        .coalesce(max(4, spark.sparkContext.defaultParallelism))
+        .write.mode("overwrite").options(**BLOCKS_WRITE_OPTIONS)
+        .parquet(f"{out_path}/term_stats")
     )
+    svals = obs_ts.get
     _lineage(out_path, "ts_write", wall_s=round(time.time() - t_ts, 2))
-    # ONE agg over the cached stats table yields n_terms, sum_doc_freq
-    # and the Zipf-head hot-term list (separate jobs in round 1 — each
-    # driver-side job boundary is serial time Amdahl charges at high
-    # core counts); the per-doc agg for doc_count/avgdl is the only
-    # other stats job.
+    # the only remaining full postings pass: doc_count (count of
+    # distinct docs with ≥1 posting — not derivable from term_stats);
+    # runs over the cache the write job just materialized.  The hot
+    # Zipf-head list is a ms-scale filtered collect on the cached ts.
     t_st = time.time()
-    drow = (
-        idx.postings.groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(F.count(F.lit(1)).alias("doc_count"),
-             F.sum("dl").alias("sum_ttf"))
-        .collect()[0]
+    doc_count = int(
+        idx.postings.agg(
+            F.countDistinct("doc_id").alias("dc")
+        ).collect()[0]["dc"] or 0
     )
-    srow = ts.agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("df").alias("sdf"),
-        F.collect_list(
-            F.when(F.col("df") > salt_threshold, F.col("term"))
-        ).alias("hot"),
-    ).collect()[0]
     _lineage(out_path, "stats_aggs", wall_s=round(time.time() - t_st, 2))
-    doc_count = drow["doc_count"] or 0
+    sum_ttf = int(svals["sttf"] or 0)
     stats = idx._corpus_stats = {
         "doc_count": doc_count,
-        "sum_ttf": int(drow["sum_ttf"] or 0),
-        "sum_doc_freq": int(srow["sdf"] or 0),
-        "avgdl": ((drow["sum_ttf"] or 0) / doc_count) if doc_count else 0.0,
+        "sum_ttf": sum_ttf,
+        "sum_doc_freq": int(svals["sdf"] or 0),
+        "avgdl": (sum_ttf / doc_count) if doc_count else 0.0,
     }
     n_postings = stats["sum_doc_freq"]
     _lineage(out_path, "postings", rows=n_postings,
@@ -756,18 +760,26 @@ def build_physical_index(
     stats = dict(stats, has_positions="positions" in idx.postings.columns)
     with open(f"{out_path}/corpus_stats.json", "w") as f:
         json.dump(stats, f)
-    hot_terms = list(srow["hot"])
-    _lineage(out_path, "stats", terms=srow["n_terms"],
+    hot_terms = [
+        r[0]
+        for r in ts.where(F.col("df") > salt_threshold)
+        .select("term").collect()
+    ]
+    _lineage(out_path, "stats", terms=int(svals["n_terms"] or 0),
              hot_terms=len(hot_terms))
 
     avgdl = stats["avgdl"] or 1.0
     doc_count = stats["doc_count"]
+    term_dict = ts.select("term")
     enc_kw = dict(avgdl=avgdl, doc_count=doc_count, block_size=block_size,
                   n_salts=n_salts, salt_threshold=salt_threshold,
-                  hot_terms=hot_terms)
+                  hot_terms=hot_terms,
+                  # the cached stats table IS the vocabulary — without
+                  # it encode_blocks re-derives the dict via a full
+                  # distinct-shuffle over the postings exchange
+                  term_dict=term_dict)
 
     if not incremental and fail_after_bucket is None:
-        from pyspark.sql import Observation
 
         tb0 = time.time()
         blocks = encode_blocks(postings.drop("tb"), **enc_kw).withColumn(
@@ -854,6 +866,7 @@ def build_physical_index(
              postings=n_postings)
     idx.postings.unpersist()
     ts.unpersist()
+    term_dict.unpersist()  # encode_blocks cached the handle we passed
     return PhysicalIndex(out_path, spark)
 
 
