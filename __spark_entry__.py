@@ -3448,6 +3448,26 @@ def q_ann_int8(spark, sf_dir):
     return int8_knn_topk(emb, q, k=5, rerank=8)
 
 
+def q_ann_bbq(spark, sf_dir):
+    """BBQ-style 1-bit quantized kNN (ES 8.16 binary-quantization
+    analog): centroid-centered sign bits packed 64/int64 word, XOR +
+    popcount hamming shortlist (pure codegen — 32× smaller scan), exact
+    float cosine rerank.  As with ann_int8, the rerank window makes the
+    end result EXACTLY the brute float top-k, so the oracle is the same
+    brute cosine SQL — an end-to-end exactness gate on the 1-bit
+    path."""
+    from elasticsearch_nlp_classifier_spark.operators.quantize import (
+        bbq_knn_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return bbq_knn_topk(emb, q, k=5, rerank=30)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -3650,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_continuous": q_transform_continuous,
         "retriever_rrf": q_retriever_rrf,
         "ann_int8": q_ann_int8,
+        "ann_bbq": q_ann_bbq,
     }
 
 
@@ -7096,6 +7117,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT rank::BIGINT AS rank, doc_id, score_r9
             FROM fin WHERE rank <= 10""",
         "ann_int8": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos, 9) DESC, vec_id ASC) AS rank,
+                     round(cos, 6) AS cos_r6
+              FROM scored
+            )
+            SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
+            FROM ranked WHERE rank <= 5""",
+        "ann_bbq": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
               FROM embeddings WHERE vec_id < 3

@@ -71,3 +71,76 @@ def test_int8_self_match_rank1(emb):
     )
     top = int8_knn_topk(emb, q, k=3).collect()
     assert top[0].vec_id == 4 and top[0].cos_r6 == 1.0
+
+
+# --- BBQ 1-bit quantization -------------------------------------------------
+
+
+def test_quantize_binary_packing_matches_numpy(spark):
+    import numpy as np
+
+    from elasticsearch_nlp_classifier_spark.operators.quantize import (
+        quantize_binary,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(6, 70)  # 70 dims -> 2 words, second partial
+    means = rng.randn(70) * 0.1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.id: list(r.bits)
+           for r in quantize_binary(df, [float(m) for m in means]).collect()}
+    for i in range(6):
+        bits = (vecs[i] > means).astype(np.uint64)
+        words = []
+        for w in range((70 + 63) // 64):
+            acc = np.uint64(0)
+            for j in range(min(64, 70 - w * 64)):
+                if bits[w * 64 + j]:
+                    acc |= np.uint64(1) << np.uint64(j)
+            words.append(int(acc.astype(np.int64)))  # signed view
+        assert got[i] == words, f"row {i}"
+
+
+def test_bbq_hamming_and_plan(emb):
+    from elasticsearch_nlp_classifier_spark.operators.quantize import (
+        corpus_dim_means,
+        quantize_binary,
+    )
+
+    means = corpus_dim_means(emb)
+    plan = quantize_binary(emb, means)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan  # pure codegen, no Python workers
+
+
+def test_bbq_knn_matches_brute(emb, spark):
+    from elasticsearch_nlp_classifier_spark.operators.quantize import (
+        bbq_knn_topk,
+        int8_knn_topk,
+    )
+
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = bbq_knn_topk(emb, q, k=5, rerank=30).collect()
+    # int8 path with generous rerank is pinned to brute by its own test
+    want = int8_knn_topk(emb, q, k=5, rerank=8).collect()
+    assert [(r.query_id, r.rank, r.vec_id, r.cos_r6) for r in got] == \
+           [(r.query_id, r.rank, r.vec_id, r.cos_r6) for r in want]
+
+
+def test_bbq_self_match_rank1(emb):
+    from elasticsearch_nlp_classifier_spark.operators.quantize import (
+        bbq_knn_topk,
+    )
+
+    q = emb.where(F.col("vec_id") == 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    top = bbq_knn_topk(emb, q, k=1, rerank=12).collect()
+    assert top[0].vec_id == 4 and abs(top[0].cos_r6 - 1.0) < 1e-6
