@@ -16,7 +16,12 @@ from .suggest_phrase import phrase_suggest  # noqa: F401
 from .oracle import bm25_oracle  # noqa: F401
 from .percolate import percolate, register_queries  # noqa: F401
 from .rescore import function_score, rescore_phrase  # noqa: F401
-from .search import collapse_topk, composite_agg, search_after  # noqa: F401
+from .search import (  # noqa: F401
+    collapse_topk,
+    composite_agg,
+    search_after,
+    sliced_scan,
+)
 from .phrase import match_phrase, positional_postings, span_near  # noqa: F401
 from .wand import wand_topk  # noqa: F401
 from .fuzzy import fuzzy_expand, fuzzy_topk  # noqa: F401
@@ -122,6 +127,8 @@ from .parent_child import (  # noqa: F401
 )
 from .api import (  # noqa: F401
     analyze_api,
+    count_api,
+    profile_search,
     field_caps,
     mget,
     render_search_template,

@@ -40,6 +40,8 @@ __all__ = [
     "mget",
     "terms_enum",
     "with_runtime_fields",
+    "count_api",
+    "profile_search",
 ]
 
 
@@ -184,3 +186,90 @@ def with_runtime_fields(df: DataFrame, mappings: dict) -> DataFrame:
             name, expr if isinstance(expr, Column) else F.expr(expr)
         )
     return out
+
+
+def count_api(
+    df: DataFrame,
+    query_string: str = "",
+    text_fields: set[str] | None = None,
+    **compile_kwargs,
+) -> dict:
+    """``GET /_count`` analog: match count for a query-string without
+    retrieving hits.  Compiles through the same grammar as search
+    (`compile_query_string`), so the count always agrees with what a
+    search would return; Catalyst turns it into a pushed-down scan +
+    count-star (no row materialization)."""
+    from ..functions.query_string import compile_query_string
+
+    pred = compile_query_string(query_string, df.schema.fieldNames(),
+                                text_fields=text_fields, **compile_kwargs)
+    return {"count": df.where(pred).count()}
+
+
+def profile_search(
+    index,
+    query_text: str,
+    k: int = 10,
+    analyzer: str = "code",
+) -> dict:
+    """``_search?profile=true`` analog for the WAND path: runs the
+    query and returns hits PLUS a per-phase breakdown — analyze,
+    term-stats probe, candidate-block count, score+rank — with
+    wall-clock millis and the per-term df/idf the scorer used.
+
+    Phase semantics mirror the engine's two-job query shape
+    (`query/wand.py:wand_topk`): ``stats_probe_ms`` is ~0 when the
+    term-stats cache is warm for this index generation (warm batches
+    skip the probe job entirely); ``candidate_blocks`` adds one
+    metadata-count job the plain search never runs — profiling has
+    observer cost, like ES's profile API."""
+    import math
+    import time as _time
+
+    import pandas as pd
+
+    from ..analyzer.chain import get_analyzer
+    from ..query.wand import wand_topk
+
+    prof: dict = {"query": query_text, "phases": {}}
+    t0 = _time.time()
+    terms = sorted(set(get_analyzer(analyzer).tokenize(query_text)))
+    prof["phases"]["analyze_ms"] = round((_time.time() - t0) * 1e3, 3)
+    prof["terms"] = terms
+
+    t1 = _time.time()
+    ts = index.term_stats_for(terms)
+    prof["phases"]["stats_probe_ms"] = round((_time.time() - t1) * 1e3, 3)
+    doc_count = index.corpus_stats["doc_count"]
+    prof["term_stats"] = {
+        t: {
+            "df": df_,
+            "tb": tb,
+            "idf": round(math.log(1.0 + (doc_count - df_ + 0.5)
+                                  / (df_ + 0.5)), 6),
+        }
+        for t, (df_, tb) in ts.items() if df_ is not None
+    }
+    matched = sorted(prof["term_stats"])
+
+    t2 = _time.time()
+    if matched:
+        buckets = sorted({v["tb"] for v in prof["term_stats"].values()})
+        prof["candidate_blocks"] = (
+            index.blocks.where(F.col("tb").isin(buckets))
+            .where(F.col("term").isin(matched)).count()
+        )
+    else:
+        prof["candidate_blocks"] = 0
+    prof["phases"]["candidate_count_ms"] = round((_time.time() - t2) * 1e3, 3)
+
+    t3 = _time.time()
+    qdf = pd.DataFrame([{"query_id": 0, "query_text": query_text}])
+    hits = wand_topk(index, qdf, k=k).collect()
+    prof["phases"]["score_ms"] = round((_time.time() - t3) * 1e3, 3)
+    prof["took_ms"] = round((_time.time() - t0) * 1e3, 3)
+    prof["hits"] = [
+        {"doc_id": r.doc_id, "rank": r.rank, "score": r.score}
+        for r in hits
+    ]
+    return prof

@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["collapse_topk", "search_after", "composite_agg"]
+__all__ = ["collapse_topk", "search_after", "composite_agg",
+           "sliced_scan"]
 
 
 def collapse_topk(
@@ -127,3 +128,22 @@ def composite_agg(
         .limit(size)
         .select(*sources, F.col("doc_count").cast("bigint"))
     )
+
+
+def sliced_scan(
+    df: DataFrame,
+    slice_id: int,
+    max_slices: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES sliced scroll (``"slice": {"id": i, "max": m}``): partition a
+    scan into ``max_slices`` disjoint, collectively-exhaustive slices
+    so independent consumers can drain one index in parallel.  Same
+    hash-the-id contract as ES (doc _id hashed mod max); here it is a
+    scan-side filter (`xxhash64 % m == i`), so every slice is one
+    pushed-down pass — no global sort, no offset pagination, and the
+    slice assignment is deterministic across retries."""
+    if not 0 <= slice_id < max_slices:
+        raise ValueError(f"slice_id {slice_id} not in [0, {max_slices})")
+    h = F.xxhash64(F.col(id_col))
+    return df.where(F.pmod(h, F.lit(max_slices)) == F.lit(slice_id))

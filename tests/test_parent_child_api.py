@@ -131,3 +131,74 @@ def test_mget_found_and_missing(rel):
     assert out[4] == (True, 500.0)
     assert out[99] == (False, None)
     assert len(out) == 3
+
+
+# --- _count / profile / sliced scroll ---------------------------------------
+
+
+def test_count_api_agrees_with_search(spark):
+    from elasticsearch_nlp_classifier_spark.query import count_api
+    from elasticsearch_nlp_classifier_spark.functions.query_string import (
+        compile_query_string,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 3), (2, "beta", 5), (3, "alpha", 9), (4, "gamma", 5)],
+        "id bigint, tag string, n int",
+    )
+    qs = "tag:alpha OR n:5"
+    got = count_api(df, qs)
+    want = df.where(
+        compile_query_string(qs, df.schema.fieldNames())).count()
+    assert got == {"count": want} and want == 4  # ids 1,3 alpha + 2,4 n=5
+    assert count_api(df, "") == {"count": 4}  # match_all
+
+
+def test_sliced_scan_disjoint_exhaustive(spark):
+    from elasticsearch_nlp_classifier_spark.query import sliced_scan
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    m = 4
+    parts = [set(r.doc_id for r in sliced_scan(df, i, m).collect())
+             for i in range(m)]
+    allids = set(range(500))
+    assert set().union(*parts) == allids            # exhaustive
+    assert sum(len(p) for p in parts) == 500        # disjoint
+    # deterministic across invocations
+    again = set(r.doc_id for r in sliced_scan(df, 2, m).collect())
+    assert again == parts[2]
+    # balanced-ish (hash-uniform): no slice is empty or >2x fair share
+    assert all(0 < len(p) < 2 * 500 / m for p in parts)
+    with pytest.raises(ValueError):
+        sliced_scan(df, 4, 4)
+
+
+def test_profile_search_phases_and_hits(spark, corpus_sf_tiny, tmp_path):
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query import profile_search
+    from elasticsearch_nlp_classifier_spark.query.wand import wand_topk
+    import pandas as pd
+
+    idx = build_physical_index(
+        corpus_sf_tiny["docs"], str(tmp_path / "prof_ix"),
+        text_col="content", analyzer="code")
+    prof = profile_search(idx, "tokenize stream error", k=5)
+    # phases present and non-negative; total >= sum of parts is NOT
+    # required (phases overlap driver work), but each must be sane
+    for ph in ("analyze_ms", "stats_probe_ms", "candidate_count_ms",
+               "score_ms"):
+        assert prof["phases"][ph] >= 0.0
+    assert prof["took_ms"] >= prof["phases"]["score_ms"]
+    assert prof["terms"] and set(prof["term_stats"]) <= set(prof["terms"])
+    for st in prof["term_stats"].values():
+        assert st["df"] > 0 and st["idf"] > 0
+    assert prof["candidate_blocks"] > 0
+    # hits identical to the plain search
+    direct = wand_topk(
+        idx, pd.DataFrame([{"query_id": 0,
+                            "query_text": "tokenize stream error"}]),
+        k=5).collect()
+    assert [(h["doc_id"], h["rank"]) for h in prof["hits"]] == \
+           [(r.doc_id, r.rank) for r in direct]
