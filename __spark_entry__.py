@@ -3468,6 +3468,40 @@ def q_ann_bbq(spark, sf_dir):
     return bbq_knn_topk(emb, q, k=5, rerank=30)
 
 
+def q_ingest_pipeline(spark, sf_dir):
+    """ES ingest pipeline (PUT _ingest/pipeline body) compiled to one
+    Catalyst projection chain: rename / set / gsub / conditional
+    uppercase / dissect / convert / script processors over the
+    documents table, with the on_failure marker.  Zero shuffle, zero
+    Python — the pipeline is fused into the scan like ES runs it on the
+    ingest node."""
+    from elasticsearch_nlp_classifier_spark.sources.ingest import (
+        apply_ingest_pipeline,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pipeline = {
+        "description": "contract ingest pipeline",
+        "processors": [
+            {"rename": {"field": "source", "target_field": "origin"}},
+            {"set": {"field": "kind", "value": "doc"}},
+            {"gsub": {"field": "text", "pattern": r"\s+",
+                      "replacement": " ", "target_field": "text_norm"}},
+            {"uppercase": {"field": "lang", "target_field": "lang_uc",
+                           "if": "n_chars > 200"}},
+            {"dissect": {"field": "origin", "pattern": "src%{src_num}"}},
+            {"convert": {"field": "src_num", "type": "integer",
+                         "target_field": "src_num_int"}},
+            {"script": {"target_field": "route",
+                        "source": "concat(lang, '-', origin)"}},
+        ],
+    }
+    out = apply_ingest_pipeline(docs, pipeline,
+                                failure_marker="ingest_failed")
+    return out.select("doc_id", "kind", "lang_uc", "text_norm", "route",
+                      "src_num_int", "ingest_failed")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -3671,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retriever_rrf": q_retriever_rrf,
         "ann_int8": q_ann_int8,
         "ann_bbq": q_ann_bbq,
+        "ingest_pipeline": q_ingest_pipeline,
     }
 
 
@@ -7160,6 +7195,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
             FROM ranked WHERE rank <= 5""",
+        "ingest_pipeline": """
+            SELECT doc_id,
+                   'doc' AS kind,
+                   CASE WHEN n_chars > 200 THEN upper(lang) END AS lang_uc,
+                   regexp_replace(text, '\s+', ' ', 'g') AS text_norm,
+                   concat(lang, '-', source) AS route,
+                   CAST(regexp_extract(source, '^src(.*?)$', 1) AS INT)
+                     AS src_num_int,
+                   FALSE AS ingest_failed
+            FROM documents""",
     }
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}
