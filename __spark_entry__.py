@@ -3502,6 +3502,52 @@ def q_ingest_pipeline(spark, sf_dir):
                       "src_num_int", "ingest_failed")
 
 
+#: query-side polygon for the geo_shape contract entry (GeoJSON
+#: (lon, lat) vertex order) — shared by the Spark query and the
+#: generated SQL twin so both test the same edges.
+GEO_SHAPE_POLYGON = [
+    (-100.0, -50.0), (50.0, -60.0), (120.0, 40.0), (0.0, 80.0),
+    (-150.0, 30.0),
+]
+
+
+def q_geo_shape(spark, sf_dir):
+    """ES geo_shape polygon query (relation: within) over synthetic
+    customer points: even-odd ray casting unrolled to one CASE per
+    polygon edge — a pure-codegen scan predicate
+    (`query/geo.py:geo_polygon_contains`); the oracle replays the
+    identical edges via `geo_polygon_sql`."""
+    from elasticsearch_nlp_classifier_spark.query import geo_shape_query
+
+    g = _cust_geo(spark, sf_dir)
+    return geo_shape_query(g, "lat", "lon", GEO_SHAPE_POLYGON) \
+        .select("c_custkey")
+
+
+def q_agg_terms_filtered(spark, sf_dir):
+    """ES terms agg with include (anchored regex) + exclude (value
+    list) — both prune at collection time, before the aggregation."""
+    from elasticsearch_nlp_classifier_spark.query.aggs import terms_agg
+
+    docs = _docs(spark, sf_dir)
+    return terms_agg(docs, "source", size=10,
+                     include="src[0-3]", exclude=["src2"])
+
+
+def _geo_shape_oracle() -> str:
+    from elasticsearch_nlp_classifier_spark.query import geo_polygon_sql
+
+    pred = geo_polygon_sql("lat", "lon", GEO_SHAPE_POLYGON)
+    return f"""
+            WITH g AS (
+              SELECT c_custkey,
+                     ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+                     ((c_custkey * 73) % 36000) / 100.0 - 180.0 AS lon
+              FROM customer
+            )
+            SELECT c_custkey FROM g WHERE {pred}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -3706,6 +3752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": q_ann_int8,
         "ann_bbq": q_ann_bbq,
         "ingest_pipeline": q_ingest_pipeline,
+        "geo_shape": q_geo_shape,
+        "agg_terms_filtered": q_agg_terms_filtered,
     }
 
 
@@ -7205,6 +7253,16 @@ def oracle_sql() -> dict[str, str]:
                      AS src_num_int,
                    FALSE AS ingest_failed
             FROM documents""",
+        "geo_shape": _geo_shape_oracle(),
+        "agg_terms_filtered": """
+            SELECT source AS key, count(*)::BIGINT AS doc_count
+            FROM documents
+            WHERE source IS NOT NULL
+              AND regexp_full_match(source, 'src[0-3]')
+              AND source NOT IN ('src2')
+            GROUP BY source
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 10""",
     }
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}

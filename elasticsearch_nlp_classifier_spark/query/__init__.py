@@ -107,6 +107,9 @@ from .geo import (  # noqa: F401
     geohash_grid_agg,
     geohash_key,
     geohash_key_sql,
+    geo_polygon_contains,
+    geo_polygon_sql,
+    geo_shape_query,
     geotile_grid_agg,
     haversine_km,
 )

@@ -102,15 +102,37 @@ __all__ = [
 ]
 
 
-def terms_agg(df: DataFrame, field: str, size: int = 10) -> DataFrame:
+def terms_agg(
+    df: DataFrame,
+    field: str,
+    size: int = 10,
+    include: str | list | None = None,
+    exclude: str | list | None = None,
+) -> DataFrame:
     """ES ``terms`` bucket agg: top-``size`` values of ``field`` by
     doc_count (tie → key ascending, matching ES's deterministic order).
 
+    ``include``/``exclude`` follow ES's two forms: an anchored regex
+    string (``"sw.*"``) or an explicit value list.  Both are scan-side
+    filters on the key — they prune BEFORE the aggregation, so an
+    include list never pays for the excluded long tail (same placement
+    ES gives its IncludeExclude filter: at collection time, not on the
+    final buckets).
+
     Returns columns ``(key, doc_count)``.
     """
+    keyed = df.where(F.col(field).isNotNull())
+    key = F.col(field).cast("string")
+    if include is not None:
+        keyed = keyed.where(
+            key.isin([str(v) for v in include]) if isinstance(include, list)
+            else key.rlike(f"^(?:{include})$"))
+    if exclude is not None:
+        keyed = keyed.where(
+            ~key.isin([str(v) for v in exclude]) if isinstance(exclude, list)
+            else ~key.rlike(f"^(?:{exclude})$"))
     return (
-        df.where(F.col(field).isNotNull())
-        .groupBy(F.col(field).alias("key"))
+        keyed.groupBy(F.col(field).alias("key"))
         .agg(F.count(F.lit(1)).alias("doc_count"))
         .orderBy(F.desc("doc_count"), F.asc("key"))
         .limit(size)

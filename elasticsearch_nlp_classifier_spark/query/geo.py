@@ -40,6 +40,9 @@ __all__ = [
     "geotile_grid_agg",
     "geo_centroid_agg",
     "geo_bounds_agg",
+    "geo_polygon_contains",
+    "geo_polygon_sql",
+    "geo_shape_query",
 ]
 
 EARTH_RADIUS_KM = 6371.0
@@ -265,3 +268,79 @@ def geohash_key_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
         for c in range(precision)
     ]
     return " || ".join(chars)
+
+
+def geo_polygon_contains(
+    lat: Column, lon: Column, polygon: list[tuple[float, float]],
+) -> Column:
+    """ES ``geo_shape`` (polygon, ``relation: within``) point test:
+    even-odd ray casting unrolled over the polygon's edges as pure
+    codegen conditionals — one CASE per edge, no UDF, pushed to the
+    scan like any predicate.  ``polygon`` is ES/GeoJSON vertex order
+    ``[(lon, lat), ...]`` (closing vertex optional).  Work per row is
+    O(edges) arithmetic; a query-side polygon is always small, so this
+    stays a scan filter at any corpus size.
+
+    Boundary convention: the standard crossing rule (half-open edges,
+    strict x comparison) — points exactly ON an edge may fall either
+    side, same caveat ES documents for shape boundaries."""
+    pts = list(polygon)
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    crossings = None
+    n = len(pts)
+    for i in range(n):
+        xi, yi = pts[i]
+        xj, yj = pts[(i + 1) % n]
+        if yi == yj:
+            continue  # horizontal edge never crosses a horizontal ray
+        straddles = (F.lit(yi) > lat) != (F.lit(yj) > lat)
+        x_at = (F.lit(xj - xi) * (lat - F.lit(yi)) / F.lit(yj - yi)
+                + F.lit(xi))
+        c = F.when(straddles & (lon < x_at), F.lit(1)).otherwise(F.lit(0))
+        crossings = c if crossings is None else crossings + c
+    if crossings is None:
+        return F.lit(False)
+    return crossings % 2 == 1
+
+
+def geo_polygon_sql(
+    lat_expr: str, lon_expr: str, polygon: list[tuple[float, float]],
+) -> str:
+    """ANSI-SQL twin of :func:`geo_polygon_contains` (same edges, same
+    crossing rule) — oracle generation, like :func:`geohash_key_sql`."""
+    pts = list(polygon)
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    terms = []
+    n = len(pts)
+    for i in range(n):
+        xi, yi = pts[i]
+        xj, yj = pts[(i + 1) % n]
+        if yi == yj:
+            continue
+        terms.append(
+            f"(CASE WHEN (({yi} > {lat_expr}) <> ({yj} > {lat_expr}))"
+            f" AND ({lon_expr} < ({xj - xi}) * ({lat_expr} - ({yi}))"
+            f" / ({yj - yi}) + ({xi})) THEN 1 ELSE 0 END)"
+        )
+    if not terms:
+        return "FALSE"
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def geo_shape_query(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    polygon: list[tuple[float, float]],
+    relation: str = "within",
+) -> DataFrame:
+    """ES ``geo_shape`` query over point docs: keep docs whose point is
+    within (or, with ``relation="disjoint"``, outside) the polygon."""
+    pred = geo_polygon_contains(F.col(lat_col), F.col(lon_col), polygon)
+    if relation == "within":
+        return df.where(pred)
+    if relation == "disjoint":
+        return df.where(~pred)
+    raise ValueError(f"unsupported relation for point docs: {relation}")

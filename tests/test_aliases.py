@@ -99,3 +99,71 @@ def test_alias_cutover_swaps_atomically(spark, halves):
     after = {d for d, _ in _rows(reg.search("live", q, k=10))}
     assert after <= {1, 3, 5}
     assert reg.aliases() == ["live"]
+
+
+# --- rollover (ILM hot-phase primitive) --------------------------------------
+
+
+def test_rollover_conditions_and_atomic_cutover(spark, docs):
+    from elasticsearch_nlp_classifier_spark.index.rollover import (
+        RolloverTarget,
+        rollover,
+    )
+
+    mk = lambda d: build_logical_index(d, "text", "simple_code")  # noqa
+    gen1_docs = docs.where("doc_id <= 3")      # 4 docs
+    gen2_docs = docs.where("doc_id > 3")       # 2 docs
+
+    reg = AliasRegistry()
+    t = RolloverTarget("logs", reg)
+    name1 = t.add_generation(mk(gen1_docs), created_ts=1000.0)
+    assert name1 == "logs-000001"
+    assert set(reg.aliases()) == {"logs", "logs-write"}
+
+    # below every threshold -> no-op, but new_index is still projected
+    r = rollover(t, {"max_docs": 10, "max_age_s": 3600}, lambda: None,
+                 now_s=1500.0)
+    assert r["rolled_over"] is False and r["new_index"] == "logs-000002"
+    assert r["conditions"] == {"max_docs": False, "max_age_s": False}
+    assert len(t.generations) == 1
+
+    # dry_run never mutates even when a condition holds
+    r = rollover(t, {"max_docs": 4}, lambda: mk(gen2_docs),
+                 now_s=1500.0, dry_run=True)
+    assert r["conditions"]["max_docs"] is True and not r["rolled_over"]
+    assert len(t.generations) == 1
+
+    # real rollover: doc-count condition met
+    r = rollover(t, {"max_docs": 4}, lambda: mk(gen2_docs), now_s=2000.0)
+    assert r == {
+        "old_index": "logs-000001", "new_index": "logs-000002",
+        "rolled_over": True, "dry_run": False,
+        "conditions": {"max_docs": True},
+    }
+    # write alias -> newest generation only; read alias -> all docs
+    w, _ = reg.resolve("logs-write")
+    assert w.corpus_stats["doc_count"] == 2
+    rd, _ = reg.resolve("logs")
+    assert rd.corpus_stats["doc_count"] == 6
+    # read alias search sees docs from both generations
+    q = spark.createDataFrame(Q)
+    hit_ids = {r_.doc_id for r_ in reg.search("logs", q, k=10).collect()}
+    assert {0, 4} <= hit_ids and 1 in hit_ids
+
+    # age-based rollover on the new generation
+    r = rollover(t, {"max_age_s": 100}, lambda: mk(gen1_docs),
+                 now_s=2500.0)
+    assert r["rolled_over"] and r["new_index"] == "logs-000003"
+    assert [g[0] for g in t.generations] == [
+        "logs-000001", "logs-000002", "logs-000003"]
+
+
+def test_rollover_requires_a_generation(spark):
+    from elasticsearch_nlp_classifier_spark.index.rollover import (
+        RolloverTarget,
+        rollover,
+    )
+
+    t = RolloverTarget("empty", AliasRegistry())
+    with pytest.raises(ValueError, match="no\\s+generations"):
+        rollover(t, {}, lambda: None, now_s=0.0)
