@@ -1659,6 +1659,26 @@ def q_collapse(spark, sf_dir):
     return collapse_topk(_docs(spark, sf_dir), "lang", "n_chars", k=3)
 
 
+def q_collapse_inner(spark, sf_dir):
+    """ES field collapsing with inner_hits: top-3 lang groups, each
+    carrying its own top-2 hits; one window pass, corpus scanned once.
+    inner_hits serialize to an ordered `id:sort_value|...` string so
+    the independent engines compare the nested payload exactly."""
+    from elasticsearch_nlp_classifier_spark.query import collapse_inner_hits
+
+    out = collapse_inner_hits(_docs(spark, sf_dir), "lang", "n_chars",
+                              k=3, inner_size=2)
+    inner = F.array_join(
+        F.transform(
+            "inner_hits",
+            lambda s: F.concat_ws(
+                ":", s["id"].cast("string"),
+                s["sort_value"].cast("string")),
+        ), "|")
+    return out.select("rank", "key", "id", "sort_value",
+                      inner.alias("inner_hits_s"))
+
+
 def q_search_after(spark, sf_dir):
     """ES search_after keyset pagination: page 2 (rows 11-20) of the
     (n_chars desc, doc_id asc) order — cursor filter, no offset scan.
@@ -3753,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bbq": q_ann_bbq,
         "ingest_pipeline": q_ingest_pipeline,
         "geo_shape": q_geo_shape,
+        "collapse_inner": q_collapse_inner,
         "agg_terms_filtered": q_agg_terms_filtered,
     }
 
@@ -7254,6 +7275,26 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS ingest_failed
             FROM documents""",
         "geo_shape": _geo_shape_oracle(),
+        "collapse_inner": """
+            WITH ranked AS (
+              SELECT lang AS key, doc_id AS id, n_chars::DOUBLE AS sv,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY round(n_chars, 9) DESC, doc_id ASC) AS rn
+              FROM documents WHERE lang IS NOT NULL
+            ),
+            grouped AS (
+              SELECT key,
+                     max(CASE WHEN rn = 1 THEN id END) AS id,
+                     max(CASE WHEN rn = 1 THEN sv END) AS sort_value,
+                     string_agg(CAST(id AS VARCHAR) || ':'
+                                || CAST(round(sv, 6) AS VARCHAR),
+                                '|' ORDER BY rn) AS inner_hits_s
+              FROM ranked WHERE rn <= 2 GROUP BY key
+            )
+            SELECT row_number() OVER (ORDER BY round(sort_value, 9) DESC,
+                                      id ASC)::BIGINT AS rank,
+                   key, id, sort_value, inner_hits_s
+            FROM grouped ORDER BY rank LIMIT 3""",
         "agg_terms_filtered": """
             SELECT source AS key, count(*)::BIGINT AS doc_count
             FROM documents

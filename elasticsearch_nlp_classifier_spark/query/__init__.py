@@ -17,6 +17,7 @@ from .oracle import bm25_oracle  # noqa: F401
 from .percolate import percolate, register_queries  # noqa: F401
 from .rescore import function_score, rescore_phrase  # noqa: F401
 from .search import (  # noqa: F401
+    collapse_inner_hits,
     collapse_topk,
     composite_agg,
     search_after,

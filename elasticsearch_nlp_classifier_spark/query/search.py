@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["collapse_topk", "search_after", "composite_agg",
-           "sliced_scan"]
+__all__ = ["collapse_topk", "collapse_inner_hits", "search_after",
+           "composite_agg", "sliced_scan"]
 
 
 def collapse_topk(
@@ -147,3 +147,61 @@ def sliced_scan(
         raise ValueError(f"slice_id {slice_id} not in [0, {max_slices})")
     h = F.xxhash64(F.col(id_col))
     return df.where(F.pmod(h, F.lit(max_slices)) == F.lit(slice_id))
+
+
+def collapse_inner_hits(
+    hits: DataFrame,
+    collapse_field: str,
+    sort_field: str = "score",
+    k: int = 10,
+    inner_size: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES field collapsing WITH ``inner_hits``: the global top-``k``
+    collapsed groups (ranked by each group's best hit), each carrying
+    its own top-``inner_size`` hits as an ordered array of
+    ``(id, sort_value)`` structs.
+
+    One window pass ranks hits within groups; group representatives and
+    inner hits come out of the SAME ranked relation (rows with
+    ``_rn <= inner_size`` aggregate into the array, row ``_rn = 1`` is
+    the representative), so the corpus is scanned once and the shuffle
+    carries only rows that can appear in some group's inner list.
+
+    Returns ``(rank, key, id, sort_value, inner_hits)``."""
+    w_g = Window.partitionBy(collapse_field).orderBy(
+        F.desc(F.round(F.col(sort_field), 9)), F.asc(id_col)
+    )
+    ranked = (
+        hits.where(F.col(collapse_field).isNotNull())
+        .withColumn("_rn", F.row_number().over(w_g))
+        .where(F.col("_rn") <= inner_size)
+    )
+    grouped = ranked.groupBy(F.col(collapse_field).alias("key")).agg(
+        F.max(F.when(F.col("_rn") == 1, F.col(id_col))).alias("id"),
+        F.max(F.when(F.col("_rn") == 1,
+                     F.col(sort_field).cast("double"))).alias("sort_value"),
+        F.array_sort(
+            F.collect_list(F.struct(
+                F.col("_rn").alias("rn"),
+                F.col(id_col).alias("id"),
+                F.round(F.col(sort_field), 6).cast("double")
+                .alias("sort_value"),
+            ))
+        ).alias("inner_hits"),
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("sort_value"), 9)),
+                       F.asc("id"))
+    return (
+        grouped.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "key", "id", "sort_value",
+            F.transform(
+                "inner_hits",
+                lambda s: F.struct(s["id"].alias("id"),
+                                   s["sort_value"].alias("sort_value")),
+            ).alias("inner_hits"),
+        )
+    )

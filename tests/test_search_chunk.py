@@ -249,3 +249,30 @@ def test_sparse_vector_prunes_scan_to_query_features(spark):
     got = [(r.doc_id, r.score_r9)
            for r in sparse_vector_topk(feats, {"b": 1.0}, k=2).collect()]
     assert got == [(0, 2.0), (1, 1.0)]
+
+
+def test_collapse_inner_hits_structure(spark):
+    from elasticsearch_nlp_classifier_spark.query import (
+        collapse_inner_hits,
+        collapse_topk,
+    )
+
+    hits = spark.createDataFrame(
+        [(1, "a", 9.0), (2, "a", 7.0), (3, "a", 5.0),
+         (4, "b", 8.0), (5, "b", 6.0),
+         (6, "c", 4.0)],
+        "doc_id bigint, grp string, score double",
+    )
+    out = {r.key: r for r in collapse_inner_hits(
+        hits, "grp", "score", k=2, inner_size=2).collect()}
+    # global ranking by best-of-group: a(9) then b(8); c cut by k=2
+    assert set(out) == {"a", "b"}
+    assert out["a"].rank == 1 and out["a"].id == 1
+    assert [(h.id, h.sort_value) for h in out["a"].inner_hits] == \
+        [(1, 9.0), (2, 7.0)]  # inner_size=2 cuts doc 3
+    assert [(h.id, h.sort_value) for h in out["b"].inner_hits] == \
+        [(4, 8.0), (5, 6.0)]
+    # representative row agrees with plain collapse
+    plain = {r.key: r.id for r in collapse_topk(
+        hits, "grp", "score", k=2).collect()}
+    assert {k: v.id for k, v in out.items()} == plain
