@@ -3317,6 +3317,26 @@ def q_esql_docs(spark, sf_dir):
     )
 
 
+def q_esql_lookup_join(spark, sf_dir):
+    """ES|QL LOOKUP JOIN (8.18+): left broadcast join against a
+    lookup-mode index on a same-named key — the main relation never
+    shuffles; joined fields clobber same-named left fields like ES."""
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = spark.createDataFrame(
+        [("en", "English", 1), ("de", "German", 2), ("fr", "French", 3)],
+        "lang string, lang_name string, pri int",
+    )
+    return esql(
+        "FROM documents | LOOKUP JOIN langs ON lang "
+        '| EVAL nm = COALESCE(lang_name, "other") '
+        "| STATS docs = COUNT(*), mx = MAX(n_chars) BY nm, pri "
+        "| SORT nm",
+        {"documents": docs, "langs": langs},
+    )
+
+
 def q_esql_enrich(spark, sf_dir):
     """ES|QL ENRICH (broadcast lookup join — the same physical strategy
     as ES's node-replicated enrich index) + COALESCE + STATS."""
@@ -3774,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_pipeline": q_ingest_pipeline,
         "geo_shape": q_geo_shape,
         "collapse_inner": q_collapse_inner,
+        "esql_lookup_join": q_esql_lookup_join,
         "agg_terms_filtered": q_agg_terms_filtered,
     }
 
@@ -7275,6 +7296,19 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS ingest_failed
             FROM documents""",
         "geo_shape": _geo_shape_oracle(),
+        "esql_lookup_join": """
+            WITH langs(lang, lang_name, pri) AS (
+              VALUES ('en', 'English', 1), ('de', 'German', 2),
+                     ('fr', 'French', 3)
+            ),
+            joined AS (
+              SELECT d.*, l.lang_name, l.pri
+              FROM documents d LEFT JOIN langs l ON d.lang = l.lang
+            )
+            SELECT coalesce(lang_name, 'other') AS nm, pri,
+                   count(*)::BIGINT AS docs, max(n_chars) AS mx
+            FROM joined GROUP BY nm, pri
+            ORDER BY nm""",
         "collapse_inner": """
             WITH ranked AS (
               SELECT lang AS key, doc_id AS id, n_chars::DOUBLE AS sv,

@@ -699,7 +699,7 @@ def esql(
         raise EsqlError("ES|QL: empty query")
     df = _source(stages[0], tables or {}, spark)
     for st in stages[1:]:
-        df = _apply(df, st, enrich_policies or {})
+        df = _apply(df, st, enrich_policies or {}, tables or {})
     return df
 
 
@@ -736,7 +736,8 @@ def _source(toks: list[_Tok], tables, spark) -> DataFrame:
     raise EsqlError(f"ES|QL: query must start with FROM or ROW, got {head!r}")
 
 
-def _apply(df: DataFrame, toks: list[_Tok], enrich_policies) -> DataFrame:
+def _apply(df: DataFrame, toks: list[_Tok], enrich_policies,
+           tables=None) -> DataFrame:
     cmd = toks[0].text.upper()
     body = toks[1:]
 
@@ -870,5 +871,39 @@ def _apply(df: DataFrame, toks: list[_Tok], enrich_policies) -> DataFrame:
         # same physical strategy.
         out = df.join(F.broadcast(right), df[on_field] == F.col("__enrich_key"), "left")
         return out.drop("__enrich_key")
+
+    if cmd == "LOOKUP":
+        # LOOKUP JOIN <lookup_index> ON <field> (ES 8.18+): left join
+        # against a lookup-mode index on a same-named key.  ES requires
+        # the lookup index to fit its lookup replication model; the
+        # physical twin is a broadcast hash join, so the main relation
+        # never shuffles.
+        if not body or body[0].text.upper() != "JOIN":
+            raise EsqlError("ES|QL: expected LOOKUP JOIN")
+        name = body[1].text
+        if tables is None or name not in tables:
+            raise EsqlError(f"ES|QL: unknown lookup index {name!r}")
+        if len(body) < 4 or body[2].text.upper() != "ON":
+            raise EsqlError("ES|QL: LOOKUP JOIN needs ON <field>")
+        key = body[3].text.strip("`")
+        right = tables[name]
+        if key not in right.columns:
+            raise EsqlError(f"ES|QL: lookup index {name!r} has no "
+                            f"field {key!r}")
+        # ES semantics: lookup fields are added; same-named non-key
+        # fields take the lookup value — drop the left copies first.
+        clobber = [c for c in right.columns
+                   if c != key and c in df.columns]
+        return df.drop(*clobber).join(F.broadcast(right), key, "left")
+
+    if cmd == "SAMPLE":
+        # SAMPLE <probability> [<seed>]: seeded Bernoulli row sample.
+        # ES|QL samples nondeterministically; a seed makes reruns
+        # reproducible here (F.rand is per-partition seeded).
+        prob = float(body[0].text)
+        if not 0.0 < prob <= 1.0:
+            raise EsqlError("ES|QL: SAMPLE probability must be in (0, 1]")
+        seed = int(body[1].text) if len(body) > 1 else 42
+        return df.where(F.rand(seed) < F.lit(prob))
 
     raise EsqlError(f"ES|QL: unknown command {cmd!r}")

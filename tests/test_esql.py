@@ -264,3 +264,46 @@ def test_errors(tbl):
         esql("FROM t | LIMIT x", tbl)
     with pytest.raises(EsqlError):
         esql("WHERE value > 1", tbl)
+
+
+def test_lookup_join_adds_and_clobbers_fields(spark):
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    main = spark.createDataFrame(
+        [(1, "a", "old1"), (2, "b", "old2"), (3, "zz", "old3")],
+        "id bigint, code string, label string")
+    lookup = spark.createDataFrame(
+        [("a", "Alpha", 10), ("b", "Beta", 20)],
+        "code string, label string, weight int")
+    out = {r.id: r for r in esql(
+        "FROM main | LOOKUP JOIN codes ON code | SORT id",
+        tables={"main": main, "codes": lookup},
+    ).collect()}
+    assert out[1].label == "Alpha" and out[1].weight == 10  # clobbered
+    assert out[3].label is None and out[3].weight is None   # no match
+    # plan stays broadcast (main relation never shuffles)
+    plan = esql("FROM main | LOOKUP JOIN codes ON code",
+                tables={"main": main, "codes": lookup}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lookup_join_errors(spark):
+    from elasticsearch_nlp_classifier_spark.query.esql import EsqlError, esql
+
+    main = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(EsqlError, match="unknown lookup index"):
+        esql("FROM main | LOOKUP JOIN nope ON id", tables={"main": main})
+    with pytest.raises(EsqlError, match="no\\s+field"):
+        esql("FROM main | LOOKUP JOIN l ON nope",
+             tables={"main": main, "l": main})
+
+
+def test_sample_seeded_and_bounded(spark):
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    main = spark.range(2000).withColumnRenamed("id", "n")
+    a = esql("FROM main | SAMPLE 0.25 7", tables={"main": main}).count()
+    b = esql("FROM main | SAMPLE 0.25 7", tables={"main": main}).count()
+    assert a == b                     # seeded -> reproducible
+    assert 300 < a < 700              # ~500 expected, generous bounds
