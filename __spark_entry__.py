@@ -3371,6 +3371,66 @@ def q_esql_dissect(spark, sf_dir):
     )
 
 
+def q_esql_match(spark, sf_dir):
+    """ES|QL MATCH() full-text function (8.17+) in WHERE: any analyzed
+    query token in the analyzed field — same JVM tokenizer chain on
+    both sides, zero UDFs in the compiled plan."""
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return esql(
+        'FROM documents | WHERE MATCH(text, "data value") '
+        "| KEEP doc_id | SORT doc_id",
+        {"documents": docs},
+    )
+
+
+def q_esql_qstr(spark, sf_dir):
+    """ES|QL QSTR() (query-string function): delegates to the P7
+    compiler with the named default field analyzed."""
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return esql(
+        'FROM documents | WHERE QSTR("lang:en AND data", text) '
+        "| KEEP doc_id | SORT doc_id",
+        {"documents": docs},
+    )
+
+
+def q_esql_change_point(spark, sf_dir):
+    """ES|QL CHANGE_POINT command (8.18+) over the daily event-count
+    series: all rows pass through, the detected mean-shift row carries
+    (type, t_stat) — same Welch-t detector as agg_change_point."""
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return esql(
+        "FROM events "
+        "| EVAL day_s = TO_LONG(DATE_TRUNC(1 day, ts)) "
+        "| STATS n = COUNT(*) BY day_s "
+        "| CHANGE_POINT n ON day_s "
+        "| WHERE type IS NOT NULL "
+        "| KEEP day_s, type, t_stat",
+        {"events": ev},
+    )
+
+
+def q_esql_fork(spark, sf_dir):
+    """ES|QL FORK command (8.19+): two branch pipelines over the same
+    relation, unioned by name with the _fork discriminator."""
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return esql(
+        "FROM events | FORK "
+        '(WHERE event_type == "click" | STATS n = COUNT(*)) '
+        "(STATS total = ROUND(SUM(value), 6))",
+        {"events": ev},
+    )
+
+
 def q_transform_pivot(spark, sf_dir):
     """ES pivot _transform (terms + date_histogram group_by with the
     mergeable agg set) — one hash aggregation, plans/transform.py."""
@@ -3795,6 +3855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape": q_geo_shape,
         "collapse_inner": q_collapse_inner,
         "esql_lookup_join": q_esql_lookup_join,
+        "esql_match": q_esql_match,
+        "esql_qstr": q_esql_qstr,
+        "esql_change_point": q_esql_change_point,
+        "esql_fork": q_esql_fork,
         "agg_terms_filtered": q_agg_terms_filtered,
     }
 
@@ -7180,6 +7244,55 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT regexp_extract(s, '^(.*?)-(.*?)$', 2))::BIGINT
                      AS users
             FROM s GROUP BY 1""",
+        "esql_match": f"""
+            WITH {_TF}
+            SELECT DISTINCT doc_id FROM tf
+            WHERE term IN ('data', 'value') ORDER BY doc_id""",
+        "esql_qstr": f"""
+            WITH {_TF}
+            SELECT DISTINCT d.doc_id
+            FROM documents d JOIN tf USING (doc_id)
+            WHERE d.lang = 'en' AND tf.term = 'data'
+            ORDER BY d.doc_id""",
+        "esql_change_point": """
+            WITH daily AS (
+              SELECT epoch(date_trunc('day', ts))::BIGINT AS day_s,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1
+            ),
+            b AS (
+              SELECT day_s, v,
+                     row_number() OVER (ORDER BY day_s) AS rn,
+                     sum(v) OVER (ORDER BY day_s ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cs,
+                     sum(v * v) OVER (ORDER BY day_s ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cs2,
+                     count(*) OVER () AS n,
+                     sum(v) OVER () AS s,
+                     sum(v * v) OVER () AS s2,
+                     lead(day_s) OVER (ORDER BY day_s) AS cp_day
+              FROM daily
+            ),
+            sc AS (
+              SELECT cp_day,
+                     (cs / rn - (s - cs) / (n - rn)) / sqrt(
+                       ((cs2 - rn * (cs / rn) * (cs / rn)) / (rn - 1)) / rn
+                       + ((s2 - cs2 - (n - rn) * ((s - cs) / (n - rn))
+                           * ((s - cs) / (n - rn))) / (n - rn - 1))
+                         / (n - rn)) AS t
+              FROM b WHERE rn >= 2 AND rn <= n - 2
+            )
+            SELECT cp_day AS day_s, 'step_change' AS type,
+                   round(t, 6) AS t_stat
+            FROM sc
+            ORDER BY round(abs(t), 9) DESC, cp_day ASC LIMIT 1""",
+        "esql_fork": """
+            SELECT 'fork1' AS _fork, count(*)::BIGINT AS n,
+                   NULL::DOUBLE AS total
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT 'fork2', NULL::BIGINT, round(sum(value), 6)
+            FROM events""",
         "transform_pivot": """
             SELECT user_id,
                    (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day,

@@ -38,6 +38,16 @@ Supported commands (the practical core of the language):
                left join against a registered enrich table (ES executes
                the same way: the enrich index is replicated to every
                node).
+- full text:   ``MATCH(field, "text")`` / ``MATCH_PHRASE(field, "text")``
+               / ``QSTR("query string"[, default_field])`` in WHERE —
+               both sides run the same JVM analyzer as the index build,
+               so query-time and index-time terms agree by construction.
+- analysis:    ``CHANGE_POINT value ON key [AS type_name, stat_name]``
+               (mean-shift detection over the piped series; emits the
+               replayable Welch-t statistic, not ES's ml p-value) and
+               ``FORK (branch) (branch) ...`` (each parenthesized
+               sub-pipeline runs over the incoming relation; results
+               union by name with a ``_fork`` discriminator).
 
 Expression surface: arithmetic, comparison, ``AND/OR/NOT``, ``IN``,
 ``LIKE`` (ES|QL wildcard ``*``/``?``), ``RLIKE``, ``IS [NOT] NULL``,
@@ -64,6 +74,12 @@ __all__ = ["esql", "EsqlError"]
 
 class EsqlError(ValueError):
     """Parse or compile error, with position context."""
+
+
+#: analyzer for the full-text functions (MATCH / MATCH_PHRASE / QSTR):
+#: the engine's default code-text chain, JVM-expressed end-to-end
+#: (JVM_TOKEN_EXPRS) so the compiled plan stays UDF-free.
+_TEXT_ANALYZER = "simple_code"
 
 
 # ---------------------------------------------------------------- lexer
@@ -332,6 +348,70 @@ class _Expr:
             col = self._or()
             self.expect(")")
             return _date_extract(_unquote(part.text), col)
+        if fn in ("MATCH", "MATCH_PHRASE"):
+            # ES|QL full-text functions (8.17+).  MATCH = any analyzed
+            # query token appears in the analyzed field (the ES match
+            # query's default OR operator); MATCH_PHRASE = the query's
+            # token run appears contiguously and in order.  Both sides
+            # go through the same JVM tokenizer chain as the index
+            # build, so there is no query/index analyzer drift — and no
+            # UDF, so the predicate stays inside whole-stage codegen.
+            self.expect("(")
+            fld = self.next()
+            if fld.kind != "ident":
+                raise EsqlError(f"ES|QL: {fn} needs a field name")
+            self.expect(",")
+            q = self.next()
+            if q.kind != "str":
+                raise EsqlError(f"ES|QL: {fn} needs a quoted query string")
+            self.expect(")")
+            from ..analyzer.spark_udfs import analyze
+
+            fcol = F.col(fld.text.strip("`"))
+            qlit = F.lit(_unquote(q.text))
+            if fn == "MATCH":
+                return F.arrays_overlap(
+                    analyze(fcol, _TEXT_ANALYZER),
+                    analyze(qlit, _TEXT_ANALYZER),
+                )
+            # phrase: compare space-joined token runs with sentinel
+            # spaces so token boundaries can't false-match substrings
+            # ("rror handl" never matches "error handling").
+            hay = F.concat(
+                F.lit(" "),
+                F.array_join(analyze(fcol, _TEXT_ANALYZER), " "),
+                F.lit(" "),
+            )
+            needle = F.concat(
+                F.lit(" "),
+                F.array_join(analyze(qlit, _TEXT_ANALYZER), " "),
+                F.lit(" "),
+            )
+            return hay.contains(needle)
+        if fn == "QSTR":
+            # QSTR("lucene query string"[, default_field]): delegates to
+            # the engine's query-string compiler (P7) with the named
+            # default field treated as an analyzed text field.
+            self.expect("(")
+            q = self.next()
+            if q.kind != "str":
+                raise EsqlError("ES|QL: QSTR needs a quoted query string")
+            default_field = "content"
+            if self.accept(","):
+                d = self.next()
+                default_field = (
+                    _unquote(d.text) if d.kind == "str"
+                    else d.text.strip("`")
+                )
+            self.expect(")")
+            from ..functions.query_string import compile_query_string
+
+            return compile_query_string(
+                _unquote(q.text),
+                default_field=default_field,
+                text_fields={default_field},
+                analyzer=_TEXT_ANALYZER,
+            )
         args = self._args()
         builder = _FUNCS.get(fn)
         if builder is None:
@@ -895,6 +975,107 @@ def _apply(df: DataFrame, toks: list[_Tok], enrich_policies,
         clobber = [c for c in right.columns
                    if c != key and c in df.columns]
         return df.drop(*clobber).join(F.broadcast(right), key, "left")
+
+    if cmd == "CHANGE_POINT":
+        # CHANGE_POINT value ON key [AS type_name, stat_name]
+        # (ES 8.18+): mean-shift detection over the piped series.  The
+        # detector is the engine's exact max-|Welch-t| split
+        # (aggs.change_point_agg — deterministic and SQL-replayable;
+        # ES wraps ml detectors with p-values, which this engine
+        # deliberately pins to a documented statistic instead, so the
+        # second output column is the t statistic, default ``t_stat``).
+        # Output = every input row, with the two columns set on the
+        # change-point row (the first bucket of the post-change
+        # segment) and null elsewhere — ES's output shape.
+        from .aggs import change_point_agg
+
+        if not body:
+            raise EsqlError("ES|QL: CHANGE_POINT needs a value column")
+        value = body[0].text.strip("`")
+        key = "@timestamp"
+        type_name, stat_name = "type", "t_stat"
+        i = 1
+        while i < len(body):
+            w = body[i].text.upper()
+            if w == "ON":
+                key = body[i + 1].text.strip("`")
+                i += 2
+            elif w == "AS":
+                type_name = body[i + 1].text.strip("`")
+                if i + 2 < len(body) and body[i + 2].text == ",":
+                    stat_name = body[i + 3].text.strip("`")
+                    i += 4
+                else:
+                    i += 2
+            else:
+                raise EsqlError(
+                    f"ES|QL: bad CHANGE_POINT clause {body[i].text!r}")
+        cp = (
+            change_point_agg(df, key, value)
+            .select(
+                F.col("key").alias("__cp_key"),
+                F.col("t_stat_r6").alias("__cp_t"),
+            )
+            .withColumn("__j", F.lit(1))
+        )
+        # left join on a constant key: series too short for a change
+        # point (<4 buckets) yields an empty cp relation and the rows
+        # pass through with null annotation columns, matching ES.
+        out = (
+            df.withColumn("__j", F.lit(1))
+            .join(F.broadcast(cp), "__j", "left")
+            .drop("__j")
+        )
+        is_cp = F.col(key) == F.col("__cp_key")
+        return (
+            out.withColumn(type_name, F.when(is_cp, F.lit("step_change")))
+            .withColumn(stat_name, F.when(is_cp, F.col("__cp_t")))
+            .drop("__cp_key", "__cp_t")
+        )
+
+    if cmd == "FORK":
+        # FORK (branch) (branch) ... (ES 8.19+): each parenthesized
+        # sub-pipeline runs over the incoming relation; results union
+        # by name (missing columns null-filled) with a ``_fork``
+        # discriminator ("fork1", "fork2", ... in branch order).  The
+        # incoming plan is shared — Spark computes it once per branch
+        # consumer or from cache; no data is duplicated driver-side.
+        branches: list[list[_Tok]] = []
+        cur: list[_Tok] = []
+        depth = 0
+        for t in body:
+            if t.text == "(":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    branches.append(cur)
+                    continue
+                if depth < 0:
+                    raise EsqlError("ES|QL: unbalanced ')' in FORK")
+            if depth >= 1:
+                cur.append(t)
+            else:
+                raise EsqlError(
+                    f"ES|QL: FORK expects parenthesized branches, "
+                    f"got {t.text!r}")
+        if depth != 0:
+            raise EsqlError("ES|QL: unbalanced '(' in FORK")
+        if len(branches) < 2:
+            raise EsqlError("ES|QL: FORK needs at least two branches")
+        outs = []
+        for n, br in enumerate(branches, start=1):
+            sub = df
+            for st in _split_pipes(br):
+                sub = _apply(sub, st, enrich_policies, tables)
+            outs.append(sub.withColumn("_fork", F.lit(f"fork{n}")))
+        merged = outs[0]
+        for o in outs[1:]:
+            merged = merged.unionByName(o, allowMissingColumns=True)
+        return merged
 
     if cmd == "SAMPLE":
         # SAMPLE <probability> [<seed>]: seeded Bernoulli row sample.

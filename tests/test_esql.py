@@ -307,3 +307,93 @@ def test_sample_seeded_and_bounded(spark):
     b = esql("FROM main | SAMPLE 0.25 7", tables={"main": main}).count()
     assert a == b                     # seeded -> reproducible
     assert 300 < a < 700              # ~500 expected, generous bounds
+
+
+def test_match_function(spark):
+    docs = spark.createDataFrame(
+        [(1, "error handling in the parser"),
+         (2, "handling edge cases"),
+         (3, "nothing relevant here")],
+        "doc_id bigint, text string",
+    )
+    out = esql('FROM d | WHERE MATCH(text, "parser error") | KEEP doc_id '
+               "| SORT doc_id", {"d": docs}).collect()
+    assert [r.doc_id for r in out] == [1]       # OR over analyzed tokens
+    out = esql('FROM d | WHERE MATCH(text, "handling") | KEEP doc_id '
+               "| SORT doc_id", {"d": docs}).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+
+
+def test_match_phrase_order_and_boundaries(spark):
+    docs = spark.createDataFrame(
+        [(1, "error handling matters"),
+         (2, "handling error matters"),           # reversed order
+         (3, "terror handlings matter")],         # substrings only
+        "doc_id bigint, text string",
+    )
+    out = esql('FROM d | WHERE MATCH_PHRASE(text, "error handling") '
+               "| KEEP doc_id", {"d": docs}).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_qstr_function(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "the data pipeline"),
+         (2, "de", "the data pipeline"),
+         (3, "en", "unrelated words")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = esql('FROM d | WHERE QSTR("lang:en AND data", text) '
+               "| KEEP doc_id", {"d": docs}).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_fulltext_functions_stay_jvm_side(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    for q in ('FROM d | WHERE MATCH(text, "a")',
+              'FROM d | WHERE MATCH_PHRASE(text, "a b")',
+              'FROM d | WHERE QSTR("a", text)'):
+        plan = esql(q, {"d": docs})._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_change_point_command(spark):
+    # flat 10s then a step to 100s: change point = first high key
+    rows = [(k, 10.0 + (k % 2)) for k in range(8)] + \
+           [(k, 100.0 + (k % 2)) for k in range(8, 16)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    out = esql("FROM s | CHANGE_POINT v ON k | SORT k", {"s": df}).collect()
+    assert len(out) == 16                        # all rows pass through
+    flagged = [r for r in out if r.type is not None]
+    assert len(flagged) == 1
+    assert flagged[0].k == 8 and flagged[0].type == "step_change"
+    assert flagged[0].t_stat is not None
+    # AS renames both annotation columns
+    out2 = esql("FROM s | CHANGE_POINT v ON k AS cpt, stat", {"s": df})
+    assert "cpt" in out2.columns and "stat" in out2.columns
+
+
+def test_change_point_short_series_passthrough(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double")
+    out = esql("FROM s | CHANGE_POINT v ON k", {"s": df}).collect()
+    assert len(out) == 2 and all(r.type is None for r in out)
+
+
+def test_fork_command(tbl):
+    out = esql(
+        'FROM t | FORK (WHERE etype == "click" | STATS n = COUNT(*)) '
+        "(STATS total = SUM(value))",
+        tbl,
+    ).collect()
+    by_fork = {r._fork: r for r in out}
+    assert by_fork["fork1"].n == 3 and by_fork["fork1"].total is None
+    assert by_fork["fork2"].total == 43.75 and by_fork["fork2"].n is None
+
+
+def test_fork_errors(tbl):
+    with pytest.raises(EsqlError, match="at least two"):
+        esql("FROM t | FORK (LIMIT 1)", tbl)
+    with pytest.raises(EsqlError, match="parenthesized"):
+        esql("FROM t | FORK LIMIT 1", tbl)
