@@ -3431,6 +3431,32 @@ def q_esql_fork(spark, sf_dir):
     )
 
 
+def q_msearch_sizes(spark, sf_dir):
+    """ES _msearch via the library API (query/api.py:msearch): N ranked
+    searches as one batched BM25 job with per-search sizes respected;
+    query_id = request position."""
+    from elasticsearch_nlp_classifier_spark.query import msearch
+
+    idx = _logical_index(spark, sf_dir)
+    out = msearch(
+        idx,
+        [{"query": "data value table", "size": 5},
+         {"query": "import stream", "size": 10}],
+        analyzer="simple_code",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score_r6"),
+        )
+    )
+
+
 def q_transform_pivot(spark, sf_dir):
     """ES pivot _transform (terms + date_histogram group_by with the
     mergeable agg set) — one hash aggregation, plans/transform.py."""
@@ -3855,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape": q_geo_shape,
         "collapse_inner": q_collapse_inner,
         "esql_lookup_join": q_esql_lookup_join,
+        "msearch_sizes": q_msearch_sizes,
         "esql_match": q_esql_match,
         "esql_qstr": q_esql_qstr,
         "esql_change_point": q_esql_change_point,
@@ -7244,6 +7271,15 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT regexp_extract(s, '^(.*?)-(.*?)$', 2))::BIGINT
                      AS users
             FROM s GROUP BY 1""",
+        "msearch_sizes": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, rank, doc_id, score_r6 "
+            f"FROM (WITH "
+            + _BM25_SQL.replace("{QUERY}", q).replace(
+                "rank <= 10", f"rank <= {size}")
+            + ")"
+            for qid, (q, size) in enumerate(
+                [("data value table", 5), ("import stream", 10)])
+        ),
         "esql_match": f"""
             WITH {_TF}
             SELECT DISTINCT doc_id FROM tf

@@ -135,6 +135,7 @@ from .api import (  # noqa: F401
     profile_search,
     field_caps,
     mget,
+    msearch,
     render_search_template,
     validate_query,
 )

@@ -19,6 +19,9 @@ surface parity so a migrating user finds the same verbs:
   refusing unresolved placeholders.
 - ``mget``            — per-requested-id found/missing report in one
   broadcast-joined pass, like ``POST /_mget`` (never N point reads).
+- ``msearch``         — N ranked match searches answered as ONE batched
+  BM25/WAND job, like ``POST /_msearch`` (response order = request
+  order via ``query_id``; never N sequential jobs).
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ __all__ = [
     "validate_query",
     "render_search_template",
     "mget",
+    "msearch",
     "terms_enum",
     "with_runtime_fields",
     "count_api",
@@ -145,6 +149,55 @@ def mget(
         req.join(hit.withColumn("_found", F.lit(True)), id_col, "left")
         .withColumn("found", F.coalesce(F.col("_found"), F.lit(False)))
         .drop("_found")
+    )
+
+
+def msearch(
+    index,
+    searches: list,
+    k: int = 10,
+    analyzer: str = "code",
+) -> DataFrame:
+    """ES ``POST /_msearch``: N independent ranked match searches in
+    one request.  Each element of ``searches`` is a query string or a
+    ``{"query": str, "size": int}`` dict; ``query_id`` in the result is
+    the request position (ES's response-order contract).
+
+    All N searches run as ONE batched top-k job — the per-query
+    fan-out happens inside the scoring stage (query_id is part of the
+    grouping key), so the postings data is scanned once per batch, not
+    once per search.  ``index`` may be a PhysicalIndex (block-max WAND
+    over the compressed blocks) or a LogicalIndex (brute BM25); both
+    return (query_id, rank, doc_id, score)."""
+    specs = []
+    for i, s in enumerate(searches):
+        if isinstance(s, str):
+            specs.append((i, s, k))
+        else:
+            specs.append((i, s["query"], int(s.get("size", k))))
+    if not specs:
+        raise ValueError("msearch: empty search list")
+    from ..index.blocks import PhysicalIndex
+    from .bm25 import bm25_topk
+    from .wand import wand_topk
+
+    spark = (index.spark if isinstance(index, PhysicalIndex)
+             else index.postings.sparkSession)
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q, _ in specs], "query_id int, query_text string"
+    )
+    max_k = max(s for _, _, s in specs)
+    fn = wand_topk if isinstance(index, PhysicalIndex) else bm25_topk
+    ranked = fn(index, qdf, k=max_k, analyzer=analyzer)
+    if len({s for _, _, s in specs}) == 1:
+        return ranked
+    sizes = spark.createDataFrame(
+        [(i, s) for i, _, s in specs], "query_id int, __size int"
+    )
+    return (
+        ranked.join(F.broadcast(sizes), "query_id")
+        .where(F.col("rank") <= F.col("__size"))
+        .drop("__size")
     )
 
 

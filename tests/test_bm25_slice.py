@@ -133,3 +133,44 @@ def test_fused_postings_match_explode_groupby(spark, corpus_tiny_docs=None):
         gb = sorted(map(tuple, b.postings.select(
             "doc_id", "term", "tf", "dl").collect()))
         assert ga == gb, analyzer
+
+
+def test_msearch_batch_matches_individual_topk(index):
+    """_msearch = one batched job whose per-query results are identical
+    to running each search alone, with per-search size respected."""
+    from elasticsearch_nlp_classifier_spark.query import msearch
+
+    spark = index.postings.sparkSession
+    # skip QUERIES[1] ("the"): all-stopword query -> no hits
+    qtexts = [QUERIES[0]["query_text"], QUERIES[2]["query_text"],
+              QUERIES[3]["query_text"]]
+    searches = [
+        {"query": qtexts[0], "size": 3},
+        {"query": qtexts[1], "size": 5},
+        qtexts[2],                        # bare string -> default k
+    ]
+    out = msearch(index, searches, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    # per-search size caps the result; fewer hits than size is legal
+    # (qtexts[1] is a unique term with one matching doc)
+    assert len(by_q[0]) == 3
+    assert len(by_q[1]) <= 5 and len(by_q[1]) >= 1
+    assert len(by_q[2]) == 10
+    for qid, qtext in enumerate(qtexts):
+        solo = bm25_topk(
+            index,
+            spark.createDataFrame([(0, qtext)],
+                                  "query_id int, query_text string"),
+            k=len(by_q[qid]),
+        ).collect()
+        assert [(r.rank, r.doc_id) for r in solo] == \
+            [(rk, d) for rk, d, _ in sorted(by_q[qid])]
+
+
+def test_msearch_empty_rejected(index):
+    from elasticsearch_nlp_classifier_spark.query import msearch
+
+    with pytest.raises(ValueError, match="empty"):
+        msearch(index, [])
