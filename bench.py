@@ -66,6 +66,18 @@ def _engine_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
+def _history_n_docs() -> int | None:
+    """Most recent corpus size in the scaling history — the default for
+    a rerun, so accumulated rounds stay comparable (history only merges
+    rounds with identical n_docs)."""
+    try:
+        with open(_history_path()) as f:
+            sizes = [json.loads(ln).get("n_docs") for ln in f if ln.strip()]
+        return next((s for s in reversed(sizes) if s), None)
+    except FileNotFoundError:
+        return None
+
+
 def _history_path() -> str:
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -835,8 +847,12 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true",
                     help="two-parallelism run -> BENCH/BASELINE.md")
     ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--n-docs", type=int, default=60_000,
-                    help="synthetic corpus size for --scaling")
+    ap.add_argument("--n-docs", type=int, default=None,
+                    help="synthetic corpus size for --scaling "
+                         "(default: the recorded history's size, so a "
+                         "casual rerun accumulates instead of starting "
+                         "a fresh, incomparable series; 240,000 when "
+                         "no history exists)")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--one-level", type=int, default=None,
                     help="internal: run one pinned scaling level")
@@ -855,7 +871,8 @@ def main() -> None:
 
     if args.scaling:
         s, b = (int(x) for x in args.levels.split(","))
-        scaling_run(args.n_docs, rounds=args.rounds,
+        n_docs = args.n_docs or _history_n_docs() or 240_000
+        scaling_run(n_docs, rounds=args.rounds,
                     masters=(f"local[{s}]", f"local[{b}]"))
         return
 
