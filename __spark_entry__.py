@@ -3431,6 +3431,22 @@ def q_esql_fork(spark, sf_dir):
     )
 
 
+def q_esql_inlinestats(spark, sf_dir):
+    """ES|QL INLINESTATS: per-group aggregates appended to every row
+    (broadcast join-back of the aggregated BY groups — the events
+    relation never shuffles)."""
+    from elasticsearch_nlp_classifier_spark.query.esql import esql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return esql(
+        "FROM events "
+        "| INLINESTATS gn = COUNT(*), gtotal = ROUND(SUM(value), 6) "
+        "BY event_type "
+        "| KEEP event_id, event_type, gn, gtotal",
+        {"events": ev},
+    )
+
+
 def q_msearch_sizes(spark, sf_dir):
     """ES _msearch via the library API (query/api.py:msearch): N ranked
     searches as one batched BM25 job with per-search sizes respected;
@@ -3886,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_qstr": q_esql_qstr,
         "esql_change_point": q_esql_change_point,
         "esql_fork": q_esql_fork,
+        "esql_inlinestats": q_esql_inlinestats,
         "agg_terms_filtered": q_agg_terms_filtered,
     }
 
@@ -7329,6 +7346,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'fork2', NULL::BIGINT, round(sum(value), 6)
             FROM events""",
+        "esql_inlinestats": """
+            SELECT e.event_id, e.event_type,
+                   g.gn, g.gtotal
+            FROM events e
+            JOIN (SELECT event_type, count(*)::BIGINT AS gn,
+                         round(sum(value), 6) AS gtotal
+                  FROM events GROUP BY 1) g USING (event_type)""",
         "transform_pivot": """
             SELECT user_id,
                    (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day,

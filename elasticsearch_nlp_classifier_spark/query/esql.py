@@ -31,6 +31,10 @@ Supported commands (the practical core of the language):
 - projection:  ``EVAL c = <expr>, ...``, ``KEEP c1, c2``, ``DROP c``,
                ``RENAME old AS new``
 - aggregation: ``STATS [name =] AGG(...) [, ...] [BY [name =] expr, ...]``
+               and ``INLINESTATS ...`` (same grammar; aggregates are
+               appended as columns, rows survive — executed as a
+               broadcast join-back of the aggregated BY groups, so the
+               main relation never shuffles)
 - shaping:     ``SORT c [ASC|DESC] [NULLS FIRST|LAST]``, ``LIMIT n``,
                ``MV_EXPAND c``
 - parsing:     ``DISSECT c "%{a} %{b}"``, ``GROK c "%{WORD:a} ..."``
@@ -655,6 +659,27 @@ _AGG_NAMES = {
 
 # ------------------------------------------------------ command parsing
 
+def _stats_parts(body: list[_Tok]):
+    """Shared STATS/INLINESTATS grammar: named aggregates, optional
+    top-level BY with named key expressions."""
+    by_at, depth = None, 0
+    for i, t in enumerate(body):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.text.upper() == "BY":
+            by_at = i
+            break
+    agg_toks = body[:by_at] if by_at is not None else body
+    by_toks = body[by_at + 1:] if by_at is not None else []
+    aggs = [_named_expr(part, in_stats=True)
+            for part in _split_commas(agg_toks)]
+    keys = ([_named_expr(part) for part in _split_commas(by_toks)]
+            if by_toks else [])
+    return aggs, keys
+
+
 def _split_pipes(toks: list[_Tok]) -> list[list[_Tok]]:
     out, cur, depth = [], [], 0
     for t in toks:
@@ -835,25 +860,38 @@ def _apply(df: DataFrame, toks: list[_Tok], enrich_policies,
         return df
 
     if cmd == "STATS":
-        # split on top-level BY
-        by_at = None
-        depth = 0
-        for i, t in enumerate(body):
-            if t.text == "(":
-                depth += 1
-            elif t.text == ")":
-                depth -= 1
-            elif depth == 0 and t.text.upper() == "BY":
-                by_at = i
-                break
-        agg_toks = body[:by_at] if by_at is not None else body
-        by_toks = body[by_at + 1:] if by_at is not None else []
-        aggs = [_named_expr(part, in_stats=True) for part in _split_commas(agg_toks)]
-        keys = [_named_expr(part) for part in _split_commas(by_toks)] if by_toks else []
+        aggs, keys = _stats_parts(body)
         agg_cols = [c.alias(n) for n, c in aggs]
         if keys:
             return df.groupBy(*[c.alias(n) for n, c in keys]).agg(*agg_cols)
         return df.agg(*agg_cols)
+
+    if cmd == "INLINESTATS":
+        # INLINESTATS agg [BY keys] (ES 8.x preview): same grammar as
+        # STATS but the aggregates are APPENDED as columns — every input
+        # row survives, annotated with its group's aggregate values.
+        # Physical plan: hash-aggregate the (small) BY-groups relation,
+        # broadcast it, left-join back — the main relation never
+        # shuffles, and distinct/percentile aggregates work where a
+        # window translation would reject them.  Same-named existing
+        # columns are replaced (ES's behavior for result columns).
+        aggs, keys = _stats_parts(body)
+        agg_cols = [c.alias(n) for n, c in aggs]
+        clobber = [n for n, _ in aggs if n in df.columns]
+        if keys:
+            # materialize expression keys on the main relation so the
+            # join-back is a plain name equi-join (BY day = TRUNC(...))
+            for n, c in keys:
+                df = df.withColumn(n, c)
+            gb = df.groupBy(*[n for n, _ in keys]).agg(*agg_cols)
+            return df.drop(*clobber).join(
+                F.broadcast(gb), [n for n, _ in keys], "left")
+        gb = df.agg(*agg_cols).withColumn("__j", F.lit(1))
+        return (
+            df.drop(*clobber).withColumn("__j", F.lit(1))
+            .join(F.broadcast(gb), "__j", "left")
+            .drop("__j")
+        )
 
     if cmd == "SORT":
         orders = []

@@ -397,3 +397,32 @@ def test_fork_errors(tbl):
         esql("FROM t | FORK (LIMIT 1)", tbl)
     with pytest.raises(EsqlError, match="parenthesized"):
         esql("FROM t | FORK LIMIT 1", tbl)
+
+
+def test_inlinestats_by(tbl):
+    out = esql(
+        "FROM t | INLINESTATS gn = COUNT(*), gmax = MAX(value) BY etype "
+        "| SORT id",
+        tbl,
+    ).collect()
+    assert len(out) == 6                         # rows survive
+    assert out[0].gn == 3 and out[0].gmax == 20.0   # click group
+    assert out[4].gn == 1 and out[4].gmax == 1.5    # error group
+    # same-named existing column is replaced, not duplicated
+    out2 = esql("FROM t | INLINESTATS value = AVG(value) BY etype", tbl)
+    assert out2.columns.count("value") == 1
+
+
+def test_inlinestats_global(tbl):
+    out = esql("FROM t | INLINESTATS n = COUNT(*) | SORT id", tbl).collect()
+    assert len(out) == 6 and all(r.n == 6 for r in out)
+
+
+def test_inlinestats_expression_key(tbl):
+    out = esql(
+        "FROM t | INLINESTATS n = COUNT(*) BY day = DATE_TRUNC(1 day, ts) "
+        "| SORT id",
+        tbl,
+    ).collect()
+    assert out[0].n == 2 and out[0].day.day == 1    # two rows on Jan 1
+    assert out[4].n == 1
