@@ -235,6 +235,53 @@ def q_a6_accuracy(spark, sf_dir):
     )
 
 
+def _linear_split(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(
+        F.col("lang").isNotNull() & (F.col("lang") != "")
+    )
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    test = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    return train, test
+
+
+def _linear_predict_query(spark, sf_dir, algorithm):
+    """MAXENT / PERCEPTRON trainer parity (`OpenNLPClassifier.java:
+    27-36` — the reference's non-NB trainer menu).  Training is
+    iterative (not SQL-expressible); the trained weights and the test
+    features are MATERIALIZED and the oracle replays the distributed
+    predict stage (join + per-class sums + rounded argmax, ties →
+    label ASC) in DuckDB."""
+    from elasticsearch_nlp_classifier_spark.classifier import (
+        predict_linear, train_maxent, train_perceptron,
+    )
+    from elasticsearch_nlp_classifier_spark.classifier.linear import (
+        hashed_features,
+    )
+
+    train, test = _linear_split(spark, sf_dir)
+    dim = 1024
+    if algorithm == "maxent":
+        model = train_maxent(train, ["text"], "lang", dim=dim,
+                             iterations=10, id_col="doc_id")
+    else:
+        model = train_perceptron(train, ["text"], "lang", dim=dim,
+                                 epochs=4, id_col="doc_id")
+    scratch = _oracle_scratch()
+    hashed_features(test, ["text"], dim, id_col="doc_id").write.mode(
+        "overwrite").parquet(f"{scratch}/{algorithm}_feats.parquet")
+    model.weights_df(spark).write.mode("overwrite").parquet(
+        f"{scratch}/{algorithm}_weights.parquet")
+    return predict_linear(model, test, ["text"], id_col="doc_id")
+
+
+def q_maxent_predict(spark, sf_dir):
+    return _linear_predict_query(spark, sf_dir, "maxent")
+
+
+def q_perceptron_predict(spark, sf_dir):
+    return _linear_predict_query(spark, sf_dir, "perceptron")
+
+
 def q_x1_kfold_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return (
@@ -406,6 +453,17 @@ def _oracle_scratch() -> str:
     p = os.path.join(tempfile.gettempdir(), "spark_graft_oracle")
     os.makedirs(p, exist_ok=True)
     return p
+
+
+def _linear_predict_sql(algorithm: str) -> str:
+    from elasticsearch_nlp_classifier_spark.classifier.linear import (
+        predict_sql,
+    )
+
+    return predict_sql(
+        "{SCRATCH}/" + f"{algorithm}_feats.parquet",
+        "{SCRATCH}/" + f"{algorithm}_weights.parquet",
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -3706,6 +3764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_nb_likelihood": q_a8_nb_likelihood,
         "a9_nb_predict": q_a9_nb_predict,
         "a6_accuracy": q_a6_accuracy,
+        "maxent_predict": q_maxent_predict,
+        "perceptron_predict": q_perceptron_predict,
         "x1_kfold_counts": q_x1_kfold_counts,
         "p_filters": q_p_filters,
         "p7_query_string": q_p7_query_string,
@@ -4762,6 +4822,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(avg(CASE WHEN p.prediction = d.lang
                                   THEN 1.0 ELSE 0.0 END), 6) AS accuracy
             FROM pred p JOIN documents d USING (doc_id) WHERE p.rn = 1""",
+        # maxent/perceptron: training is iterative (not SQL); the
+        # oracle replays the distributed predict stage from the
+        # materialized test features + long-format weights
+        "maxent_predict": _linear_predict_sql("maxent"),
+        "perceptron_predict": _linear_predict_sql("perceptron"),
         "x1_kfold_counts": """
             SELECT (doc_id % 3)::BIGINT AS fold, count(*)::BIGINT AS n
             FROM documents GROUP BY 1 ORDER BY 1""",

@@ -7,4 +7,11 @@ from .nb import (  # noqa: F401
     predict_nb,
     train_nb,
 )
+from .linear import (  # noqa: F401
+    LinearModel,
+    hashed_features,
+    predict_linear,
+    train_maxent,
+    train_perceptron,
+)
 from .oracle import predict_oracle, train_oracle  # noqa: F401
