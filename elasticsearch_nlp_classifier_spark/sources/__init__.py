@@ -4,7 +4,12 @@ from .csv_io import (  # noqa: F401
     read_tweets_csv,
     write_submission_csv,
 )
-from .model_io import load_model, save_model  # noqa: F401
+from .model_io import (  # noqa: F401
+    load_linear_model,
+    load_model,
+    save_linear_model,
+    save_model,
+)
 from .merge import (  # noqa: F401
     delete_by_query,
     merge_updates,

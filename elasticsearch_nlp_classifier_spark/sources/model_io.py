@@ -37,3 +37,28 @@ def load_model(spark: SparkSession, path: str) -> NBModel:
         vocab_size=meta["vocab_size"],
         labels=meta["labels"],
     )
+
+
+def save_linear_model(model, path: str) -> None:
+    """Linear (MaxEnt/Perceptron) model persistence — dense weights as
+    an npz (the matrix is dim×k, driver-sized by construction) plus the
+    same JSON sidecar shape as the NB saver."""
+    import numpy as np
+
+    os.makedirs(path, exist_ok=True)
+    np.savez_compressed(f"{path}/weights.npz", weights=model.weights)
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump({"labels": model.labels, "dim": model.dim,
+                   "algorithm": model.algorithm}, f)
+
+
+def load_linear_model(path: str):
+    import numpy as np
+
+    from ..classifier.linear import LinearModel
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    weights = np.load(f"{path}/weights.npz")["weights"]
+    return LinearModel(weights, meta["labels"], meta["dim"],
+                       meta["algorithm"])

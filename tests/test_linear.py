@@ -176,3 +176,62 @@ def test_trainer_comparison_table(spark, labeled_docs):
     majority = 1.0 / 3.0
     for algo, acc in accs.items():
         assert acc > majority + 0.2, (algo, accs)
+
+
+def test_linear_model_save_load_roundtrip(spark, labeled_docs, tmp_path):
+    from elasticsearch_nlp_classifier_spark.sources import (
+        load_linear_model, save_linear_model,
+    )
+
+    model = train_maxent(labeled_docs, ["text"], "label", dim=DIM,
+                         iterations=5)
+    save_linear_model(model, str(tmp_path / "m"))
+    loaded = load_linear_model(str(tmp_path / "m"))
+    assert loaded.labels == model.labels
+    assert loaded.algorithm == "maxent"
+    assert np.array_equal(loaded.weights, model.weights)
+
+    p1 = predict_linear(model, labeled_docs, ["text"],
+                        id_col="doc_id").toPandas()
+    p2 = predict_linear(loaded, labeled_docs, ["text"],
+                        id_col="doc_id").toPandas()
+    pd.testing.assert_frame_equal(
+        p1.sort_values("doc_id").reset_index(drop=True),
+        p2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_classify_job_algorithm_switch(tmp_path):
+    """`jobs/classify.py kfold --algorithm perceptron` — the
+    reference's ALGORITHM_PARAM switch (`OpenNLPClassifier.java:27-36`)
+    at the spark-submit surface."""
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_nlp_classifier_spark.corpus.generator import (
+        gen_corpus_pdf,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus_pdf = gen_corpus_pdf(150)
+    corpus_pdf["doc_id"] = range(len(corpus_pdf))
+    corpus = str(tmp_path / "corpus.parquet")
+    pq.write_table(pa.Table.from_pandas(corpus_pdf), corpus)
+
+    env = dict(os.environ)
+    env.update({"SPARK_GRAFT_SANDBOX": "1", "SPARK_GRAFT_CPUS": "4",
+                "PYSPARK_PYTHON": sys.executable,
+                "PYSPARK_DRIVER_PYTHON": sys.executable})
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "classify.py"),
+         "kfold", "--input", corpus, "--text-cols", "content",
+         "--label", "lang", "--k", "2", "--algorithm", "perceptron",
+         "--dim", "256", "--epochs", "2"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "mean accuracy:" in r.stdout
