@@ -258,11 +258,18 @@ def _linear_predict_query(spark, sf_dir, algorithm):
         hashed_features,
     )
 
+    from elasticsearch_nlp_classifier_spark.classifier import (
+        train_maxent_qn,
+    )
+
     train, test = _linear_split(spark, sf_dir)
     dim = 1024
     if algorithm == "maxent":
         model = train_maxent(train, ["text"], "lang", dim=dim,
                              iterations=10, id_col="doc_id")
+    elif algorithm == "maxent_qn":
+        model = train_maxent_qn(train, ["text"], "lang", dim=dim,
+                                iterations=6, id_col="doc_id")
     else:
         model = train_perceptron(train, ["text"], "lang", dim=dim,
                                  epochs=4, id_col="doc_id")
@@ -276,6 +283,10 @@ def _linear_predict_query(spark, sf_dir, algorithm):
 
 def q_maxent_predict(spark, sf_dir):
     return _linear_predict_query(spark, sf_dir, "maxent")
+
+
+def q_maxent_qn_predict(spark, sf_dir):
+    return _linear_predict_query(spark, sf_dir, "maxent_qn")
 
 
 def q_perceptron_predict(spark, sf_dir):
@@ -3765,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_nb_predict": q_a9_nb_predict,
         "a6_accuracy": q_a6_accuracy,
         "maxent_predict": q_maxent_predict,
+        "maxent_qn_predict": q_maxent_qn_predict,
         "perceptron_predict": q_perceptron_predict,
         "x1_kfold_counts": q_x1_kfold_counts,
         "p_filters": q_p_filters,
@@ -4826,6 +4838,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle replays the distributed predict stage from the
         # materialized test features + long-format weights
         "maxent_predict": _linear_predict_sql("maxent"),
+        "maxent_qn_predict": _linear_predict_sql("maxent_qn"),
         "perceptron_predict": _linear_predict_sql("perceptron"),
         "x1_kfold_counts": """
             SELECT (doc_id % 3)::BIGINT AS fold, count(*)::BIGINT AS n

@@ -12,6 +12,7 @@ from .linear import (  # noqa: F401
     hashed_features,
     predict_linear,
     train_maxent,
+    train_maxent_qn,
     train_perceptron,
 )
 from .oracle import predict_oracle, train_oracle  # noqa: F401

@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 from ..analyzer.spark_udfs import analyze_fields
 
 __all__ = ["LinearModel", "hashed_features", "train_maxent",
-           "train_perceptron", "predict_linear"]
+           "train_maxent_qn", "train_perceptron", "predict_linear"]
 
 _BUCKET_SALT = "lin_b"
 _SIGN_SALT = "lin_s"
@@ -199,43 +199,158 @@ def train_maxent(
     n = ydf.count()
     feats.count()  # materialize the cache before the loop
 
-    onehot = [
-        F.when(F.col("_y") == c, F.lit(1.0)).otherwise(F.lit(0.0))
-        for c in labels
-    ]
     W = np.zeros((dim + 1, k), dtype="float64")
     for _ in range(iterations):
-        wdf = _w_array_df(spark, W)
-        per_doc = _scores_df(feats, wdf, k).join(ydf, "_id")
-        # numerically-stable softmax, all codegen
-        mx = (F.col("_s0") if k == 1
-              else F.greatest(*[F.col(f"_s{i}") for i in range(k)]))
-        exps = [F.exp(F.col(f"_s{i}") - mx) for i in range(k)]
-        z = exps[0]
-        for e in exps[1:]:
-            z = z + e
-        errs = per_doc.select(
-            "_id",
-            *[(exps[i] / z - onehot[i]).alias(f"_e{i}") for i in range(k)],
-        )
-        grad_rows = (
-            feats.join(errs, "_id")
-            .groupBy("idx")
-            .agg(*[
-                F.sum(F.col("x") * F.col(f"_e{i}")).alias(f"_g{i}")
-                for i in range(k)
-            ])
-            .toPandas()
-        )
-        grad = np.zeros_like(W)
-        gi = grad_rows["idx"].to_numpy()
-        gv = grad_rows[[f"_g{i}" for i in range(k)]].to_numpy()
-        grad[gi] = gv
+        grad, _ = _grad_loss(spark, feats, ydf, labels, W)
         W -= lr * (grad / float(n) + l2 * W)
 
     feats.unpersist()
     ydf.unpersist()
     return LinearModel(W, labels, dim, "maxent")
+
+
+def _grad_loss(
+    spark,
+    feats: DataFrame,
+    ydf: DataFrame,
+    labels: list[str],
+    W: np.ndarray,
+    want_loss: bool = False,
+) -> tuple[np.ndarray, float | None]:
+    """One distributed pass: raw data gradient Σ_docs x·(softmax−y)ᵀ
+    (unscaled, no regulariser) and optionally the summed negative
+    log-likelihood Σ −log p_y.  Numerically-stable softmax, all
+    codegen; the only collected results are ≤dim gradient rows and one
+    loss scalar."""
+    k = len(labels)
+    onehot = [
+        F.when(F.col("_y") == c, F.lit(1.0)).otherwise(F.lit(0.0))
+        for c in labels
+    ]
+    wdf = _w_array_df(spark, W)
+    per_doc = _scores_df(feats, wdf, k).join(ydf, "_id")
+    mx = (F.col("_s0") if k == 1
+          else F.greatest(*[F.col(f"_s{i}") for i in range(k)]))
+    exps = [F.exp(F.col(f"_s{i}") - mx) for i in range(k)]
+    z = exps[0]
+    for e in exps[1:]:
+        z = z + e
+    py = None
+    if want_loss:
+        py = exps[0] * onehot[0]
+        for i in range(1, k):
+            py = py + exps[i] * onehot[i]
+    errs = per_doc.select(
+        "_id",
+        *[(exps[i] / z - onehot[i]).alias(f"_e{i}") for i in range(k)],
+        *([(F.log(z) - F.log(py)).alias("_nll")] if want_loss else []),
+    )
+    if want_loss:
+        errs = errs.persist()
+    grad_rows = (
+        feats.join(errs.select("_id", *[f"_e{i}" for i in range(k)]), "_id")
+        .groupBy("idx")
+        .agg(*[
+            F.sum(F.col("x") * F.col(f"_e{i}")).alias(f"_g{i}")
+            for i in range(k)
+        ])
+        .toPandas()
+    )
+    grad = np.zeros_like(W)
+    gi = grad_rows["idx"].to_numpy()
+    gv = grad_rows[[f"_g{i}" for i in range(k)]].to_numpy()
+    grad[gi] = gv
+    loss = None
+    if want_loss:
+        loss = float(errs.agg(F.sum("_nll")).collect()[0][0])
+        errs.unpersist()
+    return grad, loss
+
+
+def train_maxent_qn(
+    train: DataFrame,
+    text_cols: list[str],
+    label_col: str,
+    dim: int = 4096,
+    iterations: int = 15,
+    memory: int = 7,
+    l2: float = 1e-4,
+    analyzer: str = "simple_code",
+    id_col: str = "doc_id",
+) -> LinearModel:
+    """MAXENT_QN — the reference's quasi-Newton trainer
+    (`OpenNLPClassifier.java:29`, OpenNLP's L-BFGS `QNTrainer`, local
+    accuracy 0.769).  Standard L-BFGS two-loop recursion on the driver
+    (the optimizer state is m pairs of dim×k matrices — model-sized,
+    not data-sized); each function/gradient evaluation is the same
+    bounded distributed pass GD uses, plus one loss scalar.  Armijo
+    backtracking keeps every step a descent step."""
+    spark = train.sparkSession
+    labels, _ = _label_index(train, label_col)
+    k = len(labels)
+
+    feats = hashed_features(
+        train, text_cols, dim, analyzer=analyzer, id_col=id_col
+    ).cache()
+    ydf = train.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_y"),
+    ).cache()
+    n = float(ydf.count())
+    feats.count()
+
+    def f_g(W):
+        grad, nll = _grad_loss(spark, feats, ydf, labels, W,
+                               want_loss=True)
+        g = grad / n + l2 * W
+        loss = nll / n + 0.5 * l2 * float((W * W).sum())
+        return loss, g
+
+    W = np.zeros((dim + 1, k), dtype="float64")
+    loss, g = f_g(W)
+    s_hist: list[np.ndarray] = []
+    y_hist: list[np.ndarray] = []
+    for _ in range(iterations):
+        # two-loop recursion → search direction d = −H·g
+        q = g.copy()
+        alphas = []
+        for s, y in zip(reversed(s_hist), reversed(y_hist)):
+            rho = 1.0 / float((y * s).sum())
+            a = rho * float((s * q).sum())
+            alphas.append((a, rho))
+            q -= a * y
+        if y_hist:
+            y_last = y_hist[-1]
+            gamma = (float((s_hist[-1] * y_last).sum())
+                     / float((y_last * y_last).sum()))
+            q *= gamma
+        for (a, rho), s, y in zip(reversed(alphas), s_hist, y_hist):
+            b = rho * float((y * q).sum())
+            q += (a - b) * s
+        d = -q
+
+        gTd = float((g * d).sum())
+        if gTd >= 0:  # not a descent direction (degenerate) → steepest
+            d, gTd = -g, -float((g * g).sum())
+        step = 1.0
+        for _trial in range(6):  # Armijo backtracking
+            W_new = W + step * d
+            loss_new, g_new = f_g(W_new)
+            if loss_new <= loss + 1e-4 * step * gTd:
+                break
+            step *= 0.5
+        s_vec, y_vec = W_new - W, g_new - g
+        if float((y_vec * s_vec).sum()) > 1e-12:  # curvature condition
+            s_hist.append(s_vec)
+            y_hist.append(y_vec)
+            if len(s_hist) > memory:
+                s_hist.pop(0)
+                y_hist.pop(0)
+        W, loss, g = W_new, loss_new, g_new
+
+    feats.unpersist()
+    ydf.unpersist()
+    return LinearModel(W, labels, dim, "maxent_qn")
 
 
 def train_perceptron(

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _train(docs, args, text_cols):
     from elasticsearch_nlp_classifier_spark.classifier import (
-        train_maxent, train_nb, train_perceptron,
+        train_maxent, train_maxent_qn, train_nb, train_perceptron,
     )
 
     if args.algorithm == "naivebayes":
@@ -41,6 +41,10 @@ def _train(docs, args, text_cols):
         return train_maxent(docs, text_cols, args.label, dim=args.dim,
                             iterations=args.iterations,
                             analyzer=args.analyzer, id_col=args.id_col)
+    if args.algorithm == "maxent_qn":
+        return train_maxent_qn(docs, text_cols, args.label, dim=args.dim,
+                               iterations=args.iterations,
+                               analyzer=args.analyzer, id_col=args.id_col)
     return train_perceptron(docs, text_cols, args.label, dim=args.dim,
                             epochs=args.epochs,
                             analyzer=args.analyzer, id_col=args.id_col)
@@ -68,7 +72,7 @@ def main() -> None:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--analyzer", default="code")
     ap.add_argument("--algorithm", default="naivebayes",
-                    choices=["naivebayes", "maxent", "perceptron"],
+                    choices=["naivebayes", "maxent", "maxent_qn", "perceptron"],
                     help="the reference's ALGORITHM_PARAM switch")
     ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--dim", type=int, default=4096,

@@ -235,3 +235,36 @@ def test_classify_job_algorithm_switch(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "mean accuracy:" in r.stdout
+
+
+def test_maxent_qn_converges_below_gd(spark, labeled_docs):
+    """L-BFGS (MAXENT_QN) reaches a lower regularized NLL than the
+    same number of plain-GD iterations, and predicts the separable
+    fixture correctly."""
+    from elasticsearch_nlp_classifier_spark.classifier import (
+        train_maxent_qn,
+    )
+    from elasticsearch_nlp_classifier_spark.classifier.linear import (
+        _grad_loss, hashed_features as hf,  # noqa: F401
+    )
+
+    iters, l2 = 8, 1e-4
+    gd = train_maxent(labeled_docs, ["text"], "label", dim=DIM,
+                      iterations=iters, l2=l2)
+    qn = train_maxent_qn(labeled_docs, ["text"], "label", dim=DIM,
+                         iterations=iters, l2=l2)
+
+    feats = hf(labeled_docs, ["text"], DIM, id_col="doc_id")
+    ydf = labeled_docs.selectExpr("doc_id as _id", "label as _y")
+    n = float(labeled_docs.count())
+
+    def reg_loss(model):
+        _, nll = _grad_loss(spark, feats, ydf, model.labels,
+                            model.weights, want_loss=True)
+        return nll / n + 0.5 * l2 * float(
+            (model.weights * model.weights).sum())
+
+    assert reg_loss(qn) < reg_loss(gd)
+
+    preds = predict_linear(qn, labeled_docs, ["text"], id_col="doc_id")
+    assert accuracy(labeled_docs, preds, "label", "doc_id") >= 0.95
