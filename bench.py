@@ -298,11 +298,14 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
     shutil.rmtree(warm_path, ignore_errors=True)
 
     # --- q1: physical index build (tokenize -> postings -> varbyte
-    # blocks).  Best of 3: this sandbox VM throttles in bursty windows;
-    # the better rep is the engine's actual cost.
+    # blocks).  Best of 5: this sandbox VM throttles in bursty windows
+    # and keeps re-backing freed pages for the first few builds, so
+    # early reps mix warmup with engine cost; measured reps converge by
+    # rep 4-5 (e.g. 6.1/4.5/4.1/3.4/3.4 s at sf0.1).  The best rep is
+    # the engine's actual cost.
     idx_path = os.path.join(work_dir, "index")
     q1 = []
-    for _rep in range(3):
+    for _rep in range(5):
         shutil.rmtree(idx_path, ignore_errors=True)
         t_rep, _ = _timed(lambda: build_physical_index(
             docs, idx_path, text_col="text", analyzer="simple_code",
@@ -365,13 +368,16 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
     timings["q3_nb_train_predict"] = min(t, t2)
     extras["nb_accuracy"] = round(float(acc), 4)
 
-    # --- q4: MinHash-LSH near-dup over documents (best of 2)
-    t, _n = _timed(lambda: minhash_lsh_pairs(
-        docs, text_col="text", id_col="doc_id").count())
-    t2, _n = _timed(lambda: minhash_lsh_pairs(
-        docs, text_col="text", id_col="doc_id").count())
-    reps_raw["q4_dedup_minhash_lsh"] = [t, t2]
-    timings["q4_dedup_minhash_lsh"] = min(t, t2)
+    # --- q4: MinHash-LSH near-dup over documents (best of 3: the
+    # first rep pays the UDF-import + page-rebacking warmup on this VM
+    # — observed 14.8/2.6 s first-vs-second at sf0.1)
+    q4 = []
+    for _rep in range(3):
+        t, _n = _timed(lambda: minhash_lsh_pairs(
+            docs, text_col="text", id_col="doc_id").count())
+        q4.append(t)
+    reps_raw["q4_dedup_minhash_lsh"] = q4
+    timings["q4_dedup_minhash_lsh"] = min(q4)
 
     # --- q5: brute-force cosine top-k ANN over embeddings (best of 2)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
