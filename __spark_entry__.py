@@ -1496,6 +1496,35 @@ def q_agg_significant_terms(spark, sf_dir):
     return significant_terms(fg, idx.postings, size=10)
 
 
+def q_agg_significant_chi_square(spark, sf_dir):
+    """significant_terms with the chi_square heuristic (ES's
+    alternative significance score) — same foreground as the JLH
+    entry."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        significant_terms,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = _logical_index(spark, sf_dir)
+    fg = docs.where(F.col("lang") == "en").select("doc_id")
+    return significant_terms(fg, idx.postings, size=10,
+                             heuristic="chi_square")
+
+
+def q_agg_significant_gnd(spark, sf_dir):
+    """significant_terms with the Google-normalized-distance
+    heuristic."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        significant_terms,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = _logical_index(spark, sf_dir)
+    fg = docs.where(F.col("lang") == "en").select("doc_id")
+    return significant_terms(fg, idx.postings, size=10,
+                             heuristic="gnd")
+
+
 def _graph_parts(spark, sf_dir):
     from elasticsearch_nlp_classifier_spark.query import graph_explore
 
@@ -3759,6 +3788,124 @@ def _geo_shape_oracle() -> str:
             SELECT c_custkey FROM g WHERE {pred}"""
 
 
+def _sim_topk_query(spark, sf_dir, **kw):
+    """Shared shape for the similarity-module entries: top-10 for
+    'data value table' under a non-BM25 similarity, rounded like a7."""
+    from elasticsearch_nlp_classifier_spark.query import similarity_topk
+
+    idx = _logical_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(1, "data value table")], "query_id int, query_text string"
+    )
+    scored = similarity_topk(
+        idx, q, k=10_000_000, analyzer="simple_code", **kw
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score_r6"),
+        )
+    )
+
+
+def q_sim_lm_dirichlet(spark, sf_dir):
+    """Lucene LMDirichletSimilarity (mu=2000) top-10."""
+    return _sim_topk_query(spark, sf_dir, similarity="lm_dirichlet")
+
+
+def q_sim_lm_jelinek_mercer(spark, sf_dir):
+    """Lucene LMJelinekMercerSimilarity (lambda=0.1) top-10."""
+    return _sim_topk_query(spark, sf_dir, similarity="lm_jelinek_mercer")
+
+
+def q_sim_dfi(spark, sf_dir):
+    """Lucene DFISimilarity (standardized measure) top-10."""
+    return _sim_topk_query(spark, sf_dir, similarity="dfi",
+                           measure="standardized")
+
+
+def q_sim_scripted(spark, sf_dir):
+    """ES scripted similarity: classic sqrt-tf·idf as a SQL script."""
+    return _sim_topk_query(
+        spark, sf_dir, similarity="scripted",
+        script="sqrt(tf) * (1.0 + ln(n_docs / (df + 1.0)))",
+    )
+
+
+# shared CTE tail for the similarity-module oracles: per-term collection
+# stats (ttf) + corpus token total on top of _BM25_BASE
+_SIM_BASE = _BM25_BASE + """,
+tstats AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+           FROM tf GROUP BY 1),
+corpus_lm AS (SELECT sum(dl)::BIGINT AS sum_ttf FROM dl),
+qt AS (SELECT DISTINCT unnest(list_filter(
+         string_split_regex(lower('data value table'), '[^a-z0-9]+'),
+         x -> x <> '')) AS term)"""
+
+_SIM_TAIL = """
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY 1),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC)
+           AS rank,
+         round(score, 6) AS score_r6
+  FROM scores
+)
+SELECT rank::BIGINT AS rank, doc_id, score_r6 FROM ranked
+WHERE rank <= 10"""
+
+_SIM_LM_DIRICHLET_SQL = _SIM_BASE + """,
+contrib AS (
+  SELECT tf.doc_id,
+         greatest(0.0,
+           ln(1 + tf.tf / (2000.0 * (ts.ttf + 1.0)
+                           / ((SELECT sum_ttf FROM corpus_lm) + 1.0)))
+           + ln(2000.0 / (dl.dl + 2000.0))) AS c
+  FROM tf JOIN qt USING (term)
+  JOIN tstats ts USING (term)
+  JOIN dl USING (doc_id)
+),""" + _SIM_TAIL
+
+_SIM_LM_JM_SQL = _SIM_BASE + """,
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (0.9 * tf.tf / dl.dl)
+                / (0.1 * (ts.ttf + 1.0)
+                   / ((SELECT sum_ttf FROM corpus_lm) + 1.0))) AS c
+  FROM tf JOIN qt USING (term)
+  JOIN tstats ts USING (term)
+  JOIN dl USING (doc_id)
+),""" + _SIM_TAIL
+
+_SIM_DFI_SQL = _SIM_BASE + """,
+contrib AS (
+  SELECT tf.doc_id,
+         CASE WHEN tf.tf <= e.expected THEN 0.0
+              ELSE log2((tf.tf - e.expected) / sqrt(e.expected) + 1.0)
+         END AS c
+  FROM tf JOIN qt USING (term)
+  JOIN tstats ts USING (term)
+  JOIN dl USING (doc_id),
+  LATERAL (SELECT (ts.ttf + 1.0) * dl.dl
+                  / ((SELECT sum_ttf FROM corpus_lm) + 1.0)
+           AS expected) e
+),""" + _SIM_TAIL
+
+_SIM_SCRIPTED_SQL = _SIM_BASE + """,
+contrib AS (
+  SELECT tf.doc_id,
+         sqrt(tf.tf) * (1.0 + ln((SELECT n FROM corpus)::DOUBLE
+                                 / (ts.df + 1.0))) AS c
+  FROM tf JOIN qt USING (term)
+  JOIN tstats ts USING (term)
+  JOIN dl USING (doc_id)
+),""" + _SIM_TAIL
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents table."""
     return q_a7_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -3772,6 +3919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_vocabulary": q_a5_vocabulary,
         "a7_bm25_topk": q_a7_bm25_topk,
         "a7_bm25_skewed_term": q_a7_bm25_skewed_term,
+        "sim_lm_dirichlet": q_sim_lm_dirichlet,
+        "sim_lm_jelinek_mercer": q_sim_lm_jelinek_mercer,
+        "sim_dfi": q_sim_dfi,
+        "sim_scripted": q_sim_scripted,
         "a8_nb_likelihood": q_a8_nb_likelihood,
         "a9_nb_predict": q_a9_nb_predict,
         "a6_accuracy": q_a6_accuracy,
@@ -3850,6 +4001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": q_agg_cardinality,
         "agg_top_hits": q_agg_top_hits,
         "agg_significant_terms": q_agg_significant_terms,
+        "agg_significant_chi_square": q_agg_significant_chi_square,
+        "agg_significant_gnd": q_agg_significant_gnd,
         "graph_explore_vertices": q_graph_explore_vertices,
         "graph_explore_edges": q_graph_explore_edges,
         "ml_outlier_detection": q_ml_outlier_detection,
@@ -4796,6 +4949,10 @@ def oracle_sql() -> dict[str, str]:
         "a5_vocabulary": f"""
             WITH {_TF} SELECT DISTINCT term FROM tf ORDER BY term""",
         "a7_bm25_topk": "WITH " + _BM25_SQL.replace("{QUERY}", "data value table"),
+        "sim_lm_dirichlet": "WITH " + _SIM_LM_DIRICHLET_SQL,
+        "sim_lm_jelinek_mercer": "WITH " + _SIM_LM_JM_SQL,
+        "sim_dfi": "WITH " + _SIM_DFI_SQL,
+        "sim_scripted": "WITH " + _SIM_SCRIPTED_SQL,
         "match_bool_prefix": "WITH " + _MBP_SQL,
         "search_as_you_type": "WITH " + _SAYT_SQL,
         "analysis_shingles": f"""
@@ -5793,6 +5950,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, fg_df, bg_df, score FROM scored
             WHERE score > 0
             ORDER BY score DESC, term ASC LIMIT 10""",
+        "agg_significant_chi_square": f"""
+            WITH {_TF},
+            fg_ids AS (SELECT DISTINCT doc_id FROM documents
+                       WHERE lang = 'en'),
+            n_fg AS (SELECT count(*)::DOUBLE AS n FROM fg_ids),
+            n_all AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+            fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df
+                   FROM tf JOIN fg_ids USING (doc_id) GROUP BY 1),
+            bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df
+                   FROM tf GROUP BY 1),
+            cells AS (
+              SELECT term, fg_df, bg_df,
+                     fg_df::DOUBLE AS n11,
+                     bg_df::DOUBLE - fg_df AS n01,
+                     (SELECT n FROM n_fg) - fg_df AS n10,
+                     ((SELECT n FROM n_all) - (SELECT n FROM n_fg))
+                       - (bg_df::DOUBLE - fg_df) AS n00
+              FROM fg JOIN bg USING (term) WHERE fg_df >= 2
+            ),
+            scored AS (
+              SELECT term, fg_df, bg_df,
+                     round(CASE WHEN
+                         fg_df / (SELECT n FROM n_fg)
+                           > bg_df / (SELECT n FROM n_all)
+                         AND (n11+n01)*(n11+n10)*(n01+n00)*(n10+n00) > 0
+                       THEN (SELECT n FROM n_all)
+                            * (n11*n00 - n01*n10) * (n11*n00 - n01*n10)
+                            / ((n11+n01)*(n11+n10)*(n01+n00)*(n10+n00))
+                       ELSE 0.0 END, 6) AS score
+              FROM cells
+            )
+            SELECT term, fg_df, bg_df, score FROM scored
+            WHERE score > 0
+            ORDER BY round(score, 9) DESC, term ASC LIMIT 10""",
+        "agg_significant_gnd": f"""
+            WITH {_TF},
+            fg_ids AS (SELECT DISTINCT doc_id FROM documents
+                       WHERE lang = 'en'),
+            n_fg AS (SELECT count(*)::DOUBLE AS n FROM fg_ids),
+            n_all AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+            fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df
+                   FROM tf JOIN fg_ids USING (doc_id) GROUP BY 1),
+            bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df
+                   FROM tf GROUP BY 1),
+            scored AS (
+              SELECT term, fg_df, bg_df,
+                     round(CASE WHEN
+                         ln((SELECT n FROM n_all))
+                           - least(ln(bg_df::DOUBLE),
+                                   ln((SELECT n FROM n_fg))) > 0
+                       THEN exp(-(greatest(ln(bg_df::DOUBLE),
+                                           ln((SELECT n FROM n_fg)))
+                                  - ln(fg_df::DOUBLE))
+                                / (ln((SELECT n FROM n_all))
+                                   - least(ln(bg_df::DOUBLE),
+                                           ln((SELECT n FROM n_fg)))))
+                       ELSE 0.0 END, 6) AS score
+              FROM fg JOIN bg USING (term) WHERE fg_df >= 2
+            )
+            SELECT term, fg_df, bg_df, score FROM scored
+            WHERE score > 0
+            ORDER BY round(score, 9) DESC, term ASC LIMIT 10""",
         "graph_explore_vertices": f"""
             WITH {_GRAPH_WAVE}
             SELECT term, 1::INTEGER AS hop, fg_count, bg_count,

@@ -397,20 +397,99 @@ def top_hits_agg(
     )
 
 
+#: significance heuristics menu — ES lets `significant_terms` swap JLH
+#: for chi_square / mutual_information / gnd / percentage
+SIGNIFICANCE_HEURISTICS = (
+    "jlh", "chi_square", "mutual_information", "gnd", "percentage",
+)
+
+
+def _significance_score(heuristic: str, n_fg: int, n_docs: int):
+    """Score Column over (fg_df, bg_df) bucket rows.
+
+    Engine spec (documented here, replayed identically in the SQL
+    oracles).  With the ES default ``background_is_superset=true`` the
+    two sets are first made disjoint, giving the 2×2 contingency table
+    over (in-foreground?, has-term?)::
+
+        n11 = fg_df            n01 = bg_df - fg_df
+        n10 = n_fg - fg_df     n00 = (N - n_fg) - (bg_df - fg_df)
+
+    - ``jlh``                (ES default): (fg_rate - bg_rate) *
+                             (fg_rate / bg_rate), positives only
+    - ``chi_square``         N·(n11·n00 - n01·n10)² /
+                             ((n11+n01)(n11+n10)(n01+n00)(n10+n00)),
+                             0 when any margin is empty; positives only
+                             (fg_rate > bg_rate — ES
+                             ``include_negatives=false``)
+    - ``mutual_information`` Σ_cells (n/N)·log2(n·N / (rowΣ·colΣ))
+                             (0-count cells contribute 0); positives
+                             only
+    - ``gnd``                Google Normalized Distance between
+                             term-presence and foreground-membership:
+                             g = (max(ln bg_df, ln n_fg) - ln fg_df) /
+                             (ln N - min(ln bg_df, ln n_fg));
+                             score = exp(-g) (similarity ∈ (0, 1])
+    - ``percentage``         fg_df / bg_df
+    """
+    fg, bg = F.col("fg_df").cast("double"), F.col("bg_df").cast("double")
+    nf, nd = float(n_fg), float(n_docs)
+    fg_rate = fg / F.lit(nf)
+    bg_rate = bg / F.lit(nd)
+    positive = fg_rate > bg_rate
+    if heuristic == "jlh":
+        return F.when(
+            positive, (fg_rate - bg_rate) * (fg_rate / bg_rate)
+        ).otherwise(F.lit(0.0))
+    n11, n01 = fg, bg - fg
+    n10 = F.lit(nf) - fg
+    n00 = F.lit(nd - nf) - (bg - fg)
+    n = F.lit(nd)
+    if heuristic == "chi_square":
+        denom = (n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00)
+        chi = n * (n11 * n00 - n01 * n10) * (n11 * n00 - n01 * n10) / denom
+        return F.when(positive & (denom > 0), chi).otherwise(F.lit(0.0))
+    if heuristic == "mutual_information":
+        def term(nxy, row, col):
+            return F.when(
+                nxy > 0, (nxy / n) * F.log2(nxy * n / (row * col))
+            ).otherwise(F.lit(0.0))
+        mi = (
+            term(n11, n11 + n10, n11 + n01)
+            + term(n01, n01 + n00, n11 + n01)
+            + term(n10, n11 + n10, n10 + n00)
+            + term(n00, n01 + n00, n10 + n00)
+        )
+        return F.when(positive, mi).otherwise(F.lit(0.0))
+    if heuristic == "gnd":
+        num = F.greatest(F.log(bg), F.log(F.lit(nf))) - F.log(fg)
+        den = F.log(F.lit(nd)) - F.least(F.log(bg), F.log(F.lit(nf)))
+        return F.when(den > 0, F.exp(-num / den)).otherwise(F.lit(0.0))
+    if heuristic == "percentage":
+        return fg / bg
+    raise ValueError(f"unknown significance heuristic {heuristic!r} — "
+                     f"pick from {SIGNIFICANCE_HEURISTICS}")
+
+
 def significant_terms(
     foreground: DataFrame, postings: DataFrame,
     doc_id_col: str = "doc_id", size: int = 10,
     min_doc_count: int = 2,
     n_docs: int | None = None,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """ES ``significant_terms``: terms over-represented in a foreground
-    doc set vs the whole corpus, scored with ES's JLH heuristic::
+    doc set vs the whole corpus.  ``heuristic`` picks the significance
+    score exactly like ES's per-agg heuristic object — ``jlh`` (the ES
+    default)::
 
         score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
 
-    where ``fg_rate = fg_df / fg_docs`` and ``bg_rate = df / n_docs``.
-    Terms with ``fg_rate <= bg_rate`` are excluded (ES only reports
-    positively significant terms).
+    with ``fg_rate = fg_df / fg_docs``, ``bg_rate = df / n_docs`` —
+    or ``chi_square`` / ``mutual_information`` / ``gnd`` /
+    ``percentage`` (formulas: `_significance_score`).  Terms scoring 0
+    (incl. fg_rate ≤ bg_rate for the positives-only heuristics) are
+    excluded — ES only reports positively significant terms.
 
     ``foreground`` is any DataFrame with ``doc_id_col`` (e.g. the hits
     of a query); ``postings`` is the logical index's ``(doc_id, term,
@@ -439,14 +518,12 @@ def significant_terms(
     bg_df = postings.groupBy("term").agg(
         F.countDistinct("doc_id").alias("bg_df")
     )
-    fg_rate = F.col("fg_df") / F.lit(float(n_fg))
-    bg_rate = F.col("bg_df") / F.lit(float(n_docs))
     return (
         fg_df.join(bg_df, "term")
         .where(F.col("fg_df") >= min_doc_count)
         .withColumn(
             "score",
-            F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6),
+            F.round(_significance_score(heuristic, n_fg, n_docs), 6),
         )
         .where(F.col("score") > 0)
         .orderBy(F.desc(F.round("score", 9)), F.asc("term"))
