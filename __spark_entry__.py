@@ -3232,6 +3232,22 @@ def q_eql_until(spark, sf_dir):
     )
 
 
+def q_eql_sample(spark, sf_dir):
+    """EQL sample: unordered per-user correlation of view+purchase+click
+    with latest-event-per-filter representatives (engine determinism
+    spec), first 20 users key-ASC."""
+    from elasticsearch_nlp_classifier_spark.query import eql_sample
+
+    ev = _events(spark, sf_dir)
+    return eql_sample(
+        ev, "user_id",
+        [F.col("event_type") == "view",
+         F.col("event_type") == "purchase",
+         F.col("event_type") == "click"],
+        size=20,
+    )
+
+
 def q_agg_bucket_pipeline2(spark, sf_dir):
     """ES bucket_script + normalize(percent_of_sum) + bucket_selector
     pipeline aggs over an hourly date_histogram parent — projections,
@@ -4093,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_fields": q_cross_fields,
         "eql_sequence": q_eql_sequence,
         "eql_until": q_eql_until,
+        "eql_sample": q_eql_sample,
         "agg_bucket_pipeline2": q_agg_bucket_pipeline2,
         "agg_percentiles_bucket": q_agg_percentiles_bucket,
         "agg_rate_moving_fn": q_agg_rate_moving_fn,
@@ -7502,6 +7519,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*)::BIGINT AS n_matches
             FROM c2 WHERE t2 - t0 <= 172800.0
             GROUP BY 1""",
+        "eql_sample": """
+            WITH e AS (SELECT user_id, epoch(ts) AS t, event_type
+                       FROM events),
+            agg AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'view' THEN t END)
+                       AS ts_0,
+                     max(CASE WHEN event_type = 'purchase' THEN t END)
+                       AS ts_1,
+                     max(CASE WHEN event_type = 'click' THEN t END)
+                       AS ts_2
+              FROM e GROUP BY 1
+            )
+            SELECT user_id, ts_0, ts_1, ts_2 FROM agg
+            WHERE ts_0 IS NOT NULL AND ts_1 IS NOT NULL
+              AND ts_2 IS NOT NULL
+            ORDER BY user_id ASC LIMIT 20""",
         "eql_until": """
             WITH e AS (SELECT user_id, epoch(ts) AS t, event_type
                        FROM events),

@@ -152,7 +152,7 @@ from .aggs import (  # noqa: F401
     normalize_agg,
     percentiles_bucket_agg,
 )
-from .eql import eql_sequence  # noqa: F401
+from .eql import eql_sample, eql_sequence  # noqa: F401
 from .aggs import (  # noqa: F401
     categorize_text_agg,
     cumulative_cardinality_agg,

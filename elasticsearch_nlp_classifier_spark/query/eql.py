@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["eql_sequence"]
+__all__ = ["eql_sequence", "eql_sample"]
 
 
 def eql_sequence(
@@ -120,4 +120,52 @@ def eql_sequence(
         )
         .where(F.col("n_matches") > 0)
         .select(by, "n_matches")
+    )
+
+
+def eql_sample(
+    events: DataFrame,
+    by: str,
+    steps: list[Column],
+    ts_col: str = "ts",
+    size: int = 10,
+) -> DataFrame:
+    """ES EQL ``sample``: unordered correlation — entities whose event
+    stream matches EVERY step filter, with one representative event
+    timestamp per filter (``sample by host [any where a][any where b]``
+    — steps may match in any order, no maxspan).
+
+    Returns ``(by, ts_0 … ts_{k-1})`` for up to ``size`` entities,
+    key-ASC.  Engine determinism spec: the representative per step is
+    the LATEST matching event timestamp (ES picks per-shard by ingest
+    recency, which is not reproducible; latest-event-wins is this
+    engine's pinned, replayable choice).
+
+    Plan: the same one-scan shape as ``eql_sequence`` — every step
+    predicate evaluates in a single projection, one hash aggregation
+    per entity computes ``max(CASE WHEN step_i THEN ts END)``, and the
+    all-steps-present filter is a null check on the aggregates.  No
+    per-step scans, no joins; the wide stage carries one row per
+    entity.
+    """
+    if not steps:
+        raise ValueError("eql_sample needs at least one step")
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    k = len(steps)
+    proj = events.select(
+        F.col(by), t.alias("_t"),
+        *[steps[i].alias(f"_s{i}") for i in range(k)],
+    )
+    agg = proj.groupBy(by).agg(*[
+        F.max(F.when(F.col(f"_s{i}"), F.col("_t"))).alias(f"ts_{i}")
+        for i in range(k)
+    ])
+    cond = F.lit(True)
+    for i in range(k):
+        cond = cond & F.col(f"ts_{i}").isNotNull()
+    return (
+        agg.where(cond)
+        .orderBy(F.col(by).asc())
+        .limit(int(size))
+        .select(by, *[f"ts_{i}" for i in range(k)])
     )

@@ -189,3 +189,58 @@ def test_eql_until_voids_interrupted_sequences(spark):
         [F.col("event_type") == "view", F.col("event_type") == "purchase"],
     ).collect()}
     assert got2 == {1: 1, 2: 1, 3: 1, 4: 2}
+
+
+# --- eql_sample (unordered correlation) ------------------------------------
+
+def test_eql_sample_requires_all_steps(spark, events):
+    from elasticsearch_nlp_classifier_spark.query import eql_sample
+
+    got = eql_sample(
+        events, "user_id",
+        [F.col("event_type") == "login_fail",
+         F.col("event_type") == "login_ok"],
+    ).collect()
+    # users 1-4 have both types (order irrelevant: user 2 counts even
+    # though its last fail is after the ok); user 5 never has login_ok
+    assert [r.user_id for r in got] == [1, 2, 3, 4]
+
+
+def test_eql_sample_ignores_order_and_span(spark, events):
+    from elasticsearch_nlp_classifier_spark.query import eql_sample
+
+    # sequence with maxspan kills user 3; sample keeps it
+    seq = eql_sequence(events, "user_id", _steps(), maxspan_s=300.0)
+    assert 3 not in {r.user_id for r in seq.collect()}
+    samp = eql_sample(
+        events, "user_id",
+        [F.col("event_type") == "login_fail",
+         F.col("event_type") == "login_ok"],
+    )
+    assert 3 in {r.user_id for r in samp.collect()}
+
+
+def test_eql_sample_latest_representative(spark, events):
+    from elasticsearch_nlp_classifier_spark.query import eql_sample
+
+    row = {
+        r.user_id: r
+        for r in eql_sample(
+            events, "user_id",
+            [F.col("event_type") == "login_fail",
+             F.col("event_type") == "login_ok"],
+        ).collect()
+    }[2]
+    # user 2: fails at minute 0 and 2, ok at minute 1 — latest wins
+    assert row.ts_0 == _ts(2).replace(tzinfo=dt.timezone.utc).timestamp()
+    assert row.ts_1 == _ts(1).replace(tzinfo=dt.timezone.utc).timestamp()
+
+
+def test_eql_sample_size_cap_key_asc(spark, events):
+    from elasticsearch_nlp_classifier_spark.query import eql_sample
+
+    got = eql_sample(
+        events, "user_id", [F.col("event_type") == "login_fail"],
+        size=2,
+    ).collect()
+    assert [r.user_id for r in got] == [1, 2]
