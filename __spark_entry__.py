@@ -3790,6 +3790,77 @@ def q_agg_terms_filtered(spark, sf_dir):
                      include="src[0-3]", exclude=["src2"])
 
 
+def q_sorted_index_topk(spark, sf_dir):
+    """ES index sorting: build the range-bucketed sorted layout on
+    n_chars, then answer sort+limit with early termination (only the
+    needed bucket partitions are scanned)."""
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_sorted_index, sorted_topk,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    path = os.path.join(tempfile.gettempdir(),
+                        "spark_graft_oracle", "sorted_nchars")
+    build_sorted_index(docs, "n_chars", path, buckets=8)
+    return (
+        sorted_topk(spark, path, "n_chars", k=20, desc=True)
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_agg_terms_partition(spark, sf_dir):
+    """ES terms agg partition pagination (include.partition /
+    num_partitions): slice 0 of 3 of the key space, md5-hash-split at
+    collection time."""
+    from elasticsearch_nlp_classifier_spark.query.aggs import terms_agg
+
+    docs = _docs(spark, sf_dir)
+    return terms_agg(docs, "source", size=20, partition=(0, 3))
+
+
+def q_composite_datehist(spark, sf_dir):
+    """ES composite agg with a date_histogram source (+ terms source):
+    page 2 via the after-key cursor, buckets keyed by day epoch."""
+    from elasticsearch_nlp_classifier_spark.query import composite_agg
+
+    ev = _events(spark, sf_dir)
+    srcs = [
+        {"name": "day_epoch", "field": "ts", "date_histogram": "day"},
+        "event_type",
+    ]
+    p1 = composite_agg(ev, srcs, size=10).collect()
+    after = (p1[-1]["day_epoch"], p1[-1]["event_type"])
+    return composite_agg(ev, srcs, size=10, after=after)
+
+
+def q_knn_cutoff(spark, sf_dir):
+    """ES kNN `similarity` cutoff: exact cosine top-10 with candidates
+    below 0.1 dropped before ranking (queries may return < k hits)."""
+    from elasticsearch_nlp_classifier_spark.operators import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = cosine_topk(emb, queries, k=10, min_similarity=0.1)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc("vec_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            F.round("cos", 6).alias("cos_r6"),
+        )
+    )
+
+
 def _geo_shape_oracle() -> str:
     from elasticsearch_nlp_classifier_spark.query import geo_polygon_sql
 
@@ -4146,6 +4217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_fork": q_esql_fork,
         "esql_inlinestats": q_esql_inlinestats,
         "agg_terms_filtered": q_agg_terms_filtered,
+        "agg_terms_partition": q_agg_terms_partition,
+        "sorted_index_topk": q_sorted_index_topk,
+        "composite_datehist": q_composite_datehist,
+        "knn_cutoff": q_knn_cutoff,
     }
 
 
@@ -7842,6 +7917,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             ORDER BY doc_count DESC, key ASC
             LIMIT 10""",
+        "sorted_index_topk": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+        "agg_terms_partition": f"""
+            SELECT source AS key, count(*)::BIGINT AS doc_count
+            FROM documents
+            WHERE source IS NOT NULL
+              AND floor({_hash_u('source', 'terms_part')} * 3.0) = 0
+            GROUP BY source
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 20""",
+        "composite_datehist": """
+            SELECT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+                   event_type, count(*)::BIGINT AS doc_count
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10 OFFSET 10""",
+        "knn_cutoff": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos, 9) DESC, vec_id ASC) AS rank,
+                     round(cos, 6) AS cos_r6
+              FROM scored WHERE cos >= 0.1
+            )
+            SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
+            FROM ranked WHERE rank <= 10""",
     }
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}

@@ -48,9 +48,16 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    min_similarity: float | None = None,
 ) -> DataFrame:
     """(query_id, rank, vec_id, cos) exact top-k; excludes self-matches
-    when query_id equals a corpus vec_id."""
+    when query_id equals a corpus vec_id.
+
+    ``min_similarity`` is ES kNN's ``similarity`` cutoff: candidates
+    below it are dropped before ranking, so a query may legitimately
+    return fewer than ``k`` hits — a relevance floor, not a different
+    ordering.  It filters inside the scan projection (before the top-k
+    shuffle), so a tight cutoff SHRINKS the ranked set at scale."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
@@ -64,6 +71,8 @@ def cosine_topk(
             cosine(F.col(vec_col), F.col("qv")).alias("cos"),
         )
     )
+    if min_similarity is not None:
+        scored = scored.where(F.col("cos") >= F.lit(float(min_similarity)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

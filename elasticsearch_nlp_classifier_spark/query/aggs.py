@@ -108,6 +108,7 @@ def terms_agg(
     size: int = 10,
     include: str | list | None = None,
     exclude: str | list | None = None,
+    partition: tuple[int, int] | None = None,
 ) -> DataFrame:
     """ES ``terms`` bucket agg: top-``size`` values of ``field`` by
     doc_count (tie → key ascending, matching ES's deterministic order).
@@ -118,6 +119,16 @@ def terms_agg(
     include list never pays for the excluded long tail (same placement
     ES gives its IncludeExclude filter: at collection time, not on the
     final buckets).
+
+    ``partition=(i, num_partitions)`` is ES's high-cardinality
+    pagination (``"include": {"partition": i, "num_partitions": P}``):
+    the key space is hash-split into P disjoint, collectively
+    exhaustive slices and only slice ``i`` is aggregated — the way ES
+    walks a million-term field without one giant response.  Engine
+    hash spec: the portable md5-uniform draw (`operators/sampling`),
+    ``slice = floor(u(key) · P)`` — deterministic, engine-independent
+    (same arithmetic replays in ANSI SQL), applied at collection time
+    like include/exclude.
 
     Returns columns ``(key, doc_count)``.
     """
@@ -131,6 +142,16 @@ def terms_agg(
         keyed = keyed.where(
             ~key.isin([str(v) for v in exclude]) if isinstance(exclude, list)
             else ~key.rlike(f"^(?:{exclude})$"))
+    if partition is not None:
+        from ..operators.sampling import hash_uniform
+
+        i, num = int(partition[0]), int(partition[1])
+        if not (0 <= i < num):
+            raise ValueError("partition must be (i, num) with 0 <= i < num")
+        keyed = keyed.where(
+            F.floor(hash_uniform(key, salt="terms_part")
+                    * F.lit(float(num))) == F.lit(i)
+        )
     return (
         keyed.groupBy(F.col(field).alias("key"))
         .agg(F.count(F.lit(1)).alias("doc_count"))

@@ -97,9 +97,39 @@ def search_after(
     )
 
 
+def _composite_source(src) -> tuple[str, Column]:
+    """(output name, key Column) for one composite source.
+
+    ``src`` is a plain field name (terms source) or an ES-style spec
+    dict: ``{"field": f, "histogram": interval}`` buckets numerics to
+    ``floor(v / interval) * interval``; ``{"field": f,
+    "date_histogram": unit}`` truncates to the calendar unit and keys
+    by epoch seconds (a sortable, engine-portable bucket key).  An
+    optional ``"name"`` overrides the output column name like ES's
+    named sources."""
+    if isinstance(src, str):
+        return src, F.col(src)
+    name = src.get("name", src["field"])
+    f = F.col(src["field"])
+    if "histogram" in src:
+        iv = float(src["histogram"])
+        if iv <= 0:
+            raise ValueError("histogram interval must be positive")
+        return name, (F.floor(f / F.lit(iv)) * F.lit(iv)).cast("double")
+    if "date_histogram" in src:
+        return name, (
+            F.date_trunc(src["date_histogram"], f)
+            .cast("timestamp").cast("long")
+        )
+    raise ValueError(
+        "composite source spec needs 'histogram' or 'date_histogram' "
+        f"(got {sorted(src)})"
+    )
+
+
 def composite_agg(
     df: DataFrame,
-    sources: list[str],
+    sources: list,
     size: int = 10,
     after: tuple | None = None,
 ) -> DataFrame:
@@ -107,26 +137,35 @@ def composite_agg(
     doc_count)`` in full key-tuple ascending order, paginated with an
     ``after`` key tuple.  The pagination cursor is a keyset filter on
     the bucket key, so each page is one partial-aggregated groupBy +
-    TakeOrdered — no state carried between pages."""
+    TakeOrdered — no state carried between pages.
+
+    Sources may be plain field names (terms sources) or ES-style
+    ``histogram`` / ``date_histogram`` spec dicts
+    (`_composite_source`) — mixed freely, exactly like ES composites
+    over ``[{terms}, {date_histogram}]``."""
+    keys = [_composite_source(s) for s in sources]
     out = df
-    for s_col in sources:
-        out = out.where(F.col(s_col).isNotNull())
-    agg = out.groupBy(*sources).agg(F.count(F.lit(1)).alias("doc_count"))
+    for _, key_col in keys:
+        out = out.where(key_col.isNotNull())
+    names = [n for n, _ in keys]
+    agg = out.groupBy(
+        *[key_col.alias(n) for n, key_col in keys]
+    ).agg(F.count(F.lit(1)).alias("doc_count"))
     if after is not None:
-        if len(after) != len(sources):
+        if len(after) != len(keys):
             raise ValueError("after tuple must match sources")
         # lexicographic 'strictly greater than cursor'
         cond = F.lit(False)
-        for i in range(len(sources), 0, -1):
-            c = F.col(sources[i - 1]) > F.lit(after[i - 1])
+        for i in range(len(keys), 0, -1):
+            c = F.col(names[i - 1]) > F.lit(after[i - 1])
             for j in range(i - 1):
-                c = c & (F.col(sources[j]) == F.lit(after[j]))
+                c = c & (F.col(names[j]) == F.lit(after[j]))
             cond = cond | c
         agg = agg.where(cond)
     return (
-        agg.orderBy(*[F.asc(s_col) for s_col in sources])
+        agg.orderBy(*[F.asc(n) for n in names])
         .limit(size)
-        .select(*sources, F.col("doc_count").cast("bigint"))
+        .select(*names, F.col("doc_count").cast("bigint"))
     )
 
 
