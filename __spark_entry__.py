@@ -3790,6 +3790,32 @@ def q_agg_terms_filtered(spark, sf_dir):
                      include="src[0-3]", exclude=["src2"])
 
 
+def q_agg_terms_order_metric(spark, sf_dir):
+    """ES terms agg ordered by a sub-agg metric ("order":
+    {"avg_chars": "desc"}) instead of doc_count."""
+    from elasticsearch_nlp_classifier_spark.query import terms_agg_subs
+
+    docs = _docs(spark, sf_dir)
+    return terms_agg_subs(
+        docs, "lang",
+        {"avg_chars": F.round(F.avg("n_chars"), 6)},
+        size=10, order_by="avg_chars", order_dir="desc",
+    ).select("key", F.col("doc_count").cast("bigint").alias("doc_count"),
+             "avg_chars")
+
+
+def q_agg_histogram_dense(spark, sf_dir):
+    """ES histogram with extended_bounds + min_doc_count=0: gap-free
+    bucket table, empty buckets zero-filled from a sequence spine."""
+    from elasticsearch_nlp_classifier_spark.query import histogram_agg
+
+    ev = _events(spark, sf_dir)
+    return histogram_agg(
+        ev, "value", 50.0, min_doc_count=0,
+        extended_bounds=(-200.0, 700.0),
+    ).select("key", F.col("doc_count").cast("bigint").alias("doc_count"))
+
+
 def q_sorted_index_topk(spark, sf_dir):
     """ES index sorting: build the range-bucketed sorted layout on
     n_chars, then answer sort+limit with early termination (only the
@@ -4219,6 +4245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_filtered": q_agg_terms_filtered,
         "agg_terms_partition": q_agg_terms_partition,
         "sorted_index_topk": q_sorted_index_topk,
+        "agg_terms_order_metric": q_agg_terms_order_metric,
+        "agg_histogram_dense": q_agg_histogram_dense,
         "composite_datehist": q_composite_datehist,
         "knn_cutoff": q_knn_cutoff,
     }
@@ -7920,6 +7948,24 @@ def oracle_sql() -> dict[str, str]:
         "sorted_index_topk": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+        "agg_terms_order_metric": """
+            SELECT lang AS key, count(*)::BIGINT AS doc_count,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents WHERE lang IS NOT NULL
+            GROUP BY lang
+            ORDER BY round(avg(n_chars), 6) DESC, key ASC
+            LIMIT 10""",
+        "agg_histogram_dense": """
+            WITH agg AS (
+              SELECT floor(value / 50.0) * 50.0 AS key,
+                     count(*)::BIGINT AS doc_count
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            spine AS (SELECT (x * 50.0)::DOUBLE AS key
+                      FROM generate_series(-4, 14) t(x))
+            SELECT s.key, coalesce(a.doc_count, 0)::BIGINT AS doc_count
+            FROM spine s LEFT JOIN agg a USING (key)
+            ORDER BY s.key""",
         "agg_terms_partition": f"""
             SELECT source AS key, count(*)::BIGINT AS doc_count
             FROM documents

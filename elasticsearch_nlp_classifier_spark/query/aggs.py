@@ -162,6 +162,7 @@ def terms_agg(
 
 def terms_agg_subs(
     df: DataFrame, field: str, subs: dict[str, Column], size: int = 10,
+    order_by: str | None = None, order_dir: str = "desc",
 ) -> DataFrame:
     """ES ``terms`` agg with SUB-AGGREGATIONS: top-``size`` buckets by
     doc_count (tie → key ASC), each carrying named metric
@@ -171,19 +172,40 @@ def terms_agg_subs(
                        {"avg_chars": F.avg("n_chars"),
                         "max_chars": F.max("n_chars")})
 
+    ``order_by`` is ES's metric bucket ordering (``"order":
+    {"max_chars": "desc"}``): rank buckets by a named sub-agg (or
+    ``"_key"``) instead of doc_count; tie → key ASC always.  Ordering
+    happens on the already-aggregated bucket rows, so it changes only
+    the TakeOrdered key, never the scan.
+
     One hash aggregation computes doc_count and every sub-metric
     together (partial/final, map-side combined) — buckets and metrics
     never require a second scan, exactly how ES computes sub-aggs in
     one collector pass.  Returns ``(key, doc_count, <sub names...>)``.
     """
+    if order_dir not in ("asc", "desc"):
+        raise ValueError("order_dir must be 'asc' or 'desc'")
     aggs = [F.count(F.lit(1)).alias("doc_count")] + [
         c.alias(name) for name, c in subs.items()
     ]
+    if order_by is None:
+        order_by = "doc_count"
+    elif order_by != "_key" and order_by != "doc_count" \
+            and order_by not in subs:
+        raise ValueError(f"order_by {order_by!r} is not a sub-agg name, "
+                         "'doc_count', or '_key'")
+    if order_by == "_key":
+        ordering = [F.col("key").asc() if order_dir == "asc"
+                    else F.col("key").desc()]
+    else:
+        c = F.col(order_by)
+        ordering = [c.asc() if order_dir == "asc" else c.desc(),
+                    F.col("key").asc()]
     return (
         df.where(F.col(field).isNotNull())
         .groupBy(F.col(field).alias("key"))
         .agg(*aggs)
-        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .orderBy(*ordering)
         .limit(size)
     )
 
@@ -191,16 +213,50 @@ def terms_agg_subs(
 def histogram_agg(
     df: DataFrame, field: str, interval: float,
     min_doc_count: int = 1,
+    extended_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """ES ``histogram``: fixed-width numeric buckets keyed by
     ``floor(value / interval) * interval``.  Returns ``(key, doc_count)``
-    sorted by key (ES histogram order)."""
+    sorted by key (ES histogram order).
+
+    ``extended_bounds=(lo, hi)`` with ``min_doc_count=0`` is ES's
+    dense-histogram contract: every bucket in the snapped
+    ``[floor(lo/iv)·iv, floor(hi/iv)·iv]`` range appears, empty ones
+    with ``doc_count = 0`` (chart axes / downstream pipeline aggs need
+    gap-free bucket tables).  The zero-fill joins a ``sequence()``
+    spine of bucket keys — O(buckets), generated JVM-side, never a
+    scan of anything corpus-sized — against the aggregated buckets.
+    """
     key = (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval))
-    return (
+    agg = (
         df.where(F.col(field).isNotNull())
         .groupBy(key.cast("double").alias("key"))
         .agg(F.count(F.lit(1)).alias("doc_count"))
-        .where(F.col("doc_count") >= min_doc_count)
+    )
+    if extended_bounds is not None:
+        lo, hi = (float(x) for x in extended_bounds)
+        if hi < lo:
+            raise ValueError("extended_bounds must be (lo, hi) with "
+                             "lo <= hi")
+        import math as _math
+
+        lo_k = _math.floor(lo / interval)
+        hi_k = _math.floor(hi / interval)
+        spine = (
+            df.sparkSession.range(1)
+            .select(F.explode(F.sequence(
+                F.lit(int(lo_k)), F.lit(int(hi_k))
+            )).alias("_k"))
+            .select((F.col("_k") * F.lit(interval))
+                    .cast("double").alias("key"))
+        )
+        agg = (
+            spine.join(agg, "key", "full_outer")
+            .select("key",
+                    F.coalesce("doc_count", F.lit(0)).alias("doc_count"))
+        )
+    return (
+        agg.where(F.col("doc_count") >= min_doc_count)
         .orderBy("key")
     )
 

@@ -104,3 +104,57 @@ def test_knn_cutoff_is_a_floor_not_a_reorder(spark, vectors):
     assert [(r.query_id, r.vec_id) for r in cut] == kept
     # random 8-dim vectors: a 0.5 floor must cut below k for some query
     assert len(cut) < len(full)
+
+
+# --- terms order by sub-agg metric ------------------------------------------
+
+def test_terms_order_by_metric(spark, keyed):
+    from elasticsearch_nlp_classifier_spark.query import terms_agg_subs
+
+    got = terms_agg_subs(
+        keyed, "key", {"max_v": F.max("v")}, size=5,
+        order_by="max_v", order_dir="desc",
+    ).collect()
+    # rows sorted by the metric, not doc_count
+    vals = [r.max_v for r in got]
+    assert vals == sorted(vals, reverse=True)
+    # _key ordering mode
+    by_key = terms_agg_subs(
+        keyed, "key", {"max_v": F.max("v")}, size=5,
+        order_by="_key", order_dir="asc",
+    ).collect()
+    ks = [r.key for r in by_key]
+    assert ks == sorted(ks)
+
+
+def test_terms_order_by_unknown_metric_rejected(spark, keyed):
+    from elasticsearch_nlp_classifier_spark.query import terms_agg_subs
+
+    with pytest.raises(ValueError, match="order_by"):
+        terms_agg_subs(keyed, "key", {"m": F.max("v")},
+                       order_by="nope").collect()
+
+
+# --- dense histogram --------------------------------------------------------
+
+def test_histogram_extended_bounds_zero_fill(spark, keyed):
+    from elasticsearch_nlp_classifier_spark.query import histogram_agg
+
+    # v in [0, 50); bounds force empty buckets either side
+    got = histogram_agg(keyed, "v", 10.0, min_doc_count=0,
+                        extended_bounds=(-30.0, 80.0)).collect()
+    keys = [r.key for r in got]
+    assert keys == [-30.0, -20.0, -10.0, 0.0, 10.0, 20.0, 30.0,
+                    40.0, 50.0, 60.0, 70.0, 80.0]
+    counts = {r.key: r.doc_count for r in got}
+    assert counts[-30.0] == 0 and counts[80.0] == 0
+    assert sum(counts.values()) == 500
+
+
+def test_histogram_extended_bounds_respects_min_doc_count(spark, keyed):
+    from elasticsearch_nlp_classifier_spark.query import histogram_agg
+
+    got = histogram_agg(keyed, "v", 10.0, min_doc_count=1,
+                        extended_bounds=(-30.0, 80.0)).collect()
+    assert all(r.doc_count >= 1 for r in got)
+    assert [r.key for r in got] == [0.0, 10.0, 20.0, 30.0, 40.0]
