@@ -10,3 +10,4 @@ from .incremental import (  # noqa: F401
     compact_segments,
     incremental_index_stream,
 )
+from .eql import eql_sequence_stream  # noqa: F401
