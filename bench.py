@@ -739,6 +739,15 @@ def scaling_run(
             best["hw_envelope_speedup"] / factor, 3),
         "engine_vs_envelope": best["engine_vs_envelope"],
     }
+    if pool_valid:
+        import statistics
+
+        report["n_valid_rounds"] = len(pool_valid)
+        report["median_valid_engine_vs_envelope"] = round(
+            statistics.median(d["engine_vs_envelope"] for d in pool_valid),
+            3)
+        report["median_valid_speedup"] = round(
+            statistics.median(d["speedup"] for d in pool_valid), 3)
     results = {
         c: {
             "build_s": best["build_s"][c],
@@ -841,6 +850,14 @@ def scaling_run(
             f"executor cluster each executor owns its cores/memory/disk, "
             f"so the envelope there is ~1.0 and wall-clock efficiency "
             f"converges to this number)\n"
+            + (
+                "- median over ALL valid rounds (guards the headline "
+                "against a single lucky window): engine/envelope "
+                f"**{report['median_valid_engine_vs_envelope']}**, "
+                f"speedup {report['median_valid_speedup']}× across "
+                f"{report['n_valid_rounds']} valid rounds\n"
+                if report.get("n_valid_rounds") else ""
+            )
             + _cross_level_section(fp, n_docs, (c_small, c_big))
             + _interpretation_section(report, best, c_small, c_big)
         )
