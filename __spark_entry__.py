@@ -3790,6 +3790,22 @@ def q_agg_terms_filtered(spark, sf_dir):
                      include="src[0-3]", exclude=["src2"])
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): select raw docs
+    whose hashed-unigram distribution matches the en-language target
+    slice; deterministic Gumbel-top-50."""
+    from elasticsearch_nlp_classifier_spark.operators import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    out = dsir_select(docs, target, k=50, n_buckets=256)
+    return out.select(
+        "doc_id",
+        F.round("dsir_logweight", 6).alias("lw_r6"),
+        F.round("gumbel_key", 6).alias("key_r6"),
+    )
+
+
 def q_agg_terms_order_metric(spark, sf_dir):
     """ES terms agg ordered by a sub-agg metric ("order":
     {"avg_chars": "desc"}) instead of doc_count."""
@@ -4246,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_partition": q_agg_terms_partition,
         "sorted_index_topk": q_sorted_index_topk,
         "agg_terms_order_metric": q_agg_terms_order_metric,
+        "dsir_select": q_dsir_select,
         "agg_histogram_dense": q_agg_histogram_dense,
         "composite_datehist": q_composite_datehist,
         "knn_cutoff": q_knn_cutoff,
@@ -7948,6 +7965,56 @@ def oracle_sql() -> dict[str, str]:
         "sorted_index_topk": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+        "dsir_select": f"""
+            WITH toks_raw AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '')) AS tok
+              FROM documents
+            ),
+            b_raw AS (
+              SELECT doc_id,
+                     floor({_hash_u('tok', 'dsir')} * 256.0)::INT
+                       AS bucket
+              FROM toks_raw
+            ),
+            rawc AS (SELECT bucket, count(*)::BIGINT AS r_cnt
+                     FROM b_raw GROUP BY 1),
+            tgt AS (
+              SELECT bucket, count(*)::BIGINT AS t_cnt
+              FROM b_raw
+              JOIN (SELECT DISTINCT doc_id FROM documents
+                    WHERE lang = 'en') USING (doc_id)
+              GROUP BY 1
+            ),
+            tot AS (SELECT (SELECT sum(r_cnt) FROM rawc)::DOUBLE
+                             AS r_total,
+                           (SELECT coalesce(sum(t_cnt), 0)
+                            FROM tgt)::DOUBLE AS t_total),
+            ratio AS (
+              SELECT r.bucket,
+                     ln((coalesce(t.t_cnt, 0) + 1.0)
+                        / ((SELECT t_total FROM tot) + 256.0))
+                     - ln((r.r_cnt + 1.0)
+                          / ((SELECT r_total FROM tot) + 256.0))
+                       AS log_ratio
+              FROM rawc r LEFT JOIN tgt t ON r.bucket = t.bucket
+            ),
+            w AS (
+              SELECT doc_id, sum(log_ratio) AS lw
+              FROM b_raw JOIN ratio USING (bucket)
+              GROUP BY 1
+            ),
+            keyed AS (
+              SELECT doc_id, lw,
+                     lw - ln(-ln({_hash_u('doc_id', 'dsir_gumbel')}
+                                 + 1e-18)) AS gk
+              FROM w
+            )
+            SELECT doc_id, round(lw, 6) AS lw_r6, round(gk, 6) AS key_r6
+            FROM keyed
+            ORDER BY round(gk, 9) DESC, doc_id ASC LIMIT 50""",
         "agg_terms_order_metric": """
             SELECT lang AS key, count(*)::BIGINT AS doc_count,
                    round(avg(n_chars), 6) AS avg_chars

@@ -99,3 +99,4 @@ from .sharding import (  # noqa: F401
     shard_assignment,
     write_shards,
 )
+from .dsir import dsir_bucket_counts, dsir_select, dsir_weights  # noqa: F401
