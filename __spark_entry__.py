@@ -3790,6 +3790,26 @@ def q_agg_terms_filtered(spark, sf_dir):
                      include="src[0-3]", exclude=["src2"])
 
 
+def q_es_dsl_search(spark, sf_dir):
+    """ES _search body (Query-DSL JSON) compiled and executed — same
+    bool query as the bool_query entry, arriving as JSON; the oracle is
+    literally the bool_query SQL."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        RetrieverContext, es_search,
+    )
+
+    ctx = RetrieverContext(index=_logical_index(spark, sf_dir),
+                           docs=_docs(spark, sf_dir),
+                           analyzer="simple_code")
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "should": [{"match": {"text": {"query": "value", "boost": 2.0}}}],
+    }}, "size": 10}
+    out = es_search(body, ctx)
+    return out.select("rank", "doc_id",
+                      F.round("score", 6).alias("score_r6"))
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): select raw docs
     whose hashed-unigram distribution matches the en-language target
@@ -4263,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_index_topk": q_sorted_index_topk,
         "agg_terms_order_metric": q_agg_terms_order_metric,
         "dsir_select": q_dsir_select,
+        "es_dsl_search": q_es_dsl_search,
         "agg_histogram_dense": q_agg_histogram_dense,
         "composite_datehist": q_composite_datehist,
         "knn_cutoff": q_knn_cutoff,
@@ -8070,6 +8091,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
             FROM ranked WHERE rank <= 10""",
     }
+    # the DSL compiler entry runs the bool_query config through the
+    # JSON path — its correct answer is by definition the same SQL
+    sqls["es_dsl_search"] = sqls["bool_query"]
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}
 

@@ -1,0 +1,140 @@
+"""Query-DSL JSON compiler: every node row-identical to the direct
+operator call it dispatches to."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_nlp_classifier_spark.index import build_logical_index
+from elasticsearch_nlp_classifier_spark.query import (
+    RetrieverContext,
+    bm25_topk,
+    bool_query_topk,
+    boosting_topk,
+    constant_score_topk,
+    dis_max_topk,
+    es_search,
+    multi_match_topk,
+)
+
+DOCS = [
+    (1, "spark data engine", "fast spark engine docs", 3),
+    (2, "data tables and data frames", "columnar data layout", 7),
+    (3, "query planner", "catalyst optimizes the query", 1),
+    (4, "spark streaming data", "micro batch engine", 5),
+    (5, "storage formats", "parquet orc avro", 2),
+]
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    df = spark.createDataFrame(
+        DOCS, "doc_id long, title string, body string, stars int"
+    )
+    idx = build_logical_index(df, text_col="title",
+                              analyzer="simple_code")
+    idx.postings = idx.postings.cache(); idx.postings.count()
+    return RetrieverContext(
+        index=idx,
+        docs=df,
+        analyzer="simple_code",
+        extra={"indexes": {
+            "title": idx,
+            "body": build_logical_index(df, text_col="body",
+                                        analyzer="simple_code"),
+        }},
+    )
+
+
+def _rows(df):
+    return [(r.rank, r.doc_id, round(r.score, 9)) for r in df.collect()]
+
+
+def test_match(spark, ctx):
+    got = es_search({"query": {"match": {"title": "spark data"}}},
+                    ctx, k=5)
+    q = spark.createDataFrame([(0, "spark data")],
+                              "query_id int, query_text string")
+    want = bm25_topk(ctx.index, q, k=5, analyzer="simple_code")
+    assert [d for _, d, _ in _rows(got)] == \
+        [r.doc_id for r in want.collect()]
+
+
+def test_match_all_size(spark, ctx):
+    got = es_search({"query": {"match_all": {}}, "size": 3}, ctx)
+    assert _rows(got) == [(1, 1, 1.0), (2, 2, 1.0), (3, 3, 1.0)]
+
+
+def test_bool(spark, ctx):
+    body = {"query": {"bool": {
+        "must": [{"match": {"title": "data"}}],
+        "should": [{"match": {"title": {"query": "spark", "boost": 2.0}}}],
+        "must_not": [{"match": {"title": "streaming"}}],
+    }}}
+    got = es_search(body, ctx, k=5)
+    want = bool_query_topk(ctx.index, must=["data"],
+                           should=[("spark", 2.0)],
+                           must_not=["streaming"], k=5,
+                           analyzer="simple_code")
+    assert _rows(got) == _rows(want)
+
+
+def test_dis_max(spark, ctx):
+    body = {"query": {"dis_max": {
+        "queries": [{"match": {"title": "spark"}},
+                    {"match": {"title": "query"}}],
+        "tie_breaker": 0.3}}}
+    got = es_search(body, ctx, k=5)
+    want = dis_max_topk(ctx.index, ["spark", "query"], tie_breaker=0.3,
+                        k=5, analyzer="simple_code")
+    assert _rows(got) == _rows(want)
+
+
+def test_constant_score_and_boosting(spark, ctx):
+    got = es_search({"query": {"constant_score": {
+        "filter": {"match": {"title": "data"}}, "boost": 1.5}}}, ctx, k=5)
+    want = constant_score_topk(ctx.index, "data", boost=1.5, k=5,
+                               analyzer="simple_code")
+    assert _rows(got) == _rows(want)
+
+    got = es_search({"query": {"boosting": {
+        "positive": {"match": {"title": "data"}},
+        "negative": {"match": {"title": "streaming"}},
+        "negative_boost": 0.2}}}, ctx, k=5)
+    want = boosting_topk(ctx.index, "data", "streaming",
+                         negative_boost=0.2, k=5,
+                         analyzer="simple_code")
+    assert _rows(got) == _rows(want)
+
+
+def test_multi_match_with_caret_boost(spark, ctx):
+    body = {"query": {"multi_match": {
+        "query": "spark engine", "fields": ["title^2", "body"],
+        "type": "most_fields"}}}
+    got = es_search(body, ctx, k=5)
+    want = multi_match_topk(ctx.extra["indexes"], "spark engine",
+                            field_boosts={"title": 2.0},
+                            mode="most_fields", k=5,
+                            analyzer="simple_code")
+    assert _rows(got) == _rows(want)
+
+
+def test_function_score_field_value_factor(spark, ctx):
+    body = {"query": {"function_score": {
+        "query": {"match": {"title": "data"}},
+        "field_value_factor": {"field": "stars", "factor": 1.0,
+                               "modifier": "log1p"},
+        "boost_mode": "multiply"}}}
+    got = _rows(es_search(body, ctx, k=5))
+    # doc 2 (stars 7, two 'data' hits) must outrank doc 4 (stars 5)
+    assert got[0][1] == 2
+    assert {d for _, d, _ in got} == {1, 2, 4}  # the 'data' matchers
+
+
+def test_unsupported_nodes_raise(spark, ctx):
+    with pytest.raises(ValueError, match="unsupported query node"):
+        es_search({"query": {"fuzzy": {"title": "spark"}}}, ctx)
+    with pytest.raises(ValueError, match="sub-clause"):
+        es_search({"query": {"bool": {"must": [
+            {"bool": {"must": []}}]}}}, ctx)
+    with pytest.raises(ValueError, match="query"):
+        es_search({}, ctx)
