@@ -1098,6 +1098,39 @@ def q_fuzzy_bm25(spark, sf_dir):
     )
 
 
+def q_fuzzy_auto(spark, sf_dir):
+    """ES fuzziness AUTO: per-token edit allowance from token length
+    (of→0, tble→1, dataset→2) — short tokens exact, long ones typo-
+    tolerant."""
+    import tempfile
+
+    import pandas as pd
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query.fuzzy import fuzzy_topk
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="fuzzy_auto_ix_") + "/idx"
+    index = build_physical_index(
+        docs, out, text_col="text", analyzer="simple_code"
+    )
+    q = pd.DataFrame({"query_id": [1], "query_text": ["of tble dataset"]})
+    scored = fuzzy_topk(index, q, k=50, max_edits="AUTO",
+                        analyzer="simple_code")
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank2", F.row_number().over(w))
+        .where(F.col("rank2") <= 10)
+        .select(
+            F.col("rank2").cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score_r6"),
+        )
+    )
+
+
 def q_wand_deletes(spark, sf_dir):
     """Tombstoned BM25: delete a fixed id set, WAND must rank live docs
     only while stats stay as-built (Lucene liveDocs contract)."""
@@ -4121,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "qs_range_prohibit": q_qs_range_prohibit,
         "fuzzy_bm25": q_fuzzy_bm25,
+        "fuzzy_auto": q_fuzzy_auto,
         "wand_deletes": q_wand_deletes,
         "mlt_topk": q_mlt_topk,
         "prefix_bm25": q_prefix_bm25,
@@ -4704,6 +4738,27 @@ qt AS (
     SELECT term, levenshtein(term, 'table') AS d
     FROM stats WHERE abs(length(term) - 5) <= 1
   ) WHERE d <= 1 ORDER BY d, term LIMIT 50
+),
+""" + _BM25_TAIL
+
+# fuzziness AUTO twin: per-token allowance by length (of: 0 edits,
+# tble: 1, dataset: 2), each expansion capped 50 by (dist, term)
+_FUZZY_AUTO_SQL = _BM25_BASE + """,
+qt AS (
+  (SELECT term FROM (
+     SELECT term, levenshtein(term, 'of') AS d
+     FROM stats WHERE abs(length(term) - 2) <= 0
+   ) WHERE d <= 0 ORDER BY d, term LIMIT 50)
+  UNION
+  (SELECT term FROM (
+     SELECT term, levenshtein(term, 'tble') AS d
+     FROM stats WHERE abs(length(term) - 4) <= 1
+   ) WHERE d <= 1 ORDER BY d, term LIMIT 50)
+  UNION
+  (SELECT term FROM (
+     SELECT term, levenshtein(term, 'dataset') AS d
+     FROM stats WHERE abs(length(term) - 7) <= 2
+   ) WHERE d <= 2 ORDER BY d, term LIMIT 50)
 ),
 """ + _BM25_TAIL
 
@@ -5534,6 +5589,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE doc_id >= 100 AND doc_id < 300 AND NOT (lang = 'en')""",
         "fuzzy_bm25": "WITH " + _FUZZY_BM25_SQL,
+        "fuzzy_auto": "WITH " + _FUZZY_AUTO_SQL,
         "wand_deletes": "WITH " + _WAND_DELETES_SQL,
         "regexp_bm25": "WITH " + _REGEXP_SQL,
         "decay_score": "WITH " + _DECAY_SQL,

@@ -65,11 +65,22 @@ def fuzzy_expand(
     return [r["term"] for r in rows]
 
 
+def auto_edits(token: str, spec: str = "AUTO") -> int:
+    """ES ``fuzziness: AUTO[:lo,hi]`` — allowed edits by token length:
+    0 below ``lo`` chars, 1 in ``[lo, hi)``, 2 at ``hi``+ (ES defaults
+    lo=3, hi=6)."""
+    lo, hi = 3, 6
+    if ":" in spec:
+        lo, hi = (int(x) for x in spec.split(":", 1)[1].split(","))
+    n = len(token)
+    return 0 if n < lo else (1 if n < hi else 2)
+
+
 def fuzzy_topk(
     index: PhysicalIndex,
     queries: "DataFrame | object",
     k: int = 10,
-    max_edits: int = 1,
+    max_edits: int | str = 1,
     prefix_length: int = 0,
     max_expansions: int = 50,
     analyzer: str = "code",
@@ -78,6 +89,11 @@ def fuzzy_topk(
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): BM25 top-k where every analyzed
     query token is fuzzy-expanded against the vocabulary.
+
+    ``max_edits`` is an int or ES's ``"AUTO"`` / ``"AUTO:lo,hi"``
+    string — per-token allowance from the token's length
+    (`auto_edits`), so short tokens stay exact while long ones tolerate
+    typos, exactly the ES default users run with.
 
     One expansion probe for the whole batch (all tokens' length bands
     and distances in a single scan), then one WAND scoring pass.
@@ -93,20 +109,29 @@ def fuzzy_topk(
     })
     if not tok_pairs:
         return index.spark.createDataFrame([], RESULT_SCHEMA)
-    uniq_toks = sorted({t for _, t in tok_pairs})
+    if isinstance(max_edits, str):
+        if not max_edits.upper().startswith("AUTO"):
+            raise ValueError(f"max_edits: int or 'AUTO[:lo,hi]', got "
+                             f"{max_edits!r}")
+        edits_of = {t: auto_edits(t, max_edits.upper())
+                    for _, t in tok_pairs}
+    else:
+        edits_of = {t: int(max_edits) for _, t in tok_pairs}
+    uniq_toks = sorted(edits_of)
 
     # one batch expansion probe: vocab × query-token distance table
     vocab = index.term_stats.select("term")
     qtok = index.spark.createDataFrame(
-        [(t,) for t in uniq_toks], "qtok string"
+        [(t, edits_of[t]) for t in uniq_toks], "qtok string, edits int"
     )
     d = F.levenshtein(F.col("term"), F.col("qtok"))
     exp = (
         vocab.join(
             F.broadcast(qtok),
             (
-                F.abs(F.length("term") - F.length("qtok")) <= max_edits
-            ) & (d <= max_edits)
+                F.abs(F.length("term") - F.length("qtok"))
+                <= F.col("edits")
+            ) & (d <= F.col("edits"))
             & (
                 F.lit(prefix_length <= 0)
                 | (F.substring("term", 1, prefix_length)

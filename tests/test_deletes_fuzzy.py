@@ -225,3 +225,44 @@ def test_pit_open_on_fresh_index_is_empty_tombstones(spark, index):
     pit = open_pit(index)
     assert pit_deleted_array(pit).size == 0
     assert pit.pit_id
+
+
+def test_auto_edits_ladder():
+    from elasticsearch_nlp_classifier_spark.query.fuzzy import auto_edits
+
+    assert [auto_edits(t) for t in ["a", "of", "the", "valu", "value",
+                                    "values"]] == [0, 0, 1, 1, 1, 2]
+    assert auto_edits("the", "AUTO:4,8") == 0
+    assert auto_edits("valuexx", "AUTO:4,8") == 1
+
+
+def test_fuzzy_auto_short_tokens_stay_exact(spark, index):
+    """AUTO keeps 2-char tokens exact while long tokens fuzz: a typo'd
+    long token still matches, a typo'd short token matches nothing."""
+    import pandas as pd
+
+    from elasticsearch_nlp_classifier_spark.query.fuzzy import fuzzy_topk
+
+    long_typo = pd.DataFrame(
+        {"query_id": [1], "query_text": ["sprk"]})  # 4 chars -> 1 edit
+    hits = fuzzy_topk(index, long_typo, k=5, max_edits="AUTO",
+                      analyzer="simple_code").collect()
+    assert len(hits) > 0
+    short_typo = pd.DataFrame(
+        {"query_id": [1], "query_text": ["th"]})    # 2 chars -> exact
+    none = fuzzy_topk(index, short_typo, k=5, max_edits="AUTO",
+                      analyzer="simple_code").collect()
+    # 'th' is not a vocabulary term in the fixture corpus
+    assert none == []
+
+
+def test_fuzzy_rejects_bad_spec(spark, index):
+    import pandas as pd
+    import pytest as _pt
+
+    from elasticsearch_nlp_classifier_spark.query.fuzzy import fuzzy_topk
+
+    with _pt.raises(ValueError, match="AUTO"):
+        fuzzy_topk(index, pd.DataFrame(
+            {"query_id": [1], "query_text": ["x"]}),
+            max_edits="2ish", analyzer="simple_code")
