@@ -174,3 +174,33 @@ def rescore_phrase(
         .select(F.col("rank").cast("bigint").alias("rank"),
                 "doc_id", "score")
     )
+
+
+def decay_score_geo(
+    hits: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    origin: tuple[float, float],
+    scale_km: float,
+    decay: float = 0.5,
+    offset_km: float = 0.0,
+    fn: str = "gauss",
+    boost_mode: str = "multiply",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES ``function_score`` decay on a **geo_point** field: the decay
+    input is great-circle distance (km) from ``origin`` instead of a
+    numeric delta — ES's ``"gauss": {"location": {"origin": "...",
+    "scale": "10km"}}`` form.  Reuses the numeric curves
+    (`decay_score`) on a computed haversine column; everything stays
+    JVM-side codegen like the numeric variant."""
+    from .geo import haversine_km
+
+    d = haversine_km(F.col(lat_col), F.col(lon_col), *origin)
+    tmp = hits.withColumn("__geo_dist_km", d)
+    out = decay_score(
+        tmp, "__geo_dist_km", origin=0.0, scale=scale_km,
+        decay=decay, offset=offset_km, fn=fn, boost_mode=boost_mode,
+        score_col=score_col,
+    )
+    return out.drop("__geo_dist_km")

@@ -15,3 +15,8 @@ from .merge import (  # noqa: F401
     merge_updates,
     update_by_query,
 )
+from .ingest import (  # noqa: F401
+    apply_ingest_pipeline,
+    compile_ingest_pipeline,
+    simulate_ingest_pipeline,
+)

@@ -244,3 +244,25 @@ def apply_ingest_pipeline(
     [...]}`` (the exact body of ``PUT _ingest/pipeline/<id>``)."""
     return compile_ingest_pipeline(df, pipeline["processors"],
                                    failure_marker=failure_marker)
+
+
+def simulate_ingest_pipeline(
+    spark,
+    pipeline: dict,
+    docs: list[dict],
+    failure_marker: str | None = "_ingest_error",
+) -> list[dict]:
+    """ES ``POST _ingest/pipeline/_simulate``: run the pipeline body
+    over literal ``docs`` and return the transformed documents — the
+    dry-run users hit before wiring a pipeline into indexing.  Same
+    compiled projection chain as the real path (`apply_ingest_pipeline`
+    IS the execution), just over an inline relation, so what simulate
+    shows is exactly what indexing will do."""
+    import pandas as pd
+
+    if not docs:
+        return []
+    src = spark.createDataFrame(pd.DataFrame(docs))
+    out = apply_ingest_pipeline(src, pipeline,
+                                failure_marker=failure_marker)
+    return [row.asDict(recursive=True) for row in out.collect()]

@@ -140,3 +140,36 @@ def test_pipeline_is_pure_codegen(df):
     assert "EvalPython" not in plan  # zero Python in the ingest path
     # zero shuffle: a pipeline is a projection chain
     assert "Exchange" not in plan
+
+
+def test_simulate_matches_real_pipeline(spark):
+    from elasticsearch_nlp_classifier_spark.sources import (
+        apply_ingest_pipeline, simulate_ingest_pipeline,
+    )
+
+    pipeline = {"description": "demo", "processors": [
+        {"set": {"field": "env", "value": "prod"}},
+        {"lowercase": {"field": "host"}},
+        {"convert": {"field": "code", "type": "integer"}},
+    ]}
+    docs = [{"host": "WEB-01", "code": "200"},
+            {"host": "Db-02", "code": "500"}]
+    got = simulate_ingest_pipeline(spark, pipeline, docs)
+    assert got[0]["env"] == "prod" and got[0]["host"] == "web-01"
+    assert got[1]["code"] == 500
+    # simulate IS the real path: same rows as running the pipeline
+    import pandas as pd
+    real = apply_ingest_pipeline(
+        spark.createDataFrame(pd.DataFrame(docs)), pipeline,
+        failure_marker="_ingest_error",
+    ).collect()
+    assert [r.asDict(recursive=True) for r in real] == got
+    assert all(g["_ingest_error"] is False for g in got)
+
+
+def test_simulate_empty_docs(spark):
+    from elasticsearch_nlp_classifier_spark.sources import (
+        simulate_ingest_pipeline,
+    )
+
+    assert simulate_ingest_pipeline(spark, {"processors": []}, []) == []

@@ -135,3 +135,23 @@ def test_random_score_deterministic_uniform(spark):
     assert ((a.score.values >= 0) & (a.score.values < 1)).all()
     # roughly uniform: mean within 10% of 0.5 on 500 draws
     assert abs(a.score.mean() - 0.5) < 0.05
+
+
+def test_decay_score_geo_reference_points(spark):
+    """Geo decay: 1.0 at the origin, exactly `decay` at scale_km."""
+    import math
+
+    from elasticsearch_nlp_classifier_spark.query import decay_score_geo
+
+    origin = (50.0, 10.0)
+    # a point ~111.19 km due north (1 degree of latitude)
+    rows = [(1, 50.0, 10.0, 1.0), (2, 51.0, 10.0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lat double, lon double, score double"
+    )
+    km_per_deg = 111.19492664455873  # R_earth * pi / 180 for R=6371.0088
+    out = {r.doc_id: r.score for r in decay_score_geo(
+        df, "lat", "lon", origin, scale_km=km_per_deg, decay=0.5,
+    ).collect()}
+    assert out[1] == pytest.approx(1.0, abs=1e-9)
+    assert out[2] == pytest.approx(0.5, rel=1e-6)
