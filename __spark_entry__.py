@@ -3823,6 +3823,40 @@ def q_agg_terms_filtered(spark, sf_dir):
                      include="src[0-3]", exclude=["src2"])
 
 
+def q_ltr_rescore(spark, sf_dir):
+    """ES LTR plugin workflow: log features over the BM25 window,
+    train a pointwise linear ranker on deterministic judgments,
+    rescore the window.  Features + trained weights are MATERIALIZED
+    and the oracle replays the rescore (dot + rank) in DuckDB."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        ltr_features, ltr_rescore, train_ltr,
+    )
+
+    idx = _logical_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(1, "data value table")], "query_id int, query_text string"
+    )
+    feats = ltr_features(idx, q, docs, ["n_chars"], window=50,
+                         analyzer="simple_code")
+    judgments = docs.select(
+        F.lit(1).alias("query_id"), "doc_id",
+        (F.col("doc_id") % 4).cast("double").alias("grade"),
+    )
+    model = train_ltr(feats, judgments, ridge_lambda=0.1)
+    scratch = _oracle_scratch()
+    feats.write.mode("overwrite").parquet(f"{scratch}/ltr_feats.parquet")
+    spark.createDataFrame(
+        [(model["beta"], model["intercept"])],
+        "beta array<double>, intercept double",
+    ).write.mode("overwrite").parquet(f"{scratch}/ltr_weights.parquet")
+    out = ltr_rescore(feats, model, k=10)
+    return out.select(
+        "query_id", F.col("rank").cast("bigint").alias("rank"),
+        "doc_id", F.round("ltr_score", 6).alias("score_r6"),
+    )
+
+
 def q_es_dsl_search(spark, sf_dir):
     """ES _search body (Query-DSL JSON) compiled and executed — same
     bool query as the bool_query entry, arriving as JSON; the oracle is
@@ -4318,6 +4352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_order_metric": q_agg_terms_order_metric,
         "dsir_select": q_dsir_select,
         "es_dsl_search": q_es_dsl_search,
+        "ltr_rescore": q_ltr_rescore,
         "agg_histogram_dense": q_agg_histogram_dense,
         "composite_datehist": q_composite_datehist,
         "knn_cutoff": q_knn_cutoff,
@@ -8150,6 +8185,27 @@ def oracle_sql() -> dict[str, str]:
     # the DSL compiler entry runs the bool_query config through the
     # JSON path — its correct answer is by definition the same SQL
     sqls["es_dsl_search"] = sqls["bool_query"]
+    sqls["ltr_rescore"] = """
+        WITH f AS (SELECT * FROM
+                   read_parquet('{SCRATCH}/ltr_feats.parquet/*.parquet')),
+        w AS (SELECT * FROM
+              read_parquet('{SCRATCH}/ltr_weights.parquet/*.parquet')),
+        scored AS (
+          SELECT f.query_id, f.doc_id,
+                 (SELECT intercept FROM w)
+                 + list_dot_product(f.features::DOUBLE[],
+                                    (SELECT beta FROM w)::DOUBLE[]) AS s
+          FROM f
+        ),
+        ranked AS (
+          SELECT query_id, doc_id, s,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(s, 9) DESC, doc_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank::BIGINT AS rank, doc_id,
+               round(s, 6) AS score_r6
+        FROM ranked WHERE rank <= 10"""
     scratch = _oracle_scratch()
     return {k: v.replace("{SCRATCH}", scratch) for k, v in sqls.items()}
 

@@ -174,3 +174,4 @@ from .similarity_modules import similarity_topk  # noqa: F401
 from .aggs import terms_agg_subs  # noqa: F401
 from .dsl import compile_query_node, es_search  # noqa: F401
 from .rescore import decay_score_geo  # noqa: F401
+from .ltr import ltr_features, ltr_rescore, train_ltr  # noqa: F401
