@@ -1673,6 +1673,26 @@ def q_percolate(spark, sf_dir):
     return percolate(docs, reg, analyzer="simple_code")
 
 
+def q_percolate_scored(spark, sf_dir):
+    """Scored percolation: matching stored queries ranked per doc by
+    the BM25 contract against the corpus stats."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        percolate_scored,
+        register_queries,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = _logical_index(spark, sf_dir)
+    reg = register_queries(
+        spark,
+        [(1, "data value"), (2, "table"), (3, "data data")],
+        analyzer="simple_code", operator="and",
+    )
+    out = percolate_scored(docs, reg, idx, analyzer="simple_code")
+    return out.select("doc_id", "query_id", "matched_terms",
+                      F.round("score", 6).alias("score_r6"))
+
+
 def q_pii_stats(spark, sf_dir):
     """PII detection counts over docs with deterministically planted
     emails/IPs/phones (JVM regexp_count; oracle runs the identical
@@ -4353,6 +4373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "es_dsl_search": q_es_dsl_search,
         "ltr_rescore": q_ltr_rescore,
+        "percolate_scored": q_percolate_scored,
         "agg_histogram_dense": q_agg_histogram_dense,
         "composite_datehist": q_composite_datehist,
         "knn_cutoff": q_knn_cutoff,
@@ -5799,6 +5820,29 @@ def oracle_sql() -> dict[str, str]:
             FROM dterms JOIN reg USING (term)
             GROUP BY doc_id, query_id, n_terms
             HAVING count(*) >= n_terms""",
+        "percolate_scored": f"""
+            WITH {_BM25_BASE},
+            reg(query_id, term, msm) AS (VALUES
+              (1, 'data', 2), (1, 'value', 2),
+              (2, 'table', 1), (3, 'data', 1)
+            ),
+            contrib AS (
+              SELECT tf.doc_id, r.query_id, r.msm,
+                     ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                            / (s.df + 0.5))
+                       * tf.tf
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                          / (SELECT avgdl FROM corpus))) AS c
+              FROM tf
+              JOIN reg r USING (term)
+              JOIN stats s USING (term)
+              JOIN dl USING (doc_id)
+            )
+            SELECT doc_id, query_id::BIGINT AS query_id,
+                   count(*)::BIGINT AS matched_terms,
+                   round(sum(c), 6) AS score_r6
+            FROM contrib GROUP BY doc_id, query_id, msm
+            HAVING count(*) >= msm""",
         "pii_stats": """
             WITH d AS (
               SELECT doc_id AS id,

@@ -14,7 +14,11 @@ from .highlight import highlight  # noqa: F401
 from .rrf import hybrid_search_topk, rrf_fuse  # noqa: F401
 from .suggest_phrase import phrase_suggest  # noqa: F401
 from .oracle import bm25_oracle  # noqa: F401
-from .percolate import percolate, register_queries  # noqa: F401
+from .percolate import (  # noqa: F401
+    percolate,
+    percolate_scored,
+    register_queries,
+)
 from .rescore import function_score, rescore_phrase  # noqa: F401
 from .search import (  # noqa: F401
     collapse_inner_hits,

@@ -95,3 +95,67 @@ def percolate(
         .where(F.col("matched_terms") >= F.col("_msm"))
         .select("doc_id", "query_id", "matched_terms")
     )
+
+
+def percolate_scored(
+    docs: DataFrame,
+    registered: DataFrame,
+    index,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "code",
+) -> DataFrame:
+    """Scored percolation — ES's ``percolate`` query inside a ranked
+    search: matching stored queries come back SCORED against the
+    document, so alert consumers can rank which subscriptions a doc
+    satisfies best.
+
+    Engine scoring spec (the BM25 contract transplanted): for each
+    (doc, matching query),
+
+        score = Σ_{matched terms} idf(t) · tf/(tf + k1(1-b+b·dl/avgdl))
+
+    with idf/avgdl from ``index`` (the registered corpus's statistics
+    — ES uses the percolator index's stats the same way) and tf/dl
+    from the DOCUMENT being percolated.  Match gating is identical to
+    `percolate` (distinct matched terms ≥ msm).
+
+    Plan: one tokenize pass builds per-doc (term, tf, dl); the stored
+    queries broadcast; one hash aggregation per (doc, query).  Returns
+    ``(doc_id, query_id, matched_terms, score)``.
+    """
+    from .bm25 import B, K1, idf_col
+
+    stats = index.corpus_stats
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(analyze(F.col(text_col), analyzer)).alias("term"),
+    )
+    tf_tbl = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl_tbl = tf_tbl.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = F.lit(float(stats["avgdl"]) or 1.0)
+    contrib = (
+        tf_tbl.join(F.broadcast(registered), "term")
+        .join(index.term_stats.select("term", "df"), "term", "left")
+        .join(dl_tbl, "doc_id")
+        .withColumn("idf", idf_col(F.coalesce(F.col("df"), F.lit(0)),
+                                   stats["doc_count"]))
+        .withColumn(
+            "c",
+            F.col("idf") * F.col("tf")
+            / (F.col("tf") + F.lit(K1)
+               * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / avgdl)),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("matched_terms"),
+            F.first("msm").alias("_msm"),
+            F.sum("c").alias("score"),
+        )
+        .where(F.col("matched_terms") >= F.col("_msm"))
+        .select("doc_id", "query_id", "matched_terms", "score")
+    )

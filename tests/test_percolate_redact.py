@@ -224,3 +224,44 @@ def test_percolate_alerts_stream_matches_batch(spark, tmp_path_factory):
                            analyzer="simple_code").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_percolate_scored_matches_manual(spark):
+    """Scored percolation == manual BM25-contract computation; gating
+    identical to the unscored operator."""
+    import math
+
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query import (
+        percolate, percolate_scored, register_queries,
+    )
+
+    rows = [(1, "alpha beta beta gamma"), (2, "alpha delta"),
+            (3, "beta beta beta"), (4, "epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_logical_index(docs, text_col="text",
+                              analyzer="simple_code")
+    reg = register_queries(spark, [(1, "alpha beta"), (2, "beta")],
+                           analyzer="simple_code", operator="and")
+    plain = {(r.doc_id, r.query_id)
+             for r in percolate(docs, reg,
+                                analyzer="simple_code").collect()}
+    scored = percolate_scored(docs, reg, idx,
+                              analyzer="simple_code").collect()
+    assert {(r.doc_id, r.query_id) for r in scored} == plain
+
+    # manual check for (doc 1, query 1): terms alpha (tf1) + beta (tf2)
+    n, avgdl = 4, (4 + 2 + 3 + 2) / 4.0
+    def idf(df_):
+        return math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+    def tf_hat(tf, dl):
+        return tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    want = idf(2) * tf_hat(1, 4) + idf(2) * tf_hat(2, 4)
+    got = {(r.doc_id, r.query_id): r.score for r in scored}[(1, 1)]
+    assert got == pytest.approx(want, abs=1e-9)
+    # higher-tf doc outranks for the single-term query
+    order = sorted(((r.score, r.doc_id) for r in scored
+                    if r.query_id == 2), reverse=True)
+    assert order and order[0][1] == 3  # beta tf=3 wins query 'beta'
