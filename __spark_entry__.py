@@ -3959,6 +3959,30 @@ def q_sorted_index_topk(spark, sf_dir):
     )
 
 
+def q_sorted_query_topk(spark, sf_dir):
+    """ES query + sort + size with early termination: a match filter
+    gates the sorted-layout walk (broadcast semi-join), ranking is the
+    field sort — only the needed bucket partitions are read."""
+    import tempfile
+
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_sorted_index, sorted_topk,
+    )
+    from elasticsearch_nlp_classifier_spark.query import match_filter
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    path = os.path.join(tempfile.gettempdir(),
+                        "spark_graft_oracle", "sorted_nchars_q")
+    build_sorted_index(docs, "n_chars", path, buckets=8)
+    idx = _logical_index(spark, sf_dir)
+    hits = match_filter(idx, "data", analyzer="simple_code")
+    return (
+        sorted_topk(spark, path, "n_chars", k=20, desc=True,
+                    allowed=hits)
+        .select("doc_id", "n_chars")
+    )
+
+
 def q_agg_terms_partition(spark, sf_dir):
     """ES terms agg partition pagination (include.partition /
     num_partitions): slice 0 of 3 of the key space, md5-hash-split at
@@ -4369,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_filtered": q_agg_terms_filtered,
         "agg_terms_partition": q_agg_terms_partition,
         "sorted_index_topk": q_sorted_index_topk,
+        "sorted_query_topk": q_sorted_query_topk,
         "agg_terms_order_metric": q_agg_terms_order_metric,
         "dsir_select": q_dsir_select,
         "es_dsl_search": q_es_dsl_search,
@@ -8121,6 +8146,13 @@ def oracle_sql() -> dict[str, str]:
         "sorted_index_topk": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+        "sorted_query_topk": f"""
+            WITH {_TF},
+            hits AS (SELECT DISTINCT doc_id FROM tf
+                     WHERE term = 'data')
+            SELECT d.doc_id, d.n_chars
+            FROM documents d JOIN hits USING (doc_id)
+            ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20""",
         "dsir_select": f"""
             WITH toks_raw AS (
               SELECT doc_id,

@@ -95,11 +95,19 @@ def sorted_topk(
     k: int,
     desc: bool = False,
     where: Column | None = None,
+    allowed: DataFrame | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-``k`` rows by ``sort_field`` (ties → ``id_col`` asc) from a
     `build_sorted_index` layout, reading only the bucket partitions
     needed — Lucene early termination as partition pruning.
+
+    ``where`` gates rows with a pushdown-friendly Column predicate;
+    ``allowed`` gates with a doc-id SET (one ``id_col`` column) via a
+    broadcast semi-join — the ES idiom ``query + sort + size`` where a
+    match query restricts candidates but ranking is a field sort, and
+    the collector still early-terminates per segment.  Either way the
+    walk keeps reading buckets until k gated matches accumulate.
 
     The driver walk costs one count per touched bucket; each count is
     a partition-pruned, column-pruned scan.  The final result re-reads
@@ -112,20 +120,26 @@ def sorted_topk(
     )
     order = list(reversed(all_buckets)) if desc else all_buckets
 
+    def gate(df: DataFrame) -> DataFrame:
+        if where is not None:
+            df = df.where(where)
+        if allowed is not None:
+            df = df.join(
+                F.broadcast(allowed.select(id_col).distinct()),
+                id_col, "left_semi",
+            )
+        return df
+
     taken: list[int] = []
     n = 0
     for b in order:
         taken.append(b)
-        part = src.where(F.col("sort_bucket") == b)
-        if where is not None:
-            part = part.where(where)
+        part = gate(src.where(F.col("sort_bucket") == b))
         n += part.where(F.col(sort_field).isNotNull()).count()
         if n >= k:
             break
 
-    out = src.where(F.col("sort_bucket").isin(taken))
-    if where is not None:
-        out = out.where(where)
+    out = gate(src.where(F.col("sort_bucket").isin(taken)))
     key = F.col(sort_field).desc_nulls_last() if desc \
         else F.col(sort_field).asc_nulls_last()
     return (

@@ -76,3 +76,20 @@ def test_nulls_sort_last_and_never_pad(spark, layout):
     assert [r.score for r in got[:400]] == \
         sorted((r.score for r in got[:400]), reverse=True)
     assert [r.score for r in got[-4:]] == [None] * 4
+
+
+def test_sorted_topk_with_match_gate(spark, layout):
+    """ES query+sort+size: a doc-id set (e.g. match-filter hits) gates
+    the walk; result == filter-then-global-sort."""
+    df, path, _ = layout
+    allowed = df.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    got = sorted_topk(spark, path, "score", k=15, desc=True,
+                      allowed=allowed).collect()
+    want = (
+        df.join(allowed, "doc_id", "left_semi")
+        .orderBy(F.col("score").desc_nulls_last(), F.col("doc_id").asc())
+        .limit(15).collect()
+    )
+    assert [(r.doc_id, r.score) for r in got] == \
+        [(r.doc_id, r.score) for r in want]
+    assert all(r.doc_id % 3 == 0 for r in got)
