@@ -3959,6 +3959,34 @@ def q_sorted_index_topk(spark, sf_dir):
     )
 
 
+def q_indices_boost(spark, sf_dir):
+    """ES indices_boost: the corpus split into two indexes (even/odd
+    doc_id), odd boosted 2x; BM25 stats stay merged-global so the only
+    difference from a7 is the per-index multiplier."""
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.query import (
+        indices_boost_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    mk = lambda pred: build_logical_index(  # noqa: E731
+        docs.where(pred), text_col="text", analyzer="simple_code",
+        doc_id_col="doc_id",
+    )
+    out = indices_boost_topk(
+        {"even": mk(F.col("doc_id") % 2 == 0),
+         "odd": mk(F.col("doc_id") % 2 == 1)},
+        {"even": 1.0, "odd": 2.0},
+        "data value", k=10, analyzer="simple_code",
+    )
+    return out.select(
+        F.col("rank").cast("bigint").alias("rank"), "doc_id",
+        F.round("score", 6).alias("score_r6"),
+    )
+
+
 def q_sorted_query_topk(spark, sf_dir):
     """ES query + sort + size with early termination: a match filter
     gates the sorted-layout walk (broadcast semi-join), ranking is the
@@ -4394,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_partition": q_agg_terms_partition,
         "sorted_index_topk": q_sorted_index_topk,
         "sorted_query_topk": q_sorted_query_topk,
+        "indices_boost": q_indices_boost,
         "agg_terms_order_metric": q_agg_terms_order_metric,
         "dsir_select": q_dsir_select,
         "es_dsl_search": q_es_dsl_search,
@@ -8153,6 +8182,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_chars
             FROM documents d JOIN hits USING (doc_id)
             ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20""",
+        "indices_boost": f"""
+            WITH {_BM25_BASE},
+            qt AS (SELECT DISTINCT unnest(list_filter(
+                     string_split_regex(lower('data value'),
+                                        '[^a-z0-9]+'),
+                     x -> x <> '')) AS term),
+            contrib AS (
+              SELECT tf.doc_id,
+                     ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                            / (s.df + 0.5))
+                       * tf.tf
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                          / (SELECT avgdl FROM corpus))) AS c
+              FROM tf JOIN qt USING (term)
+              JOIN stats s USING (term)
+              JOIN dl USING (doc_id)
+            ),
+            boosted AS (
+              SELECT doc_id,
+                     sum(c) * (CASE WHEN doc_id % 2 = 1
+                               THEN 2.0 ELSE 1.0 END) AS score
+              FROM contrib GROUP BY doc_id
+            ),
+            ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY round(score, 9) DESC,
+                                        doc_id ASC) AS rank,
+                     round(score, 6) AS score_r6
+              FROM boosted
+            )
+            SELECT rank::BIGINT AS rank, doc_id, score_r6
+            FROM ranked WHERE rank <= 10""",
         "dsir_select": f"""
             WITH toks_raw AS (
               SELECT doc_id,

@@ -179,3 +179,4 @@ from .aggs import terms_agg_subs  # noqa: F401
 from .dsl import compile_query_node, es_search  # noqa: F401
 from .rescore import decay_score_geo  # noqa: F401
 from .ltr import ltr_features, ltr_rescore, train_ltr  # noqa: F401
+from .search import indices_boost_topk  # noqa: F401

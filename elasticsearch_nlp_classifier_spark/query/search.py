@@ -244,3 +244,55 @@ def collapse_inner_hits(
             ).alias("inner_hits"),
         )
     )
+
+
+def indices_boost_topk(
+    indexes: dict[str, object],
+    boosts: dict[str, float],
+    query_text: str,
+    k: int = 10,
+    analyzer: str = "code",
+) -> DataFrame:
+    """ES ``indices_boost``: a multi-index search where hits from some
+    indices count more (``"indices_boost": [{"idx_a": 1.0},
+    {"idx_b": 2.0}]``) — recency tiering's classic knob (boost the hot
+    index over the archive).
+
+    Scoring follows the engine's multi-index contract
+    (`index/build.union_indexes`): BM25 idf/avgdl come from the MERGED
+    global statistics, then each hit's score multiplies its index's
+    boost and the boosted scores re-rank.  The provenance map is a
+    plan-level union of the per-index doc_id sets carrying a constant
+    boost column — no content rescan; the join against it is bounded
+    by the match set, not the corpus.
+
+    Returns ``(rank, doc_id, score)`` — rank on round(score, 9), ties
+    → doc_id ASC.
+    """
+    from ..index.build import union_indexes
+    from .bm25 import bm25_topk
+
+    if set(indexes) != set(boosts):
+        raise ValueError("boosts must name exactly the given indexes")
+    ix_list = list(indexes.values())
+    merged = union_indexes(ix_list)
+    spark = ix_list[0].postings.sparkSession
+    prov = None
+    for name, ix in indexes.items():
+        part = ix.doc_lengths.select(
+            "doc_id", F.lit(float(boosts[name])).alias("_boost")
+        )
+        prov = part if prov is None else prov.unionByName(part)
+    q = spark.createDataFrame([(0, query_text)],
+                              "query_id int, query_text string")
+    scored = (
+        bm25_topk(merged, q, k=10_000_000, analyzer=analyzer)
+        .join(prov, "doc_id")
+        .select("doc_id", (F.col("score") * F.col("_boost")).alias("score"))
+    )
+    w = Window.orderBy(F.desc(F.round("score", 9)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )

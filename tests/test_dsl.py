@@ -138,3 +138,33 @@ def test_unsupported_nodes_raise(spark, ctx):
             {"bool": {"must": []}}]}}}, ctx)
     with pytest.raises(ValueError, match="query"):
         es_search({}, ctx)
+
+
+def test_indices_boost_multiplies_and_validates(spark, ctx):
+    from elasticsearch_nlp_classifier_spark.query import (
+        indices_boost_topk,
+    )
+
+    docs = ctx.docs
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+    lo = build_logical_index(docs.where("doc_id <= 3"), text_col="title",
+                             analyzer="simple_code")
+    hi = build_logical_index(docs.where("doc_id > 3"), text_col="title",
+                             analyzer="simple_code")
+    flat = indices_boost_topk({"lo": lo, "hi": hi},
+                              {"lo": 1.0, "hi": 1.0},
+                              "data", k=10, analyzer="simple_code")
+    x2 = indices_boost_topk({"lo": lo, "hi": hi},
+                            {"lo": 1.0, "hi": 2.0},
+                            "data", k=10, analyzer="simple_code")
+    f = {r.doc_id: r.score for r in flat.collect()}
+    b = {r.doc_id: r.score for r in x2.collect()}
+    assert set(f) == set(b)
+    for d in f:
+        expect = f[d] * (2.0 if d > 3 else 1.0)
+        assert b[d] == pytest.approx(expect, abs=1e-9)
+
+    with pytest.raises(ValueError, match="boosts"):
+        indices_boost_topk({"lo": lo}, {"other": 1.0}, "data")
