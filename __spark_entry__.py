@@ -8257,8 +8257,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             keyed AS (
               SELECT doc_id, lw,
-                     lw - ln(-ln({_hash_u('doc_id', 'dsir_gumbel')}
-                                 + 1e-18)) AS gk
+                     lw - ln(-ln(least(greatest(
+                                 {_hash_u('doc_id', 'dsir_gumbel')},
+                                 1e-18), 1 - 1e-16))) AS gk
               FROM w
             )
             SELECT doc_id, round(lw, 6) AS lw_r6, round(gk, 6) AS key_r6

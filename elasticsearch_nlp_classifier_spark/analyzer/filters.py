@@ -6,7 +6,7 @@ These are the analysis components behind ES's autocomplete surfaces:
 ``._3gram``), completion/prefix indexes use ``edge_ngram``, and
 ``asciifolding`` normalizes Latin accents before matching.  The
 reference's users configure them through the stock client's index
-mappings (`utils/elasticsearch/ElasticsearchService.java`).
+mappings (`utils/elasticsearch/ESClient.java`).
 
 Dual implementation, like the analyzer chains themselves:
 

@@ -489,7 +489,7 @@ def compile_simple_query_string(
     semantics (tokens, phrases, prefixes, fuzzy — see ``_Parser``).
 
     Reference surface: the same `RestHighLevelClient` the reference
-    hands its users (`utils/elasticsearch/ElasticsearchService.java`)
+    hands its users (`utils/elasticsearch/ESClient.java`)
     exposes `QueryBuilders.simpleQueryStringQuery`; this is that query
     re-expressed as one Catalyst boolean expression (codegen-friendly,
     no UDFs).  Empty/blank input = match-all, like ES.

@@ -6,7 +6,7 @@ search out across several indexes (``logs-*`` patterns), restricts it
 with a stored filter (tenant isolation), and can be repointed
 atomically during reindex cutovers (`POST /_aliases` applies its action
 list all-or-nothing).  The reference's client exposes all of this
-(`utils/elasticsearch/ElasticsearchService.java`).
+(`utils/elasticsearch/ESClient.java`).
 
 Engine mapping:
 

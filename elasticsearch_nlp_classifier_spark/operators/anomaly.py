@@ -5,7 +5,7 @@ ES's anomaly jobs bucket a time series (``bucket_span``), apply a
 optionally split by a field (``by_field_name``), model the bucket
 values, and emit 0-100 ``record_score``s for unusual buckets.  The
 reference's hosted cluster exposes these jobs to every client (same
-service surface as `utils/elasticsearch/ElasticsearchService.java`).
+service surface as `utils/elasticsearch/ESClient.java`).
 
 This module re-expresses the batch shape with a documented,
 deterministic scoring spec (ES's online mixture model is proprietary

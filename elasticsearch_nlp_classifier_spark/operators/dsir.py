@@ -134,9 +134,12 @@ def dsir_select(
     w = dsir_weights(raw, target, text_col=text_col, id_col=id_col,
                      n_buckets=n_buckets, alpha=alpha)
     u = hash_uniform(F.col(id_col), salt=seed)
-    # u ∈ [0,1); ln(-ln(u)) is finite except u=0 — nudge by the hash
-    # denominator's quantum so the expression is total
-    g = -F.log(-F.log(u + F.lit(1e-18)))
+    # u ∈ [0,1); ln(-ln(u)) is finite only for u ∈ (0,1) — clamp BOTH
+    # ends (a float u within ~2⁻⁵³ of 1 rounds to exactly 1.0, where
+    # -ln(-ln(u)) is NULL in Spark and the doc would silently vanish
+    # from the ranking) so the expression is total and replayable
+    u = F.least(F.greatest(u, F.lit(1e-18)), F.lit(1.0 - 1e-16))
+    g = -F.log(-F.log(u))
     return (
         w.withColumn("gumbel_key", F.col("dsir_logweight") + g)
         .orderBy(F.desc(F.round("gumbel_key", 9)), F.asc(id_col))

@@ -14,7 +14,7 @@ of four distance-based methods over the row's k nearest neighbours
 then combines normalized method scores into one ``outlier_score``.
 The reference repo reaches this via its hosted ES cluster's ML
 endpoints (same service surface as `utils/elasticsearch/
-ElasticsearchService.java`); here every stage is a DataFrame
+ESClient.java`); here every stage is a DataFrame
 relational plan over the embeddings table.
 
 Spark-first shape

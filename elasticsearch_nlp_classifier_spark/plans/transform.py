@@ -2,7 +2,7 @@
 
 ES transforms (`PUT _transform/<id>`) materialize an entity-centric
 index from an event-centric one — the cluster the reference drives
-through `utils/elasticsearch/ElasticsearchService.java` runs them as
+through `utils/elasticsearch/ESClient.java` runs them as
 background jobs with two flavors:
 
 - **pivot**: ``group_by`` (terms / histogram / date_histogram) +

@@ -1,7 +1,7 @@
 """ES-style aggregations over the engine's tables and indexes.
 
 The reference delegates every search to a hosted ElasticSearch cluster
-(``utils/elasticsearch/ElasticsearchService.java`` builds a stock
+(``utils/elasticsearch/ESClient.java`` builds a stock
 ``RestHighLevelClient`` — the full ES search surface, aggregations
 included, is what its users have available).  This module re-expresses
 the core ES aggregation families as Catalyst plans:

@@ -3,7 +3,7 @@
 
 These are the "day one" endpoints an ES user pokes before writing real
 queries (the reference's client exposes all of them —
-`utils/elasticsearch/ElasticsearchService.java` hands back a stock
+`utils/elasticsearch/ESClient.java` hands back a stock
 `RestHighLevelClient`).  Each is thin by design; the value is 1:1
 surface parity so a migrating user finds the same verbs:
 
@@ -210,7 +210,7 @@ def terms_enum(
     auto-complete-on-keyword endpoint.  A filter + TakeOrdered over the
     vocabulary-sized ``term_stats`` table; postings are never touched.
 
-    (`utils/elasticsearch/ElasticsearchService.java` exposes this via
+    (`utils/elasticsearch/ESClient.java` exposes this via
     the stock client; ES also returns only live-doc terms — here
     tombstoned docs may still hold a term until vacuum, documented.)"""
     t = index.term_stats.select("term")

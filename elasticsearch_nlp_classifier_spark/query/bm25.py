@@ -51,17 +51,16 @@ def analyze_queries(queries: DataFrame, analyzer: str = "code") -> DataFrame:
     ).distinct()
 
 
-def bm25_topk(
+def bm25_scores(
     index: LogicalIndex,
     queries: DataFrame,
-    k: int | None = None,
     analyzer: str = "code",
 ) -> DataFrame:
-    """(query_id, rank, doc_id, score) for the top-k docs per query.
-
-    ``k`` defaults to the per-query ``k`` column of ``queries`` when
-    present (FIXTURES F3), else 10.
-    """
+    """(query_id, doc_id, score) — per-doc aggregated BM25 scores of
+    the full match set, UNranked and uncut.  The building block for
+    rankers that must transform scores before any top-k boundary
+    (e.g. ``search.indices_boost_topk`` multiplies per-index boosts
+    in); `bm25_topk` is this plus the rank window."""
     stats = index.corpus_stats
     qterms = analyze_queries(queries, analyzer)
     qterms = qterms.join(index.term_stats, "term").withColumn(
@@ -69,7 +68,7 @@ def bm25_topk(
     )
 
     avgdl = F.lit(float(stats["avgdl"]) or 1.0)
-    scored = (
+    return (
         index.postings.join(
             F.broadcast(qterms.select("query_id", "term", "idf")), "term"
         )
@@ -85,6 +84,20 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
+
+
+def bm25_topk(
+    index: LogicalIndex,
+    queries: DataFrame,
+    k: int | None = None,
+    analyzer: str = "code",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) for the top-k docs per query.
+
+    ``k`` defaults to the per-query ``k`` column of ``queries`` when
+    present (FIXTURES F3), else 10.
+    """
+    scored = bm25_scores(index, queries, analyzer)
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")

@@ -1,7 +1,7 @@
 """ES Query-DSL JSON → ranked execution — the `_search` body compiler.
 
 Reference users speak Query DSL JSON through the stock
-`RestHighLevelClient` (`utils/elasticsearch/ElasticsearchService.java`);
+`RestHighLevelClient` (`utils/elasticsearch/ESClient.java`);
 this module lets them paste that JSON at this engine and get the same
 ranked answer, dispatching every node to the already-tested operator
 for it:
@@ -49,8 +49,22 @@ from .retriever import RetrieverContext, retrieve
 __all__ = ["es_search", "compile_query_node"]
 
 
-def _match_text(clause: dict) -> tuple[str, str, float]:
-    """(field, text, boost) from a match/term clause body."""
+def _match_text(
+    clause: dict,
+    ctx: RetrieverContext | None = None,
+    honor_boost: bool = False,
+) -> tuple[str, str, float]:
+    """(field, text, boost) from a match/term clause body.
+
+    ``ctx``: when it carries ``text_field``, a clause naming a
+    different field raises (the module contract: raise, never silently
+    approximate — a pasted ``{"match": {"body": ...}}`` must not score
+    against whatever field the index was built on).
+    ``honor_boost=True`` means the caller applies the returned boost
+    (should clauses) or the clause runs in ES filter context where
+    boosts have no effect by ES's own semantics (filter / must_not).
+    Otherwise a non-default boost the compiler cannot honor (must,
+    dis_max/boosting sub-queries) raises rather than being dropped."""
     kind, body = next(iter(clause.items()))
     if kind not in ("match", "term"):
         raise ValueError(
@@ -58,6 +72,8 @@ def _match_text(clause: dict) -> tuple[str, str, float]:
             "match/term or call the operator module directly"
         )
     fieldname, spec = next(iter(body.items()))
+    if ctx is not None:
+        ctx.check_field(fieldname, kind)
     if isinstance(spec, dict):
         text = spec.get("query", spec.get("value"))
         boost = float(spec.get("boost", 1.0))
@@ -66,6 +82,13 @@ def _match_text(clause: dict) -> tuple[str, str, float]:
     # term carries its boost inline in ES too
     if isinstance(body.get(fieldname), dict) and "boost" in body[fieldname]:
         boost = float(body[fieldname]["boost"])
+    if not honor_boost and boost != 1.0:
+        raise ValueError(
+            f"{kind} clause boost={boost} in a position this compiler "
+            "cannot honor — move the boosted clause to 'should' (where "
+            "per-clause boosts are applied) or call bm25.bool_query_topk "
+            "directly"
+        )
     return fieldname, str(text), boost
 
 
@@ -101,14 +124,16 @@ def compile_query_node(q: dict, ctx: RetrieverContext, k: int) -> DataFrame:
 
         must, should, must_not, filt = [], [], [], []
         for c in body.get("must", []):
-            must.append(_match_text(c)[1])
+            must.append(_match_text(c, ctx)[1])
         for c in body.get("should", []):
-            _, text, boost = _match_text(c)
+            _, text, boost = _match_text(c, ctx, honor_boost=True)
             should.append((text, boost))
+        # filter/must_not run in ES filter context: boosts are inert
+        # there by ES semantics, so honor_boost=True (nothing to drop)
         for c in body.get("must_not", []):
-            must_not.append(_match_text(c)[1])
+            must_not.append(_match_text(c, ctx, honor_boost=True)[1])
         for c in body.get("filter", []):
-            filt.append(_match_text(c)[1])
+            filt.append(_match_text(c, ctx, honor_boost=True)[1])
         out = bool_query_topk(
             ctx.index, must=must, should=should, must_not=must_not,
             filter_terms=filt,
@@ -120,7 +145,7 @@ def compile_query_node(q: dict, ctx: RetrieverContext, k: int) -> DataFrame:
     if kind == "dis_max":
         from .compound import dis_max_topk
 
-        texts = [_match_text(c)[1] for c in body["queries"]]
+        texts = [_match_text(c, ctx)[1] for c in body["queries"]]
         return dis_max_topk(
             ctx.index, texts,
             tie_breaker=float(body.get("tie_breaker", 0.0)),
@@ -130,7 +155,7 @@ def compile_query_node(q: dict, ctx: RetrieverContext, k: int) -> DataFrame:
     if kind == "constant_score":
         from .compound import constant_score_topk
 
-        _, text, _ = _match_text(body["filter"])
+        _, text, _ = _match_text(body["filter"], ctx, honor_boost=True)
         return constant_score_topk(
             ctx.index, text, boost=float(body.get("boost", 1.0)),
             k=k, analyzer=ctx.analyzer,
@@ -141,8 +166,8 @@ def compile_query_node(q: dict, ctx: RetrieverContext, k: int) -> DataFrame:
 
         return boosting_topk(
             ctx.index,
-            _match_text(body["positive"])[1],
-            _match_text(body["negative"])[1],
+            _match_text(body["positive"], ctx)[1],
+            _match_text(body["negative"], ctx)[1],
             negative_boost=float(body.get("negative_boost", 0.5)),
             k=k, analyzer=ctx.analyzer,
         ).select("rank", "doc_id", "score")
@@ -184,9 +209,13 @@ def compile_query_node(q: dict, ctx: RetrieverContext, k: int) -> DataFrame:
             raise ValueError("function_score needs ctx.docs for the "
                              "factor field")
         fieldname = fvf["field"]
-        hits = sub.join(
-            F.broadcast(ctx.docs.select("doc_id", fieldname)), "doc_id",
-            "left",
+        # broadcast the BOUNDED side: sub is ≤10k ranked candidates;
+        # ctx.docs is the corpus (broadcasting it would OOM at scale).
+        # Inner join: Spark cannot broadcast the preserved side of an
+        # outer join, and sub's doc_ids exist in ctx.docs by
+        # construction (they came from the index built over it).
+        hits = F.broadcast(sub).join(
+            ctx.docs.select("doc_id", fieldname), "doc_id",
         )
         out = function_score(
             hits, fieldname,

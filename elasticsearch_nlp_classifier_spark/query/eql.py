@@ -9,7 +9,7 @@ ES ships EQL (`/_eql/search`) for threat-hunting-style queries:
 
 i.e. per entity, ordered step predicates within a time budget.  The
 reference's users reach EQL through the same hosted cluster
-(`utils/elasticsearch/ElasticsearchService.java`).
+(`utils/elasticsearch/ESClient.java`).
 
 This re-expression is the positional-intervals machinery transplanted
 from token positions to event timestamps (`query/spans.py` /

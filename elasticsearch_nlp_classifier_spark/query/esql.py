@@ -3,7 +3,7 @@
 ES|QL (`POST /_query`, ES 8.11+) is Elasticsearch's piped query
 language — the successor surface to the query DSL the reference drives
 through its `RestHighLevelClient`
-(`utils/elasticsearch/ElasticsearchService.java`); a migrating user's
+(`utils/elasticsearch/ESClient.java`); a migrating user's
 dashboards and alert rules are written in it:
 
     FROM events

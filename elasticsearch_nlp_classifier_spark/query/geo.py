@@ -1,7 +1,7 @@
 """ES geo query / aggregation surface as pure Catalyst expressions.
 
 The reference's ES cluster exposes the whole geo search surface to its
-users (`utils/elasticsearch/ElasticsearchService.java` builds a stock
+users (`utils/elasticsearch/ESClient.java` builds a stock
 `RestHighLevelClient`); this module re-expresses the core of it over
 plain `(lat, lon)` double columns:
 

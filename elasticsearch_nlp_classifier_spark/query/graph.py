@@ -4,7 +4,7 @@ ES's graph API walks term-co-occurrence: seed docs (a query) →
 significant terms in those docs become *vertices* → docs containing
 those terms → next wave of significant terms, with *edges* weighted by
 doc overlap.  The reference's cluster exposes it to every client
-(`utils/elasticsearch/ElasticsearchService.java`); Kibana's graph UI
+(`utils/elasticsearch/ESClient.java`); Kibana's graph UI
 is this API.
 
 Spark-first re-expression over the engine's own postings relation

@@ -55,9 +55,16 @@ def ltr_features(
     from .bm25 import bm25_topk
 
     cand = bm25_topk(index, queries, k=window, analyzer=analyzer)
-    feats = cand.join(
-        F.broadcast(docs.select("doc_id", *doc_feature_cols)),
-        "doc_id", "left",
+    # broadcast the BOUNDED side: the candidate window is
+    # queries × window rows; docs is the corpus — broadcasting the
+    # corpus feature table would OOM the driver at the scale this
+    # docstring claims.  Inner join (not left): Spark cannot broadcast
+    # the preserved side of an outer join, and every candidate doc_id
+    # exists in ``docs`` by construction (candidates come from the
+    # index built over it); the missing-feature→0.0 default below is
+    # about null COLUMN VALUES, which the inner join preserves.
+    feats = F.broadcast(cand).join(
+        docs.select("doc_id", *doc_feature_cols), "doc_id",
     )
     cols = [F.col("score").cast("double")] + [
         F.coalesce(F.col(c).cast("double"), F.lit(0.0))

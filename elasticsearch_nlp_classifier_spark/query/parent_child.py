@@ -4,7 +4,7 @@ ES models 1:N parent/child with a `join` field inside one index and
 answers `has_child` / `has_parent` / `parent_id` queries plus the
 `children` agg with block-join-like runtime joins.  The reference's
 users get all of this through the stock `RestHighLevelClient`
-(`utils/elasticsearch/ElasticsearchService.java`).  Relationally the
+(`utils/elasticsearch/ESClient.java`).  Relationally the
 same data is two tables with a foreign key — exactly what Spark joins
 are for, so each query maps to ONE semi/equi join that Catalyst is
 free to broadcast or shuffle-hash:

@@ -3,7 +3,7 @@
 ES's percolator indexes *queries* and, for each incoming document,
 returns the stored queries that would have matched it (the reference's
 ES cluster exposes this surface through the same
-``RestHighLevelClient`` its ``ElasticsearchService.java`` builds).
+``RestHighLevelClient`` its ``ESClient.java`` builds).
 It's the standard primitive for alerting/routing over a document
 stream — a shape a training-data pipeline reuses for rule-based
 document tagging at ingest.

@@ -44,7 +44,7 @@ Node types:
   ``similarity_fn``).
 
 Reference surface: the reference drives `_search` through
-`utils/elasticsearch/ElasticsearchService.java`'s stock client; its
+`utils/elasticsearch/ESClient.java`'s stock client; its
 match-query usage (`v2/datasets/ElasticsearchDataset.java:42`) is the
 ``standard`` leaf here.
 """
@@ -78,7 +78,22 @@ class RetrieverContext:
     emb_id_col: str = "vec_id"
     emb_vec_col: str = "embedding"
     analyzer: str = "code"
+    #: name of the text field ``index`` was built over.  When set, any
+    #: match/term clause naming a DIFFERENT field raises instead of
+    #: silently scoring against the indexed field (a pasted ES body
+    #: like ``{"match": {"body": ...}}`` must not quietly become a
+    #: query over ``text``).  None = unchecked (single-field caller).
+    text_field: str | None = None
     extra: dict = field(default_factory=dict)
+
+    def check_field(self, fieldname: str, clause: str) -> None:
+        if self.text_field is not None and fieldname != self.text_field:
+            raise ValueError(
+                f"{clause} clause targets field {fieldname!r} but "
+                f"ctx.index was built over {self.text_field!r} — "
+                "build/attach an index for that field (multi_match via "
+                "ctx.extra['indexes']) instead of silently rescoring"
+            )
 
 
 def _compile_filter(flt) -> Column:
@@ -131,6 +146,7 @@ def _std(body: dict, ctx: RetrieverContext, k: int) -> DataFrame:
     q = body.get("query", {})
     if "match" in q:
         fieldname, text = next(iter(q["match"].items()))
+        ctx.check_field(fieldname, "match")
         if isinstance(text, dict):
             text = text["query"]
     else:

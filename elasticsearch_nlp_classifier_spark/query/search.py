@@ -260,17 +260,22 @@ def indices_boost_topk(
 
     Scoring follows the engine's multi-index contract
     (`index/build.union_indexes`): BM25 idf/avgdl come from the MERGED
-    global statistics, then each hit's score multiplies its index's
-    boost and the boosted scores re-rank.  The provenance map is a
-    plan-level union of the per-index doc_id sets carrying a constant
-    boost column — no content rescan; the join against it is bounded
-    by the match set, not the corpus.
+    global statistics, and each doc's aggregated score multiplies its
+    index's boost BEFORE any top-k cut (ES applies indices_boost
+    during scoring — a post-truncation multiply would make a
+    low-unboosted/high-boosted doc unreachable).  The provenance map
+    is a plan-level union of the per-index doc_id sets carrying a
+    constant boost column — no content rescan; the join against it is
+    bounded by the match set, not the corpus.  The final cut is a
+    distributed ``orderBy().limit(k)`` (TakeOrderedAndProject:
+    per-partition top-k, driver merge of k·partitions rows), never a
+    global one-partition window over the match set.
 
     Returns ``(rank, doc_id, score)`` — rank on round(score, 9), ties
     → doc_id ASC.
     """
     from ..index.build import union_indexes
-    from .bm25 import bm25_topk
+    from .bm25 import bm25_scores
 
     if set(indexes) != set(boosts):
         raise ValueError("boosts must name exactly the given indexes")
@@ -286,13 +291,17 @@ def indices_boost_topk(
     q = spark.createDataFrame([(0, query_text)],
                               "query_id int, query_text string")
     scored = (
-        bm25_topk(merged, q, k=10_000_000, analyzer=analyzer)
+        bm25_scores(merged, q, analyzer=analyzer)
         .join(prov, "doc_id")
         .select("doc_id", (F.col("score") * F.col("_boost")).alias("score"))
     )
-    w = Window.orderBy(F.desc(F.round("score", 9)), F.asc("doc_id"))
+    topk = (
+        scored.withColumn("_r", F.round("score", 9))
+        .orderBy(F.desc("_r"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.desc("_r"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "score")
     )

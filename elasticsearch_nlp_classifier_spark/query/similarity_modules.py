@@ -3,7 +3,7 @@
 ES lets a mapping pick the Lucene similarity used for a text field
 (`"similarity": {"type": "LMDirichlet", "mu": 2000}` …).  The reference
 inherits that surface through its stock `RestHighLevelClient`
-(`utils/elasticsearch/ElasticsearchService.java`); the BM25 default is
+(`utils/elasticsearch/ESClient.java`); the BM25 default is
 `query/bm25.py` — this module adds the rest of the menu over the SAME
 logical index (postings / term_stats / corpus_stats), so switching
 similarity never rebuilds or reshuffles anything:

@@ -2,7 +2,7 @@
 positional block index.
 
 The reference's ES cluster exposes the full Lucene span surface
-(`utils/elasticsearch/ElasticsearchService.java` hands users a stock
+(`utils/elasticsearch/ESClient.java` hands users a stock
 `RestHighLevelClient`; `span_near` already lives in ``phrase.py``).
 This module adds the remaining core combinators:
 
@@ -318,7 +318,7 @@ def span_containing(
 
     Scale shape: three single-term pruned decodes + two df-bounded
     doc_id joins; containment is one JVM array expression.  Reference
-    surface: `utils/elasticsearch/ElasticsearchService.java` exposes
+    surface: `utils/elasticsearch/ESClient.java` exposes
     `QueryBuilders.spanContainingQuery`."""
     t1, t2, slop = big
     (a1,) = _analyzed_terms(t1, analyzer) or [None]

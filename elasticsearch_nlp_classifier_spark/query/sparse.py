@@ -5,7 +5,7 @@ Modern ES stores per-document sparse feature vectors — token → weight
 maps emitted by a sparse encoder — in a ``sparse_vector`` field and
 scores ``sparse_vector``/``text_expansion`` queries as the dot product
 ``Σ_f q(f) · d(f)``.  The reference's users get this surface from the
-same stock client (`utils/elasticsearch/ElasticsearchService.java`).
+same stock client (`utils/elasticsearch/ESClient.java`).
 
 Spark-first shape: the document side is a long **feature-postings
 relation** ``(doc_id, feature, weight)`` — exactly an inverted index

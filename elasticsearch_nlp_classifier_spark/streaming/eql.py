@@ -168,7 +168,17 @@ def eql_sequence_stream(
             })
 
     src = events
-    src.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    # Precondition, not a side effect: the epoch arithmetic below needs
+    # a UTC session zone (session.get_spark pins it).  Mutating the
+    # session config here would silently change every other
+    # timezone-sensitive query in the session — raise instead.
+    tz = src.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"eql_sequence_stream requires spark.sql.session.timeZone="
+            f"UTC (got {tz!r}) — sessions from session.get_spark pin "
+            "it; set it at session build time, not per-operator"
+        )
     return (
         src.withColumn("_k", F.col(by).cast("string"))
         # NTZ sources (plain parquet timestamps) carry no zone; the

@@ -37,6 +37,7 @@ def ctx(spark):
         index=idx,
         docs=df,
         analyzer="simple_code",
+        text_field="title",
         extra={"indexes": {
             "title": idx,
             "body": build_logical_index(df, text_col="body",
@@ -138,6 +139,44 @@ def test_unsupported_nodes_raise(spark, ctx):
             {"bool": {"must": []}}]}}}, ctx)
     with pytest.raises(ValueError, match="query"):
         es_search({}, ctx)
+
+
+def test_wrong_field_raises_not_silently_rescored(spark, ctx):
+    # ctx.index is built over "title"; a pasted body naming another
+    # field must raise, never score against title (ADVICE r2)
+    with pytest.raises(ValueError, match="built over 'title'"):
+        es_search({"query": {"bool": {"must": [
+            {"match": {"body": "spark"}}]}}}, ctx)
+    with pytest.raises(ValueError, match="built over 'title'"):
+        es_search({"query": {"match": {"body": "spark"}}}, ctx)
+    with pytest.raises(ValueError, match="built over 'title'"):
+        es_search({"query": {"dis_max": {"queries": [
+            {"match": {"body": "spark"}}]}}}, ctx)
+
+
+def test_unhonorable_boost_raises(spark, ctx):
+    # per-clause boosts are honored in should; anywhere the compiler
+    # would have to DROP one, it raises instead
+    with pytest.raises(ValueError, match="boost"):
+        es_search({"query": {"bool": {"must": [
+            {"match": {"title": {"query": "spark", "boost": 2.0}}}]}}},
+            ctx)
+    with pytest.raises(ValueError, match="boost"):
+        es_search({"query": {"dis_max": {"queries": [
+            {"match": {"title": {"query": "spark", "boost": 2.0}}}]}}},
+            ctx)
+    # should-clause boost still works (honored by bool_query_topk)
+    got = es_search({"query": {"bool": {
+        "must": [{"match": {"title": "data"}}],
+        "should": [{"match": {"title": {"query": "spark",
+                                        "boost": 2.0}}}]}}}, ctx, k=5)
+    assert got.count() > 0
+    # filter-context boost is inert in ES too: accepted, not dropped
+    got = es_search({"query": {"bool": {
+        "must": [{"match": {"title": "data"}}],
+        "filter": [{"term": {"title": {"value": "spark",
+                                       "boost": 3.0}}}]}}}, ctx, k=5)
+    assert got.count() > 0
 
 
 def test_indices_boost_multiplies_and_validates(spark, ctx):
