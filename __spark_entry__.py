@@ -364,6 +364,45 @@ def q_s4_term_vectors(spark, sf_dir):
     )
 
 
+def q_s4_term_vectors_offsets(spark, sf_dir):
+    """_mtermvectors with the ``offsets`` flag (the last term-vector
+    contract piece, `TermVectorQuery.java:60-76`; golden span shape
+    `TermVectorTokensTest.java:16-55`): per-occurrence (position,
+    start_offset, end_offset) char spans from the offsets index,
+    exploded to scalar rows for the hash compare.  Offsets are fixed at
+    the analyzer's split stage over the ORIGINAL text
+    (`analyzer/chain.Analyzer.tokenize_with_offsets`)."""
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.index.build import term_vectors
+
+    docs = _docs(spark, sf_dir)
+    idx = build_logical_index(
+        docs, text_col="text", analyzer="simple_code",
+        doc_id_col="doc_id", with_offsets=True,
+    )
+    tv = term_vectors(idx, doc_ids=list(range(40)))
+    flat = tv.select("doc_id", F.explode("terms").alias("t")) \
+        .select("doc_id", "t.*")
+    occ = flat.select(
+        "doc_id", "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.col("ttf").cast("bigint").alias("ttf"),
+        "start_offsets", "end_offsets",
+        F.posexplode("positions").alias("i", "pos"),
+    )
+    return occ.select(
+        "doc_id", "term", "tf", "df", "ttf",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.element_at("start_offsets", F.col("i") + 1)
+        .cast("bigint").alias("start_offset"),
+        F.element_at("end_offsets", F.col("i") + 1)
+        .cast("bigint").alias("end_offset"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from elasticsearch_nlp_classifier_spark.operators import exact_dup_groups
 
@@ -4223,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_match_filter": q_p5_match_filter,
         "o1_topk": q_o1_topk,
         "s4_term_vectors": q_s4_term_vectors,
+        "s4_term_vectors_offsets": q_s4_term_vectors_offsets,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "update_delete_by_query": q_update_delete_by_query,
@@ -5346,6 +5386,40 @@ def oracle_sql() -> dict[str, str]:
                       FROM tf GROUP BY 1)
             SELECT tf.doc_id, tf.term, tf.tf, s.df, s.ttf
             FROM tf JOIN stats s USING (term) WHERE tf.doc_id < 3""",
+        # offsets recomputed independently by the gap-cumsum identity:
+        # text == gaps[1]·toks[1]·gaps[2]·…·toks[n]·gaps[n+1], so
+        # start_i = Σ_{j≤i}(|gap_j|+|tok_j|) − |tok_i| — a window
+        # cumsum over the unnested token stream, no offset API used
+        "s4_term_vectors_offsets": f"""
+            WITH {_TF},
+            stats AS (SELECT term, count(*)::BIGINT AS df,
+                             sum(tf)::BIGINT AS ttf
+                      FROM tf GROUP BY 1),
+            lists AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+                     string_split_regex(lower(text), '[a-z0-9]+') AS gaps
+              FROM documents WHERE doc_id < 40
+            ),
+            occ AS (
+              SELECT doc_id, unnest(tk) AS term,
+                     generate_subscripts(tk, 1) AS i, gaps
+              FROM lists
+            ),
+            spans AS (
+              SELECT doc_id, term, (i - 1)::BIGINT AS pos,
+                     (SUM(length(gaps[i]) + length(term)) OVER
+                        (PARTITION BY doc_id ORDER BY i))::BIGINT
+                       AS cum,
+                     length(term) AS tl
+              FROM occ
+            )
+            SELECT s.doc_id, s.term, t.tf, st.df, st.ttf, s.pos,
+                   (s.cum - s.tl)::BIGINT AS start_offset,
+                   s.cum AS end_offset
+            FROM spans s
+            JOIN tf t ON t.doc_id = s.doc_id AND t.term = s.term
+            JOIN stats st ON st.term = s.term""",
         "dedup_exact": f"""
             WITH {_DUPS_SQL}
             SELECT sha256(text) AS sha, count(*)::BIGINT AS n_dups,

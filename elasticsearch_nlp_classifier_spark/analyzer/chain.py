@@ -42,6 +42,13 @@ _HANDLE = re.compile(r"^@")
 _URL = re.compile(r"^\w+://", re.UNICODE)
 
 
+#: simple_code over the ORIGINAL text (case-insensitive) — used by the
+#: offset path so spans index the raw string; for ASCII input the
+#: lowered tokens equal ``simple_code_split`` exactly (``lower()`` is
+#: length-preserving on ASCII; parity is pinned in tests)
+_SIMPLE_CODE_CI = re.compile(r"[a-zA-Z0-9]+")
+
+
 def simple_split(text: str) -> list[str]:
     return [m.group(0) for m in _SIMPLE.finditer(text)]
 
@@ -57,6 +64,56 @@ def simple_code_split(text: str) -> list[str]:
 def tab_split(text: str) -> list[str]:
     """`utils/tokenize/TabTokenizer.java:7-11`."""
     return text.split("\t")
+
+
+def _finditer_pos(pattern: re.Pattern, text: str, lower: bool = False):
+    return [
+        ((m.group(0).lower() if lower else m.group(0)),
+         m.start(), m.end())
+        for m in pattern.finditer(text)
+    ]
+
+
+def simple_split_pos(text):
+    return _finditer_pos(_SIMPLE, text)
+
+
+def code_split_pos(text):
+    return _finditer_pos(_CODE, text)
+
+
+def simple_code_split_pos(text):
+    return _finditer_pos(_SIMPLE_CODE_CI, text, lower=True)
+
+
+def tab_split_pos(text):
+    out, pos = [], 0
+    for t in text.split("\t"):
+        out.append((t, pos, pos + len(t)))
+        pos += len(t) + 1
+    return out
+
+
+def _scan_spans(text: str, tokens: list[str]):
+    """(token, start, end) via sequential verbatim scan — for splitters
+    whose tokens are in-order substrings of the input (twokenize: its
+    transforms only split, never rewrite characters).  Same mechanism
+    as the reference's `ATokenizer.tokenizePos`
+    (`ATokenizer.java:55-71`) but over SPLIT-stage tokens, where a miss
+    is impossible rather than a degenerate span."""
+    out, pos = [], 0
+    for t in tokens:
+        start = text.find(t, pos)
+        if start < 0:  # defensive: never true for verbatim splitters
+            out.append((t, pos, pos))
+            continue
+        out.append((t, start, start + len(t)))
+        pos = start + len(t)
+    return out
+
+
+def twokenize_pos(text):
+    return _scan_spans(text, twokenize(text))
 
 
 def clean_twitter(tokens: list[str]) -> list[str]:
@@ -78,6 +135,14 @@ _SPLITTERS = {
     "code": code_split,
     "simple_code": simple_code_split,
     "tab": tab_split,
+}
+
+_SPLITTERS_POS = {
+    "twitter": twokenize_pos,
+    "simple": simple_split_pos,
+    "code": code_split_pos,
+    "simple_code": simple_code_split_pos,
+    "tab": tab_split_pos,
 }
 
 
@@ -112,6 +177,64 @@ class Analyzer:
         if self.token_filter:
             tokens = TOKEN_FILTERS[self.token_filter](tokens)
         return tokens
+
+    def tokenize_with_offsets(
+        self, text: str | None
+    ) -> list[tuple[str, int, int]]:
+        """(token, start_offset, end_offset) — char spans of each
+        surviving token in the ORIGINAL text, tracked through the whole
+        chain (the Lucene/ES behavior behind the term-vector
+        ``offsets`` flag, `TermVectorQuery.java:60-76`; golden spans in
+        `TermVectorTokensTest.java:16-55`): spans are fixed at the
+        SPLIT stage; lowercase/stem rewrite the token but keep its
+        span; cleanTwitter's ``#`` strip advances start by 1; dropped
+        tokens (handles, URLs, stopwords, punct runs) drop their spans.
+        Token sequence is identical to :meth:`tokenize` (pinned in
+        tests)."""
+        if text is None:
+            return []
+        triples = _SPLITTERS_POS[self.split](text)
+        if self.use_clean_twitter:
+            out = []
+            for t, s, e in triples:
+                if _HANDLE.match(t) or _URL.match(t):
+                    continue
+                if t.startswith("#"):
+                    t, s = t[1:], s + 1
+                out.append((t, s, e))
+            triples = out
+        if self.use_lowercase:
+            triples = [(t.lower(), s, e) for t, s, e in triples]
+        if self.use_stopwords:
+            from .stopwords import keep_token
+
+            triples = [x for x in triples if keep_token(x[0])]
+        if self.use_stemming:
+            triples = [(stem_cached(t), s, e) for t, s, e in triples]
+        if self.token_filter:
+            triples = _FILTER_SPANS[self.token_filter](triples)
+        return triples
+
+    def tokenize_pos(self, text: str | None) -> list[tuple[int, int]]:
+        """OpenNLP-interface span parity (`ATokenizer.java:55-71`):
+        spans of the FINAL analyzed tokens found by sequential verbatim
+        search in the original text — including the reference's
+        degenerate ``(pos+1, pos+1)`` span when a lowered/stemmed token
+        no longer appears verbatim ("might get confused by a stemmer",
+        its own docstring).  Golden: `TabTokenizerTest.java`
+        tokenizePos.  Use :meth:`tokenize_with_offsets` for the
+        Lucene-faithful offsets the index stores."""
+        if text is None:
+            return []
+        spans, pos = [], 0
+        for token in self.tokenize(text):
+            start = text.find(token, pos)
+            if start >= pos:
+                spans.append((start, start + len(token)))
+                pos = start + len(token)
+            else:
+                spans.append((pos + 1, pos + 1))
+        return spans
 
     def tokenize_fields(self, *texts: str | None) -> list[str]:
         """Multi-field tokenize+concat (`ATokenizer.java:36-43`)."""
@@ -156,6 +279,33 @@ TOKEN_FILTERS = {
     "shingle2": _shingle2,
     "shingle3": _shingle3,
     "edge_ngram": _edge_ngram,
+}
+
+
+def _shingle_spans(triples, n: int, sep: str = " "):
+    """Lucene ShingleFilter offsets: a shingle spans from its first
+    constituent's start to its last constituent's end."""
+    return [
+        (sep.join(t for t, _, _ in triples[i:i + n]),
+         triples[i][1], triples[i + n - 1][2])
+        for i in range(len(triples) - n + 1)
+    ]
+
+
+def _edge_ngram_spans(triples, min_gram: int = 1, max_gram: int = 10):
+    """Lucene EdgeNGramTokenFilter keeps the SOURCE token's offsets for
+    every gram."""
+    return [
+        (t[:g], s, e)
+        for t, s, e in triples
+        for g in range(min_gram, min(max_gram, len(t)) + 1)
+    ]
+
+
+_FILTER_SPANS = {
+    "shingle2": lambda tr: _shingle_spans(tr, 2),
+    "shingle3": lambda tr: _shingle_spans(tr, 3),
+    "edge_ngram": _edge_ngram_spans,
 }
 
 ANALYZERS: dict[str, Analyzer] = {

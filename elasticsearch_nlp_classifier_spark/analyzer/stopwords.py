@@ -31,9 +31,14 @@ def is_stopword(token: str) -> bool:
     return token.lower() in STOPWORDS
 
 
+def keep_token(t: str) -> bool:
+    """The survival predicate of ``remove_stopwords`` for one token —
+    shared with the offset-tracking chain so (token, span) pairs drop
+    together (`Stopwords.java:14-39` semantics)."""
+    return bool(t) and t.lower() not in STOPWORDS \
+        and not _PUNCT_RUN.match(t)
+
+
 def remove_stopwords(tokens: list[str]) -> list[str]:
     """Drop stopwords (case-insensitive), punctuation runs, and empties."""
-    return [
-        t for t in tokens
-        if t and t.lower() not in STOPWORDS and not _PUNCT_RUN.match(t)
-    ]
+    return [t for t in tokens if keep_token(t)]

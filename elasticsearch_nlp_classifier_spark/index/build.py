@@ -148,6 +148,62 @@ def tokenize_postings(
     return docs.select(doc_id_col, text_col).mapInPandas(run, out_schema)
 
 
+def tokenize_occurrences(
+    docs: DataFrame,
+    text_col: str = "content",
+    analyzer: str = "code",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, pos, start_offset, end_offset, dl) — one row per
+    token OCCURRENCE with its 0-based position and char span in the
+    original text (`Analyzer.tokenize_with_offsets`; the term-vector
+    ``offsets`` flag surface, `TermVectorQuery.java:60-76`).  A single
+    narrow ``mapInPandas`` pass; per-batch columns are built with numpy
+    repeats, no per-token Python appends."""
+    import numpy as np
+    import pandas as pd
+
+    from ..analyzer.chain import get_analyzer
+
+    an = get_analyzer(analyzer)
+    schema = ("doc_id bigint, term string, pos int, start_offset int, "
+              "end_offset int, dl bigint")
+
+    def run(batches):
+        two = an.tokenize_with_offsets
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            triples = [
+                two(s) if s is not None else []
+                for s in pdf[text_col]
+            ]
+            lens = np.array([len(t) for t in triples], dtype=np.int64)
+            if not lens.sum():
+                continue
+            doc_ids = pdf[doc_id_col].to_numpy(np.int64)
+            flat_t = [t for tr in triples for t, _, _ in tr]
+            flat_s = np.fromiter(
+                (s for tr in triples for _, s, _ in tr),
+                dtype=np.int64, count=int(lens.sum()))
+            flat_e = np.fromiter(
+                (e for tr in triples for _, _, e in tr),
+                dtype=np.int64, count=int(lens.sum()))
+            rows = np.repeat(np.arange(len(triples), dtype=np.int64), lens)
+            pos = np.arange(len(rows), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+            yield pd.DataFrame({
+                "doc_id": doc_ids[rows],
+                "term": np.asarray(flat_t, dtype=object),
+                "pos": pos.astype(np.int32),
+                "start_offset": flat_s.astype(np.int32),
+                "end_offset": flat_e.astype(np.int32),
+                "dl": lens[rows],
+            })
+
+    return docs.select(doc_id_col, text_col).mapInPandas(run, schema)
+
+
 def build_logical_index(
     docs: DataFrame,
     text_col: str = "content",
@@ -155,6 +211,7 @@ def build_logical_index(
     doc_id_col: str = "doc_id",
     fused: bool = True,
     with_positions: bool = False,
+    with_offsets: bool = False,
 ) -> LogicalIndex:
     """JVM-expressible analyzers (``code``, ``simple_code``) always use
     the explode→groupBy plan: tokenize + explode + partial hash agg all
@@ -180,7 +237,32 @@ def build_logical_index(
         "doc_id", "dl"
     )
 
-    if with_positions:
+    if with_offsets:
+        # occurrence rows carry (pos, start, end); aggregate per
+        # posting with ALL per-occurrence payloads position-sorted in
+        # lockstep (sort_array on struct sorts by pos, the first field)
+        occ = tokenize_occurrences(docs, text_col, analyzer, doc_id_col)
+        triples = F.sort_array(F.collect_list(
+            F.struct("pos", "start_offset", "end_offset")
+        ))
+        postings = (
+            occ.groupBy("doc_id", "term")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.first("dl").alias("dl"),
+                triples.alias("_occ"),
+            )
+            .select(
+                "doc_id", "term", "tf", "dl",
+                F.transform("_occ", lambda s: s["pos"].cast("int"))
+                .alias("positions"),
+                F.transform("_occ", lambda s: s["start_offset"])
+                .alias("start_offsets"),
+                F.transform("_occ", lambda s: s["end_offset"])
+                .alias("end_offsets"),
+            )
+        )
+    elif with_positions:
         tok = tokenize_docs(docs, text_col, analyzer, doc_id_col)
         postings = (
             tok.select("doc_id", "dl",
@@ -228,6 +310,10 @@ def term_vectors(
         # positions-per-token payload of the `_mtermvectors` response
         # (`TermVectorQuery.java:60-76`)
         fields.append("positions")
+    if "start_offsets" in p.columns:
+        # char-span payload of the ``offsets`` flag — golden shape
+        # ``start_offset``/``end_offset`` in `TermVectorTokensTest.java:16-55`
+        fields += ["start_offsets", "end_offsets"]
     return (
         enriched.groupBy("doc_id")
         .agg(

@@ -37,8 +37,45 @@ from .blocks import PhysicalIndex, build_physical_index
 from .build import LogicalIndex
 
 
+#: driver-side cap for the tombstone closure array (~80 MB of int64).
+#: Above it, ``deleted_array`` raises and query paths fall back to a
+#: distributed anti-join (`query/wand.topk_from_pairs(deleted_df=…)`) —
+#: an unbounded ``delete_by_query`` backlog before compaction must not
+#: become O(deleted) driver memory.
+TOMBSTONE_DRIVER_CAP = 10_000_000
+
+
+class TombstoneOverflowError(RuntimeError):
+    """Tombstone set exceeds the driver-closure cap — use the
+    ``deleted_df`` anti-join path (query modules do this automatically)
+    or run ``compact``."""
+
+
 def _deletes_dir(index: PhysicalIndex) -> str:
     return f"{index.path}/deletes"
+
+
+def deleted_count_upper_bound(index: PhysicalIndex) -> int:
+    """Cheap (no Spark job) upper bound on the tombstone count: the sum
+    of appended batch sizes from the lineage log.  An over-estimate
+    when ids repeat across batches — safe direction for a driver-memory
+    guard."""
+    import json
+
+    path = f"{index.path}/lineage.jsonl"
+    total = 0
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("stage") == "delete_docs":
+                    total += int(rec.get("rows", 0))
+    except OSError:
+        pass
+    return total
 
 
 def delete_docs(
@@ -76,11 +113,28 @@ def deleted_df(index: PhysicalIndex) -> DataFrame | None:
     return index.spark.read.parquet(d).select("doc_id").distinct()
 
 
-def deleted_array(index: PhysicalIndex) -> np.ndarray:
+def deleted_array(
+    index: PhysicalIndex,
+    max_driver_rows: int | None = None,
+) -> np.ndarray:
     """Sorted unique tombstoned doc ids (driver-side numpy array).
 
     Deliberately a collect: the tombstone set is side-table small (see
-    module docstring); it rides to scoring tasks in the closure."""
+    module docstring); it rides to scoring tasks in the closure.
+    GUARDED: when the (cheap, no-job) lineage upper bound exceeds
+    ``max_driver_rows``, raises :class:`TombstoneOverflowError` instead
+    of materializing O(deleted) driver memory — callers fall back to
+    the ``deleted_df`` anti-join path (query modules do so
+    automatically via ``query/wand._tombstones``)."""
+    if max_driver_rows is None:
+        max_driver_rows = TOMBSTONE_DRIVER_CAP
+    ub = deleted_count_upper_bound(index)
+    if ub > max_driver_rows:
+        raise TombstoneOverflowError(
+            f"~{ub} tombstoned ids exceed the {max_driver_rows}-row "
+            "driver-closure cap — use deleted_df() / the anti-join "
+            "query path, or compact()"
+        )
     df = deleted_df(index)
     if df is None:
         return np.empty(0, dtype=np.int64)

@@ -63,11 +63,31 @@ def open_pit(index: PhysicalIndex) -> PointInTime:
     )
 
 
-def pit_deleted_array(pit: PointInTime) -> np.ndarray:
+def pit_deleted_array(
+    pit: PointInTime, max_driver_rows: int | None = None,
+) -> np.ndarray:
     """Sorted unique tombstoned ids AS OF the PIT — reads only the
-    frozen file list, so appends after ``open_pit`` are invisible."""
+    frozen file list, so appends after ``open_pit`` are invisible.
+    GUARDED like ``deletes.deleted_array``: the parquet-footer row
+    count (metadata-only, no scan) bounds the collect; above the cap
+    this raises ``TombstoneOverflowError`` and callers use the
+    ``pit_deleted_df`` anti-join path."""
+    from .deletes import TOMBSTONE_DRIVER_CAP, TombstoneOverflowError
+
+    if max_driver_rows is None:
+        max_driver_rows = TOMBSTONE_DRIVER_CAP
     if not pit.delete_files:
         return np.empty(0, dtype=np.int64)
+    import pyarrow.parquet as pq
+
+    ub = sum(pq.ParquetFile(f).metadata.num_rows
+             for f in pit.delete_files)
+    if ub > max_driver_rows:
+        raise TombstoneOverflowError(
+            f"~{ub} PIT tombstoned ids exceed the {max_driver_rows}-row "
+            "driver-closure cap — use pit_deleted_df() / the anti-join "
+            "query path"
+        )
     df = pit.index.spark.read.parquet(*pit.delete_files)
     pdf = df.select("doc_id").distinct().toPandas()
     return np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
@@ -112,9 +132,19 @@ def pit_search(
     from ..analyzer.chain import get_analyzer
     from ..query.wand import topk_from_pairs
 
+    from .deletes import TombstoneOverflowError
+
     terms = get_analyzer(analyzer).tokenize(query_text)
     pairs = [(query_id, t) for t in sorted(set(terms))]
-    return topk_from_pairs(
-        pit.index, pairs, {query_id: k},
-        deleted=pit_deleted_array(pit),
-    )
+    try:
+        return topk_from_pairs(
+            pit.index, pairs, {query_id: k},
+            deleted=pit_deleted_array(pit),
+        )
+    except TombstoneOverflowError:
+        # over-cap tombstone backlog: distributed anti-join instead of
+        # the driver closure (exact, just not the numpy fast path)
+        return topk_from_pairs(
+            pit.index, pairs, {query_id: k},
+            deleted_df=pit_deleted_df(pit),
+        )

@@ -24,6 +24,17 @@ Schema conventions:
 Scale shape: payload rows are huge, so partition by *bytes*
 (``spark.sql.files.maxPartitionBytes``), not row count; every operator
 here is a narrow mapInPandas pass (zero shuffles) over Arrow batches.
+
+**Arrow batch sizing for fat rows**: `session.get_spark` disables the
+JVM→Python per-row byte check (``arrow.maxBytesPerBatch`` = the
+Int.MaxValue sentinel) because it costs ~10 µs/row on the engine's
+narrow hot-path frames; Python-bound batches are then bounded by
+``arrow.maxRecordsPerBatch`` alone.  A media job whose payloads are
+MBs each must bound batch BYTES again: pass
+``extra_conf={"spark.sql.execution.arrow.maxBytesPerBatch":
+"67108864"}`` (the stock 64 MB cap — its per-row cost is amortized by
+fat rows) or set ``maxRecordsPerBatch`` to ~64.  With KB-scale
+payloads (the synthetic fixtures here) the 10k-row default is fine.
 """
 
 from __future__ import annotations

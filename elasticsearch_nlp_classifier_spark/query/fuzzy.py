@@ -150,12 +150,9 @@ def fuzzy_topk(
         for _, term in sorted(by_tok.get(tok, []))[:max_expansions]
     })
 
-    deleted = None
-    if respect_deletes:
-        from ..index.deletes import deleted_array
+    from .wand import _tombstones
 
-        arr = deleted_array(index)
-        deleted = arr if len(arr) else None
+    deleted, del_df = _tombstones(index, respect_deletes)
     ks = {qid: k for qid, _ in tok_pairs}
     return topk_from_pairs(index, pairs, ks, n_buckets=n_buckets,
-                           deleted=deleted)
+                           deleted=deleted, deleted_df=del_df)

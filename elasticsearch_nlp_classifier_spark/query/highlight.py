@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["highlight"]
+__all__ = ["highlight", "highlight_from_offsets"]
 
 
 def highlight(
@@ -70,3 +70,81 @@ def highlight(
     return hits.withColumn(
         "highlight", F.when(first.isNotNull(), marked)
     )
+
+
+def highlight_from_offsets(
+    index,
+    hits: DataFrame,
+    query: str,
+    text_col: str = "text",
+    analyzer: str = "code",
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> DataFrame:
+    """Highlight from STORED char offsets — Lucene's fast-vector/
+    postings highlighter, vs :func:`highlight`'s re-analyzing one.
+    ``index`` must be built with ``with_offsets=True``
+    (`index/build.tokenize_occurrences`); markup positions come from
+    the index payloads, never from re-tokenizing the text, so the
+    marked spans are exactly the analyzed tokens that matched (a
+    stemmed query term highlights the original surface form — the
+    re-analyzing highlighter cannot do that).
+
+    ES ``number_of_fragments: 0`` semantics: the ENTIRE field is
+    returned with every match wrapped; rows with no match get a null
+    ``highlight``.  Pure JVM: the span list is assembled by an
+    ``aggregate`` over the (sorted) stored offsets — no Python in the
+    row path; per-hit cost is O(text + matches), after the top-k cut.
+    """
+    from ..analyzer.chain import get_analyzer
+
+    terms = sorted(set(get_analyzer(analyzer).tokenize(query)))
+    if not terms:
+        return hits.withColumn("highlight", F.lit(None).cast("string"))
+    p = index.postings
+    if "start_offsets" not in p.columns:
+        raise ValueError(
+            "highlight_from_offsets needs an offsets index "
+            "(build_logical_index(with_offsets=True))"
+        )
+    # prune the postings scan to the hit docs FIRST (broadcast
+    # semi-probe — hits are post-top-k, tiny), so the span agg is
+    # bounded by hits × query terms; the result then broadcasts back
+    # onto hits on the supported (right) side of the left join
+    spans = (
+        p.where(F.col("term").isin(terms))
+        .join(F.broadcast(hits.select("doc_id").distinct()), "doc_id")
+        .select(
+            "doc_id",
+            F.arrays_zip(
+                F.col("start_offsets").alias("s"),
+                F.col("end_offsets").alias("e"),
+            ).alias("se"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.flatten(F.collect_list("se"))).alias("spans"))
+    )
+    joined = hits.join(F.broadcast(spans), "doc_id", "left")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    # fold sorted (start, end) spans into the marked string: acc.out
+    # carries text[0:acc.cur) already emitted; offsets are 0-based
+    # end-exclusive, substring() is 1-based
+    acc0 = F.struct(F.lit("").alias("out"), F.lit(0).alias("cur"))
+    step = lambda acc, sp: F.struct(  # noqa: E731
+        F.concat(
+            acc["out"],
+            F.substring(text, acc["cur"] + 1, sp["s"] - acc["cur"]),
+            F.lit(pre_tag),
+            F.substring(text, sp["s"] + 1, sp["e"] - sp["s"]),
+            F.lit(post_tag),
+        ).alias("out"),
+        sp["e"].alias("cur"),
+    )
+    finish = lambda acc: F.concat(  # noqa: E731
+        acc["out"], F.substring(text, acc["cur"] + 1, F.length(text))
+    )
+    marked = F.aggregate(F.col("spans"), acc0, step, finish)
+    return joined.withColumn(
+        "highlight",
+        F.when(F.size("spans") > 0, marked),
+    ).drop("spans")

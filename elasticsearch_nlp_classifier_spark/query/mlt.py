@@ -33,13 +33,14 @@ from ..index.blocks import N_TERM_BUCKETS, PhysicalIndex
 from .wand import RESULT_SCHEMA, topk_from_pairs
 
 
-def _deleted(index: PhysicalIndex, respect: bool):
-    if not respect:
-        return None
-    from ..index.deletes import deleted_array
+def _del_kw(index: PhysicalIndex, respect: bool) -> dict:
+    """Tombstones in whichever shape fits the driver cap — closure
+    array (fast numpy mask) or anti-join DataFrame (over-cap fallback);
+    see `wand._tombstones`."""
+    from .wand import _tombstones
 
-    arr = deleted_array(index)
-    return arr if len(arr) else None
+    arr, df = _tombstones(index, respect)
+    return {"deleted": arr, "deleted_df": df}
 
 
 def prefix_topk(
@@ -61,7 +62,7 @@ def prefix_topk(
     pairs = [(query_id, r["term"]) for r in rows]
     return topk_from_pairs(
         index, pairs, {query_id: k}, n_buckets=n_buckets,
-        deleted=_deleted(index, respect_deletes),
+        **_del_kw(index, respect_deletes),
     )
 
 
@@ -89,7 +90,7 @@ def wildcard_topk(
     pairs = [(query_id, r["term"]) for r in rows]
     return topk_from_pairs(
         index, pairs, {query_id: k}, n_buckets=n_buckets,
-        deleted=_deleted(index, respect_deletes),
+        **_del_kw(index, respect_deletes),
     )
 
 
@@ -119,7 +120,7 @@ def regexp_topk(
     pairs = [(query_id, r["term"]) for r in rows]
     return topk_from_pairs(
         index, pairs, {query_id: k}, n_buckets=n_buckets,
-        deleted=_deleted(index, respect_deletes),
+        **_del_kw(index, respect_deletes),
     )
 
 
@@ -159,7 +160,7 @@ def match_bool_prefix_topk(
     pairs = [(query_id, t) for t in terms]
     return topk_from_pairs(
         index, pairs, {query_id: k}, n_buckets=n_buckets,
-        deleted=_deleted(index, respect_deletes),
+        **_del_kw(index, respect_deletes),
     )
 
 
@@ -272,7 +273,7 @@ def more_like_this(
     pairs = [(query_id, t) for t in terms]
     out = topk_from_pairs(
         index, pairs, {query_id: k if include_self else k + 1},
-        n_buckets=n_buckets, deleted=_deleted(index, respect_deletes),
+        n_buckets=n_buckets, **_del_kw(index, respect_deletes),
     )
     if include_self:
         return out

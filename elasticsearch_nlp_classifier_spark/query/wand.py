@@ -257,12 +257,7 @@ def wand_topk(
     """
     from ..analyzer.chain import get_analyzer
 
-    deleted = None
-    if respect_deletes:
-        from ..index.deletes import deleted_array
-
-        arr = deleted_array(index)
-        deleted = arr if len(arr) else None
+    deleted, del_df = _tombstones(index, respect_deletes)
 
     qp = queries.toPandas() if isinstance(queries, DataFrame) else queries
     an = get_analyzer(analyzer)
@@ -279,7 +274,75 @@ def wand_topk(
         for t in an.tokenize(text)
     })
     return topk_from_pairs(index, pairs, ks, n_buckets=n_buckets,
-                           deleted=deleted)
+                           deleted=deleted, deleted_df=del_df)
+
+
+def _topk_join_path(
+    index: PhysicalIndex,
+    qdf: DataFrame,
+    buckets: list[int],
+    q_terms: list[str],
+    deleted_df: DataFrame,
+    avgdl: float,
+) -> DataFrame:
+    """Over-cap tombstone fallback: exact BM25 over the same pruned
+    block scan, decoded to postings and anti-joined against the
+    tombstone table — a shuffle anti-join instead of a driver-closure
+    array, so the delete set never rides through the driver.  Scores /
+    ranking convention identical to the numpy path (raw score DESC,
+    doc_id ASC); only the float summation order differs (Spark agg vs
+    term-sorted numpy), i.e. ≤1 ulp."""
+    from pyspark.sql.window import Window
+
+    post = index.logical_postings(
+        F.col("tb").isin(buckets) & F.col("term").isin(q_terms)
+    ).select("doc_id", "term", "tf", "dl")
+    live = post.join(deleted_df.select("doc_id"), "doc_id", "left_anti")
+    contrib = (
+        F.col("idf") * F.col("tf")
+        / (F.col("tf")
+           + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl")
+                           / F.lit(float(avgdl))))
+    )
+    scored = (
+        live.join(F.broadcast(qdf), "term")
+        .withColumn("contrib", contrib)
+        .groupBy("query_id", "doc_id", "k")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("k"))
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("bigint"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _tombstones(index: PhysicalIndex, respect: bool):
+    """(closure_array | None, anti_join_df | None) — the tombstone set
+    in whichever shape fits: a driver-side sorted array under the
+    ``TOMBSTONE_DRIVER_CAP``, else a DataFrame for the distributed
+    anti-join path (a huge ``delete_by_query`` backlog before
+    compaction must never become O(deleted) driver memory)."""
+    if not respect:
+        return None, None
+    from ..index.deletes import (
+        TombstoneOverflowError, deleted_array, deleted_df,
+    )
+
+    try:
+        arr = deleted_array(index)
+        return (arr if len(arr) else None), None
+    except TombstoneOverflowError:
+        return None, deleted_df(index)
 
 
 def topk_from_pairs(
@@ -288,10 +351,18 @@ def topk_from_pairs(
     ks: dict[int, int],
     n_buckets: int = N_TERM_BUCKETS,
     deleted: "np.ndarray | None" = None,
+    deleted_df: DataFrame | None = None,
 ) -> DataFrame:
     """The WAND scoring core over explicit (query_id, term) pairs —
     shared by :func:`wand_topk` (analyzed text) and
-    ``query/fuzzy.py`` (vocabulary-expanded terms)."""
+    ``query/fuzzy.py`` (vocabulary-expanded terms).
+
+    ``deleted``: sorted tombstone array, masked inside the numpy
+    scorer (the fast path — bounded by ``TOMBSTONE_DRIVER_CAP``).
+    ``deleted_df``: over-cap fallback — the same exact BM25 over the
+    identically-pruned block scan, but decoded to postings and
+    anti-joined against the tombstone TABLE before scoring, so no
+    driver-side materialization of the delete set ever happens."""
     import math
 
     stats = index.corpus_stats
@@ -342,6 +413,13 @@ def topk_from_pairs(
     qdf = index.spark.createDataFrame(
         pd.DataFrame(q_rows, columns=["query_id", "term", "idf", "k"])
     )
+
+    if deleted_df is not None:
+        if deleted is not None:
+            raise ValueError("pass deleted OR deleted_df, not both")
+        return _topk_join_path(index, qdf, buckets, q_terms,
+                               deleted_df, avgdl)
+
     cand = blocks.join(F.broadcast(qdf), "term")
 
     # scoring partitions: ~2 per core so stragglers (skewed queries)

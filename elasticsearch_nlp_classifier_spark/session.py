@@ -59,6 +59,22 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Disable the JVM->Python per-ROW batch-bytes check: Spark 4.x's
+        # BatchedPythonArrowInput calls ArrowWriter.sizeInBytes() after
+        # EVERY appended row unless maxBytesPerBatch is the Int.MaxValue
+        # sentinel, and sizeInBytes walks the whole vector tree
+        # (setValueCount + getBufferSizeFor per field) — measured ~10 µs
+        # of allocation churn per row, 19x slower than the transfer
+        # itself on a 26M-row narrow frame, and it worsens with
+        # concurrency (GC pressure), flattening multi-core scaling of
+        # every mapInArrow/mapInPandas stage.  With the sentinel set,
+        # batches are bounded by maxRecordsPerBatch above (10k rows):
+        # exact, small batches for the engine's narrow hot-path frames.
+        # Jobs carrying fat binary rows (multimodal media tables) should
+        # restore a byte cap via extra_conf or lower maxRecordsPerBatch
+        # — see operators/multimodal.py.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str((1 << 31) - 1))
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
