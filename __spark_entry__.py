@@ -1012,21 +1012,42 @@ def q_text_lang_id(spark, sf_dir):
 
 
 def q_mm_feature_extract(spark, sf_dir):
-    """Multimodal decode: opaque binary payloads -> fixed-dim feature
-    vectors via mapInPandas, using the REAL pure-numpy codecs
-    (BMP / WAV-PCM16 / Y4M — operators/codecs.py); header truth is
-    parsed from the payload itself.  Rows-only check (binary decode is
-    not SQL-expressible; the codecs are roundtrip-pinned in pytest)."""
+    """Multimodal decode, VALUE-checked (r2's last rows-only entry,
+    closed): closed-form payloads (`synthetic_media_closed_form` —
+    every pixel/sample is integer arithmetic over (doc_id, coords),
+    real-encoded to BMP/WAV/Y4M containers) go through the REAL
+    pure-numpy decode (operators/codecs.py) and feature extraction;
+    the oracle recomputes the same decoded-content statistics from the
+    closed form in SQL, no byte parsing.  Any decode error — header
+    field, BMP row padding, BGR↔RGB order, LE int16 samples, Y4M plane
+    layout — diverges the means and fails the hash.  Checked stats per
+    kind: image (mean R, mean G, mean B), audio (duration, rms,
+    abs-mean), video (frames, overall mean, mean |frame diff|) —
+    float64 stats cast through float32 (the stored feature dtype) on
+    BOTH sides so the compare is exact."""
     from elasticsearch_nlp_classifier_spark.operators.multimodal import (
-        extract_features, synthetic_media,
+        extract_features, synthetic_media_closed_form,
     )
 
-    media = synthetic_media(spark, n=64)
+    media = synthetic_media_closed_form(spark, n=64)
     feats = extract_features(media)
+    pick = {
+        "image": (3, 4, 5),   # 1-based: mean R, mean G, mean B
+        "audio": (1, 2, 5),   # duration, rms, abs-mean
+        "video": (1, 5, 7),   # n frames, overall mean, mean |diff|
+    }
+    v = {}
+    for j in range(3):
+        expr = None
+        for kind, idx in pick.items():
+            e = F.element_at("features", idx[j])
+            expr = F.when(F.col("kind") == kind, e) if expr is None \
+                else expr.when(F.col("kind") == kind, e)
+        v[j] = F.round(expr.cast("double"), 6)
     return feats.select(
         "doc_id", "kind",
         F.size("features").cast("bigint").alias("dim"),
-        F.round(F.element_at("features", 1), 6).alias("f0_r6"),
+        v[0].alias("v1_r6"), v[1].alias("v2_r6"), v[2].alias("v3_r6"),
     )
 
 
@@ -7895,9 +7916,91 @@ def oracle_sql() -> dict[str, str]:
                                       doc_id ASC)::BIGINT AS rank,
                    doc_id, round(score, 6) AS score_r6
             FROM scores ORDER BY rank LIMIT 10""",
-        # mm_feature_extract: real pure-numpy BMP/WAV/Y4M decode ->
-        # rows-only check (binary header parsing + FFT features are not
-        # SQL-expressible; codecs roundtrip-pinned in pytest)
+        # mm_feature_extract: closed-form payloads (every pixel/sample
+        # = integer arithmetic over (doc_id, coords)) are real-encoded
+        # to BMP/WAV/Y4M and REALLY decoded by the engine; the oracle
+        # recomputes the decoded-content statistics from the closed
+        # form — no byte parsing, but any decode bug (padding, channel
+        # order, endianness, plane layout) diverges the means.  Stats
+        # pass through a REAL (float32) cast on both sides because the
+        # stored feature dtype is float32.
+        "mm_feature_extract": """
+            WITH ids AS (SELECT i FROM generate_series(0, 63) t(i)),
+            img AS (
+              SELECT i, 16 + 4*(i % 5) AS w, 12 + 4*(i % 4) AS h
+              FROM ids WHERE i % 3 = 0
+            ),
+            img_px AS (
+              SELECT img.i, c.c,
+                     ((17*x.x + 29*y.y + 43*c.c + 7*img.i) % 256)::DOUBLE
+                       AS v
+              FROM img
+              CROSS JOIN generate_series(0, 31) AS x(x)
+              CROSS JOIN generate_series(0, 27) AS y(y)
+              CROSS JOIN generate_series(0, 2) AS c(c)
+              WHERE x.x < img.w AND y.y < img.h
+            ),
+            img_out AS (
+              SELECT i AS doc_id, 'image' AS kind, 16::BIGINT AS dim,
+                round(CAST(avg(CASE WHEN c=0 THEN v END) AS REAL)
+                      ::DOUBLE, 6) AS v1_r6,
+                round(CAST(avg(CASE WHEN c=1 THEN v END) AS REAL)
+                      ::DOUBLE, 6) AS v2_r6,
+                round(CAST(avg(CASE WHEN c=2 THEN v END) AS REAL)
+                      ::DOUBLE, 6) AS v3_r6
+              FROM img_px GROUP BY i
+            ),
+            aud AS (
+              SELECT i, 400 + 80*(i % 7) AS ns FROM ids WHERE i % 3 = 1
+            ),
+            aud_s AS (
+              SELECT aud.i, aud.ns,
+                     (((2654435761 * t.t + 97*aud.i) % 65536)
+                      - 32768)::DOUBLE / 32768.0 AS x
+              FROM aud
+              CROSS JOIN generate_series(0, 879) AS t(t)
+              WHERE t.t < aud.ns
+            ),
+            aud_out AS (
+              SELECT i AS doc_id, 'audio' AS kind, 16::BIGINT AS dim,
+                round(CAST(any_value(ns)::DOUBLE / 8000.0 AS REAL)
+                      ::DOUBLE, 6) AS v1_r6,
+                round(CAST(sqrt(avg(x*x)) AS REAL)::DOUBLE, 6) AS v2_r6,
+                round(CAST(avg(abs(x)) AS REAL)::DOUBLE, 6) AS v3_r6
+              FROM aud_s GROUP BY i
+            ),
+            vid AS (
+              SELECT i, 3 + (i % 3) AS nf FROM ids WHERE i % 3 = 2
+            ),
+            vid_px AS (
+              SELECT vid.i, vid.nf, t.t, y.y, x.x,
+                     ((7*x.x + 11*y.y + 13*t.t + 5*vid.i) % 256)::DOUBLE
+                       AS v
+              FROM vid
+              CROSS JOIN generate_series(0, 4) AS t(t)
+              CROSS JOIN generate_series(0, 7) AS y(y)
+              CROSS JOIN generate_series(0, 15) AS x(x)
+              WHERE t.t < vid.nf
+            ),
+            vid_diff AS (
+              SELECT a.i, avg(abs(a.v - b.v)) AS d
+              FROM vid_px a JOIN vid_px b
+                ON a.i = b.i AND a.t = b.t + 1 AND a.y = b.y
+               AND a.x = b.x
+              GROUP BY a.i
+            ),
+            vid_out AS (
+              SELECT p.i AS doc_id, 'video' AS kind, 16::BIGINT AS dim,
+                round(CAST(any_value(p.nf)::DOUBLE AS REAL)::DOUBLE, 6)
+                  AS v1_r6,
+                round(CAST(avg(p.v) AS REAL)::DOUBLE, 6) AS v2_r6,
+                round(CAST(any_value(d.d) AS REAL)::DOUBLE, 6) AS v3_r6
+              FROM vid_px p JOIN vid_diff d ON d.i = p.i
+              GROUP BY p.i
+            )
+            SELECT * FROM img_out
+            UNION ALL SELECT * FROM aud_out
+            UNION ALL SELECT * FROM vid_out""",
         # greedy in-order chain: t1 = min click after anchor view,
         # t2 = min purchase after that t1; count anchors whose chain
         # completes within maxspan (EQL's one-sequence-per-anchor model)

@@ -40,7 +40,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: bump when the scaling MEASUREMENT protocol changes (pinning, heap,
 #: warmup, query batch, probe/validity rules) — reporting-only edits
 #: don't invalidate recorded rounds.
-PROTOCOL_VERSION = 2
+#: v3: min-of-3 timed build reps per level per round (v2 timed one).
+PROTOCOL_VERSION = 3
 
 #: build-path sources whose bytes define "the same engine" for the
 #: rounds history: a recorded round is only comparable to the current
@@ -128,7 +129,9 @@ def _cross_level_section(fp: str, n_docs: int,
     bus that a real cluster gives each executor privately), so the
     smaller pair is the more cluster-faithful measurement and the
     larger pair is the stress bound."""
-    by_pair: dict[tuple[int, int], dict] = {}
+    import statistics
+
+    by_pair: dict[tuple[int, int], list[dict]] = {}
     try:
         with open(_history_path()) as f:
             for line in f:
@@ -144,29 +147,30 @@ def _cross_level_section(fp: str, n_docs: int,
                     or not rec.get("levels")
                 ):
                     continue
-                pair = tuple(rec["levels"])
-                cur = by_pair.get(pair)
-                if cur is None or (rec["engine_vs_envelope"]
-                                   > cur["engine_vs_envelope"]):
-                    by_pair[pair] = rec
+                by_pair.setdefault(tuple(rec["levels"]), []).append(rec)
     except OSError:
         return ""
     if len(by_pair) < 2:
         return ""
     lines = [
-        "\n## All level pairs (best valid round each, this engine)\n\n"
-        "| N → 4N | speedup | envelope | engine/envelope | ≥0.8 |\n"
-        "|---|---|---|---|---|\n"
+        "\n## All level pairs (MEDIAN of valid rounds each, this "
+        "engine)\n\n"
+        "| N → 4N | rounds | median speedup | envelope | "
+        "median engine/envelope | ≥0.8 |\n"
+        "|---|---|---|---|---|---|\n"
     ]
     for pair in sorted(by_pair):
-        d = by_pair[pair]
-        ok = d["engine_vs_envelope"] >= 0.8
-        mark = "**✓**" if ok else "✗"
+        recs = by_pair[pair]
+        med_ev = round(statistics.median(
+            d["engine_vs_envelope"] for d in recs), 3)
+        med_sp = round(statistics.median(d["speedup"] for d in recs), 3)
+        env = round(statistics.median(
+            d["hw_envelope_speedup"] for d in recs), 3)
+        mark = "**✓**" if med_ev >= 0.8 else "✗"
         cur = " (this report)" if pair == current else ""
         lines.append(
-            f"| {pair[0]} → {pair[1]}{cur} | {d['speedup']} | "
-            f"{d['hw_envelope_speedup']} | {d['engine_vs_envelope']} | "
-            f"{mark} |\n"
+            f"| {pair[0]} → {pair[1]}{cur} | {len(recs)} | {med_sp} | "
+            f"{env} | {med_ev} | {mark} |\n"
         )
     return "".join(lines)
 
@@ -590,27 +594,39 @@ def _one_level_run(master: str, cores: int, corpus_dir: str, n_docs: int):
         shutil.rmtree(idx_path, ignore_errors=True)
         build_physical_index(docs, idx_path, text_col="content",
                              analyzer="code")
-        shutil.rmtree(idx_path, ignore_errors=True)
-        t_build, _ = _timed(lambda: build_physical_index(
-            docs, idx_path, text_col="content", analyzer="code"))
-        phases = {}
-        try:
-            with open(f"{idx_path}/lineage.jsonl") as f:
-                prev = 0.0
-                for line in f:
-                    rec = json.loads(line)
-                    if rec["stage"] == "postings":
-                        phases["postings_s"] = rec["wall_s"]
-                        prev = rec["wall_s"]
-                    elif rec["stage"] == "blocks_bucket":
-                        phases["encode_s"] = rec.get("wall_s", 0)
-                    elif rec["stage"] == "build_done":
-                        phases["total_s"] = rec["wall_s"]
-                        phases["other_s"] = round(
-                            rec["wall_s"] - prev
-                            - phases.get("encode_s", 0), 2)
-        except OSError:
-            pass
+        # >=3 timed reps, min-of-reps as the level's number (VERDICT r2:
+        # a single rep lets one page-fault burst or scheduler hiccup
+        # masquerade as engine cost and inflate per-round variance; the
+        # min is the engine's reproducible cost in this window).  The
+        # rep whose build_s is the min contributes the phase split.
+        reps = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "3"))
+        t_build, phases, build_reps = None, {}, []
+        for _rep in range(reps):
+            shutil.rmtree(idx_path, ignore_errors=True)
+            t_rep, _ = _timed(lambda: build_physical_index(
+                docs, idx_path, text_col="content", analyzer="code"))
+            build_reps.append(round(t_rep, 2))
+            if t_build is None or t_rep < t_build:
+                t_build = t_rep
+                phases = {}
+                try:
+                    with open(f"{idx_path}/lineage.jsonl") as f:
+                        prev = 0.0
+                        for line in f:
+                            rec = json.loads(line)
+                            if rec["stage"] == "postings":
+                                phases["postings_s"] = rec["wall_s"]
+                                prev = rec["wall_s"]
+                            elif rec["stage"] == "blocks_bucket":
+                                phases["encode_s"] = rec.get("wall_s", 0)
+                            elif rec["stage"] == "build_done":
+                                phases["total_s"] = rec["wall_s"]
+                                phases["other_s"] = round(
+                                    rec["wall_s"] - prev
+                                    - phases.get("encode_s", 0), 2)
+                except OSError:
+                    pass
+        phases["build_reps"] = build_reps
 
         index = PhysicalIndex(idx_path, spark)
         index.blocks.cache().count()
@@ -716,22 +732,31 @@ def scaling_run(
         if len(valid_rounds) >= rounds:
             break
 
-    # Candidate pool = this run's rounds + recorded rounds from prior
-    # runs of the byte-identical engine (same protocol + corpus size).
-    # The criterion number is engine_vs_envelope, so the best VALID
-    # round by that metric is the headline.
+    # THE HEADLINE IS THIS RUN'S MEDIAN VALID ROUND (VERDICT r2: a
+    # best-of-N max-statistic over accumulated rounds systematically
+    # selects windows whose small-level run was throttled; the claim
+    # must be reproducible in one run).  Prior-run history is still
+    # recorded and shown as context below, never merged into the
+    # headline.  ``best`` survives as the round whose full row renders
+    # in the per-level table (the median round by engine/envelope).
+    import statistics
+
     history = _load_history(fp, n_docs, run_ts, [c_small, c_big])
-    pool = rounds_out + history
-    pool_valid = [d for d in pool if d["valid"]]
-    best = max(pool_valid or pool, key=lambda d: d["engine_vs_envelope"])
+    pool = rounds_out + history  # context table only
+    this_valid = [d for d in rounds_out if d["valid"]]
+    if this_valid:
+        ranked = sorted(this_valid, key=lambda d: d["engine_vs_envelope"])
+        best = ranked[(len(ranked) - 1) // 2]  # the median valid round
+    else:
+        best = max(rounds_out, key=lambda d: d["engine_vs_envelope"])
     factor = c_big / c_small
     report = {
         "n_docs": n_docs,
         "rounds": rounds_out,
         "history_rounds": len(history),
-        "no_valid_round": not pool_valid,
+        "no_valid_round": not this_valid,
         "best_round": best["round"],
-        "best_run": best.get("run_ts", run_ts),
+        "best_run": run_ts,
         "speedup": best["speedup"],
         "scaling_efficiency": round(best["speedup"] / factor, 3),
         "hw_envelope_speedup": best["hw_envelope_speedup"],
@@ -739,15 +764,15 @@ def scaling_run(
             best["hw_envelope_speedup"] / factor, 3),
         "engine_vs_envelope": best["engine_vs_envelope"],
     }
-    if pool_valid:
-        import statistics
-
-        report["n_valid_rounds"] = len(pool_valid)
+    if this_valid:
+        report["n_valid_rounds"] = len(this_valid)
         report["median_valid_engine_vs_envelope"] = round(
-            statistics.median(d["engine_vs_envelope"] for d in pool_valid),
+            statistics.median(d["engine_vs_envelope"] for d in this_valid),
             3)
         report["median_valid_speedup"] = round(
-            statistics.median(d["speedup"] for d in pool_valid), 3)
+            statistics.median(d["speedup"] for d in this_valid), 3)
+        report["best_valid_engine_vs_envelope"] = round(
+            max(d["engine_vs_envelope"] for d in this_valid), 3)
     results = {
         c: {
             "build_s": best["build_s"][c],
@@ -799,13 +824,18 @@ def scaling_run(
                 if report["no_valid_round"] else ""
             )
             + (
-                f"Rounds accumulate across runs of the byte-identical "
-                f"engine (fingerprint `{fp}`, protocol v"
-                f"{PROTOCOL_VERSION}, `BENCH/rounds_history.jsonl`): "
-                f"{len(history)} prior + {len(rounds_out)} this run; "
-                "headline = best valid round by engine/envelope.\n\n"
+                "**Headline = the MEDIAN valid round of THIS run** "
+                f"(round {report['best_round']}; each level's build is "
+                "min-of-"
+                f"{os.environ.get('SPARK_GRAFT_BUILD_REPS', '3')} timed "
+                "reps after an untimed warmup, so one page-fault burst "
+                "cannot masquerade as engine cost).  Prior runs of the "
+                f"byte-identical engine (fingerprint `{fp}`, protocol "
+                f"v{PROTOCOL_VERSION}): {len(history)} recorded rounds "
+                "in `BENCH/rounds_history.jsonl`, shown in the table "
+                "below as context — never merged into the headline.\n\n"
             )
-            + f"Best round ({report['best_round']}):\n\n"
+            + f"Median valid round ({report['best_round']}):\n\n"
             "| cores | build s | docs/sec indexed | "
             "query batch best s | query batch p95 s |\n"
             "|---|---|---|---|---|\n"
@@ -836,7 +866,8 @@ def scaling_run(
                 f"{d['stability']} | {'✓' if d['valid'] else '✗'} |\n"
                 for d in pool
             )
-            + f"\n- speedup {c_small}→{c_big} cores: **{report['speedup']}×**"
+            + f"\n- median-round speedup {c_small}→{c_big} cores: "
+            f"**{report['speedup']}×**"
             f" (wall-clock efficiency {report['scaling_efficiency']})\n"
             f"- hardware envelope on this VM (pure-CPU embarrassingly-"
             f"parallel calibration, same core counts): "
@@ -844,28 +875,18 @@ def scaling_run(
             f"{report['hw_envelope_efficiency']} — SMT sharing + turbo "
             f"frequency drop + hypervisor steal; no wall-clock job can "
             f"exceed this on one box)\n"
-            f"- engine speedup relative to the hardware envelope: "
-            f"**{report['engine_vs_envelope']}** (target ≥ 0.8 — the "
-            f"engine-attributable scaling criterion; on a real multi-"
-            f"executor cluster each executor owns its cores/memory/disk, "
-            f"so the envelope there is ~1.0 and wall-clock efficiency "
-            f"converges to this number)\n"
             + (
-                "- median over ALL valid rounds: engine/envelope "
-                f"**{report['median_valid_engine_vs_envelope']}**, "
-                f"speedup {report['median_valid_speedup']}× across "
-                f"{report['n_valid_rounds']} valid rounds — stated so "
-                "a single lucky window cannot carry the claim alone.  "
-                "The median window on this VM is itself bandwidth-"
-                "throttled (probe column: typical ~10-13 GB/s vs ~20 "
-                "in clean windows; the 30% stability gate detects "
-                "probe *disagreement*, not a uniformly-degraded "
-                "window), and the throttle taxes the memory-bound "
-                "big-level run hardest — so per-window ratios are "
-                "biased LOW, and the best valid (least-throttled) "
-                "round is the closest observation of the engine's "
-                "actual scaling, which is what a real cluster's "
-                "per-executor-private memory would deliver everywhere.\n"
+                "- **median valid engine/envelope this run: "
+                f"{report['median_valid_engine_vs_envelope']}** "
+                f"(target ≥ 0.8), speedup "
+                f"{report['median_valid_speedup']}× across "
+                f"{report['n_valid_rounds']} valid rounds; best valid "
+                f"round {report['best_valid_engine_vs_envelope']}.  "
+                "The criterion is claimed on the MEDIAN of one run — "
+                "no cross-run best-of selection.  On a real multi-"
+                "executor cluster each executor owns its cores/memory/"
+                "disk, so the envelope there is ~1.0 and wall-clock "
+                "efficiency converges to engine/envelope.\n"
                 if report.get("n_valid_rounds") else ""
             )
             + _cross_level_section(fp, n_docs, (c_small, c_big))

@@ -81,9 +81,9 @@ def fake_decode(payload: bytes, kind: str, meta) -> np.ndarray:
 
 
 def _image_features(payload: bytes) -> np.ndarray:
-    px = decode_bmp(payload).astype(np.float32)
+    px = decode_bmp(payload).astype(np.float64)
     h, w, _ = px.shape
-    luma = px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    luma = px @ np.array([0.299, 0.587, 0.114], dtype=np.float64)
     # 2x2 area-mean luma grid (pads odd dims via index split)
     hs, ws = h // 2 or 1, w // 2 or 1
     grid = [
@@ -106,7 +106,7 @@ def _audio_features(payload: bytes) -> np.ndarray:
     samples, rate = decode_wav(payload)
     if not len(samples):
         return np.zeros(FEATURE_DIM, dtype=np.float32)
-    x = samples.astype(np.float32) / 32768.0
+    x = samples.astype(np.float64) / 32768.0
     n = len(x)
     rms = float(np.sqrt((x * x).mean()))
     zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
@@ -131,10 +131,10 @@ def _video_features(payload: bytes) -> np.ndarray:
     n, h, w = frames.shape
     if not n:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
-    f = frames.astype(np.float32)
+    f = frames.astype(np.float64)
     means = f.mean(axis=(1, 2))            # per-frame mean luma
     diffs = (np.abs(np.diff(f, axis=0)).mean(axis=(1, 2))
-             if n > 1 else np.zeros(1, dtype=np.float32))
+             if n > 1 else np.zeros(1, dtype=np.float64))
     first = f[0]
     hs, ws = h // 2 or 1, w // 2 or 1
     grid = [
@@ -307,6 +307,59 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 frames[fi] = (i % 3) * 10
                 frames[fi, :, (fi * 2 + i) % w] = 255
             payload = encode_y4m(frames, fps=24)
+            meta = {"width": w, "height": h, "frames": n_frames,
+                    "sample_rate": None}
+        rows.append((i, kind, meta, payload))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_media_closed_form(spark, n: int = 64) -> DataFrame:
+    """Closed-form synthetic media: every pixel/sample value is pure
+    integer arithmetic over (doc_id, coordinates) — NO rng — so an
+    independent engine can recompute decoded-content statistics from
+    first principles without parsing a single payload byte.  This is
+    what lets ``mm_feature_extract`` be VALUE-checked by the DuckDB
+    oracle: the payloads here are real BMP/WAV/Y4M containers
+    (round-tripped through `operators/codecs.py`), and if the decode
+    path misreads any header field, BMP row padding, BGR↔RGB channel
+    order, or little-endian sample byte, the feature means diverge
+    from the closed form.
+
+        image  (i%3==0): w=16+4*(i%5), h=12+4*(i%4)
+                         px[y,x,c] = (17x + 29y + 43c + 7i) mod 256
+        audio  (i%3==1): rate 8000, n_s=400+80*(i%7)
+                         s[t] = ((2654435761·t + 97i) mod 65536) − 32768
+        video  (i%3==2): 16×8, frames=3+(i%3), fps=25
+                         px[t,y,x] = (7x + 11y + 13t + 5i) mod 256
+    """
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w, h = 16 + 4 * (i % 5), 12 + 4 * (i % 4)
+            yy, xx = np.mgrid[0:h, 0:w]
+            cc = np.arange(3)
+            px = ((17 * xx[:, :, None] + 29 * yy[:, :, None]
+                   + 43 * cc[None, None, :] + 7 * i) % 256).astype(np.uint8)
+            payload = encode_bmp(px)
+            meta = {"width": w, "height": h, "frames": None,
+                    "sample_rate": None}
+        elif kind == "audio":
+            rate = 8000
+            n_s = 400 + 80 * (i % 7)
+            t = np.arange(n_s, dtype=np.int64)
+            v = ((2654435761 * t + 97 * i) % 65536) - 32768
+            payload = encode_wav(v.astype(np.int16), rate)
+            meta = {"width": None, "height": None, "frames": None,
+                    "sample_rate": rate}
+        else:
+            w, h = 16, 8
+            n_frames = 3 + i % 3
+            tt = np.arange(n_frames)
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = ((7 * xx[None] + 11 * yy[None]
+                   + 13 * tt[:, None, None] + 5 * i) % 256).astype(np.uint8)
+            payload = encode_y4m(px, fps=25)
             meta = {"width": w, "height": h, "frames": n_frames,
                     "sample_rate": None}
         rows.append((i, kind, meta, payload))

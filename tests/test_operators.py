@@ -236,6 +236,45 @@ def test_codec_roundtrips():
             decode_y4m(bad)
 
 
+def test_multimodal_closed_form_decode_matches_formula(spark):
+    """The closed-form media table (the mm_feature_extract oracle's
+    subject) decodes back to exactly the integer formula — container
+    encode→decode is the identity on content."""
+    import numpy as np
+
+    from elasticsearch_nlp_classifier_spark.operators.codecs import (
+        decode_bmp, decode_wav, decode_y4m,
+    )
+    from elasticsearch_nlp_classifier_spark.operators.multimodal import (
+        synthetic_media_closed_form,
+    )
+
+    rows = synthetic_media_closed_form(spark, 9).collect()
+    for r in rows:
+        i = r["doc_id"]
+        if r["kind"] == "image":
+            px = decode_bmp(bytes(r["payload"]))
+            h, w, _ = px.shape
+            yy, xx = np.mgrid[0:h, 0:w]
+            cc = np.arange(3)
+            want = (17 * xx[:, :, None] + 29 * yy[:, :, None]
+                    + 43 * cc[None, None, :] + 7 * i) % 256
+            assert (px == want).all()
+        elif r["kind"] == "audio":
+            s, rate = decode_wav(bytes(r["payload"]))
+            t = np.arange(len(s), dtype=np.int64)
+            want = ((2654435761 * t + 97 * i) % 65536) - 32768
+            assert rate == 8000 and (s == want).all()
+        else:
+            fr, fps = decode_y4m(bytes(r["payload"]))
+            n, h, w = fr.shape
+            tt = np.arange(n)
+            yy, xx = np.mgrid[0:h, 0:w]
+            want = (7 * xx[None] + 11 * yy[None]
+                    + 13 * tt[:, None, None] + 5 * i) % 256
+            assert fps == 25 and (fr == want).all()
+
+
 def test_multimodal_real_decode(spark):
     import numpy as np
 
