@@ -8497,9 +8497,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank::BIGINT AS rank, vec_id, cos_r6
             FROM ranked WHERE rank <= 10""",
     }
-    # the DSL compiler entry runs the bool_query config through the
-    # JSON path — its correct answer is by definition the same SQL
-    sqls["es_dsl_search"] = sqls["bool_query"]
+    # the DSL compiler entry — its OWN derivation from the documented
+    # bool semantics (not an alias of bool_query's SQL), so the JSON
+    # compiler path is independently gated; the broad grammar is
+    # additionally fuzz-gated by tests/test_fuzz_compilers.py (120
+    # generated bodies vs a test-side SQL translator)
+    sqls["es_dsl_search"] = f"""
+        WITH {_BM25_BASE},
+        clause(term, clause, boost) AS (
+          VALUES ('data', 'must', 1.0), ('value', 'should', 2.0)
+        ),
+        per AS (
+          SELECT tf.doc_id, c.clause,
+                 c.boost
+                 * ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                          / (s.df + 0.5))
+                 * tf.tf
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                    / (SELECT avgdl FROM corpus))) AS contrib
+          FROM clause c
+          JOIN tf ON tf.term = c.term
+          JOIN stats s ON s.term = c.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+        ),
+        agg AS (
+          SELECT doc_id, sum(contrib) AS score,
+                 count(CASE WHEN clause = 'must' THEN 1 END) AS nm
+          FROM per GROUP BY 1
+        ),
+        ok AS (SELECT doc_id, score FROM agg WHERE nm = 1)
+        SELECT row_number() OVER (ORDER BY round(score, 9) DESC,
+                                  doc_id ASC)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score_r6
+        FROM ok ORDER BY rank LIMIT 10"""
     sqls["ltr_rescore"] = """
         WITH f AS (SELECT * FROM
                    read_parquet('{SCRATCH}/ltr_feats.parquet/*.parquet')),
