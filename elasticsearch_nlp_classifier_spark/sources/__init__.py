@@ -12,7 +12,9 @@ from .model_io import (  # noqa: F401
 )
 from .merge import (  # noqa: F401
     delete_by_query,
+    iceberg_merge_sql,
     merge_updates,
+    merge_updates_iceberg,
     update_by_query,
 )
 from .ingest import (  # noqa: F401

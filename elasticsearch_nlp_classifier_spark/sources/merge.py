@@ -65,6 +65,48 @@ def merge_updates(
     return n_matched
 
 
+def iceberg_merge_sql(
+    table: str,
+    updates_view: str,
+    id_col: str,
+    update_cols: dict[str, str],
+) -> str:
+    """The exact ``MERGE INTO`` statement the Iceberg path executes —
+    rendered separately so its TEXT is unit-pinned
+    (tests/test_sources.py) even though no Iceberg runtime jar exists
+    in this sandbox to run it.  Update-only (no WHEN NOT MATCHED),
+    matching the parquet emulation's contract above."""
+    sets = ", ".join(
+        f"t.{tgt} = s.{src}" for tgt, src in sorted(update_cols.items())
+    )
+    return (
+        f"MERGE INTO {table} t USING {updates_view} s "
+        f"ON t.{id_col} = s.{id_col} "
+        f"WHEN MATCHED THEN UPDATE SET {sets}"
+    )
+
+
+def merge_updates_iceberg(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    id_col: str,
+    update_cols: dict[str, str],
+) -> None:
+    """The live-Iceberg twin of :func:`merge_updates`: register the
+    update batch as a temp view and submit the rendered ``MERGE INTO``
+    (copy-on-write rewrite of matched files, atomic snapshot commit —
+    the ``BulkUpdateQueue.flush`` contract at lakehouse scale).
+    Requires an Iceberg-enabled session; the statement text itself is
+    pinned by tests independent of the runtime."""
+    view = f"__merge_src_{uuid.uuid4().hex[:8]}"
+    updates.createOrReplaceTempView(view)
+    try:
+        spark.sql(iceberg_merge_sql(table, view, id_col, update_cols))
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def _atomic_overwrite(df: DataFrame, table_path: str) -> None:
     """Write ``df`` to a staging dir, then swap it in with two renames —
     readers see the old or the new table, never a partial write."""

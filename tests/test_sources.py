@@ -164,3 +164,68 @@ def test_delete_by_query(spark, tmp_path):
     assert n == 1
     kept = sorted(r["doc_id"] for r in spark.read.parquet(tbl).collect())
     assert kept == [1, 3]  # null predicate -> row survives (ES semantics)
+
+
+def test_iceberg_merge_sql_text_pinned(spark):
+    """The untestable-in-sandbox Iceberg branch can't rot silently:
+    the exact MERGE INTO text is pinned, and Spark's SQL parser accepts
+    it as a MergeIntoTable plan (a syntax drift would ParseException
+    here long before any cluster run)."""
+    from elasticsearch_nlp_classifier_spark.sources import (
+        iceberg_merge_sql,
+    )
+
+    sql = iceberg_merge_sql(
+        "lake.docs", "updates_v", "doc_id",
+        {"lang": "new_lang", "pred_target": "prediction"},
+    )
+    assert sql == (
+        "MERGE INTO lake.docs t USING updates_v s "
+        "ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET "
+        "t.lang = s.new_lang, t.pred_target = s.prediction"
+    )
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert "MergeIntoTable" in plan.toString()
+
+
+def test_merge_updates_iceberg_submits_and_cleans_view(spark):
+    """merge_updates_iceberg registers the batch view, submits the
+    statement (fails at ANALYSIS here — no Iceberg catalog — which
+    proves the SQL reached Spark), and drops the view either way."""
+    import pytest as _pytest
+
+    from elasticsearch_nlp_classifier_spark.sources import (
+        merge_updates_iceberg,
+    )
+
+    upd = spark.createDataFrame([(1, "x")], "doc_id long, new_lang string")
+    before = {v.name for v in spark.catalog.listTables()}
+    with _pytest.raises(Exception) as ei:
+        merge_updates_iceberg(spark, "no_such_catalog.t", upd,
+                              "doc_id", {"lang": "new_lang"})
+    assert "no_such_catalog" in str(ei.value)  # analysis, not parse
+    assert {v.name for v in spark.catalog.listTables()} == before
+
+
+def test_read_corpus_dispatch(spark, tmp_path):
+    """Path-vs-table dispatch of the corpus source (S2): a path reads
+    parquet; a bare name resolves through the catalog (the Iceberg
+    branch on a real deployment)."""
+    from elasticsearch_nlp_classifier_spark.sources.corpus_source import (
+        read_corpus,
+    )
+
+    p = str(tmp_path / "corpus_src.parquet")
+    df = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", "x = 1")],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    df.write.parquet(p)
+    assert read_corpus(spark, p).count() == 1
+    df.createOrReplaceTempView("corpus_tbl_view")
+    try:
+        assert read_corpus(spark, "corpus_tbl_view").count() == 1
+    finally:
+        spark.catalog.dropTempView("corpus_tbl_view")
