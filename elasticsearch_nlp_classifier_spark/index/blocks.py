@@ -585,26 +585,26 @@ def _payload_cols(columns) -> list[str]:
 
 
 def _block_hash_dec(payload_cols: list[str]):
-    """Per-block sha256 over the logical content, folded to a
-    decimal(38,0) (first 15 hex digits).  Bucket checksum = SUM of these
-    — order-independent, so it is invariant to task scheduling,
-    collision-negligible for integrity/resume-identity purposes.  Shared
-    by the one-shot (observe) and incremental (grouped-agg) paths so a
-    resumed build reports byte-identical checksums."""
-    h = F.sha2(
-        F.concat(
-            F.encode(
-                F.concat_ws(
-                    "|", "term", "salt", "block_id", "n",
-                    "first_doc", "last_doc",
-                ),
-                "utf-8",
-            ),
-            *payload_cols,
-        ),
-        256,
-    )
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+    """Per-block content hash folded to decimal(38,0).  Bucket checksum
+    = SUM of these — order-independent, so it is invariant to task
+    scheduling; collision-negligible for integrity/resume-identity
+    purposes.  Shared by the one-shot (observe) and incremental
+    (grouped-agg) paths so a resumed build reports byte-identical
+    checksums.
+
+    xxhash64 over (key fields, payload columns), not sha256: the old
+    sha256 was already truncated to 15 hex digits (~60 bits) before
+    summing, so a 64-bit xxhash64 is the same effective strength for
+    an integrity checksum while being pure codegen at ~50× the
+    throughput — the hash ran over every payload byte of every block
+    inside the write pass, where it was a measurable slice of the
+    worst-scaling stage."""
+    # signed 64-bit hash values summed as decimal(38,0): never
+    # overflows at any row count; sign carries no meaning in a checksum
+    return F.xxhash64(
+        "term", "salt", "block_id", "n", "first_doc", "last_doc",
+        *payload_cols,
+    ).cast("decimal(38,0)")
 
 
 def _payload_bytes(payload_cols: list[str]):
