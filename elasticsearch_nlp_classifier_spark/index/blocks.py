@@ -83,10 +83,17 @@ def _choose_tid_seed(terms: DataFrame, max_attempts: int = 3) -> int:
     one vocabulary-sized aggregation per attempt (almost always one:
     collision odds are ~V²/2⁶⁴).  Exactness guarantee: a collision
     would silently merge two terms' postings, so the hashed shuffle key
-    is only ever used under this check."""
+    is only ever used under this check.
+
+    ``terms`` must be DISTINCT on ``term`` (both call sites are: the
+    term_stats table is grouped by term; the fallback derives it via
+    ``.distinct()``) — that makes the left side of the injectivity
+    check a plain ``count(*)`` instead of a second vocabulary-sized
+    ``countDistinct`` shuffle (the check runs inside every build, so
+    its constant cost is Amdahl-serial weight at high core counts)."""
     for seed in range(max_attempts):
         r = terms.agg(
-            F.countDistinct("term").alias("nt"),
+            F.count(F.lit(1)).alias("nt"),
             F.countDistinct(_tid_expr("term", seed)).alias("nh"),
         ).collect()[0]
         if r["nt"] == r["nh"]:
@@ -138,6 +145,7 @@ def encode_blocks(
     shuffle_partitions: int | None = None,
     hot_terms: list[str] | None = None,
     term_dict: DataFrame | None = None,
+    tid_seed: int | None = None,
 ) -> DataFrame:
     """postings (doc_id, term, tf, dl) -> blocks DataFrame.
 
@@ -187,7 +195,8 @@ def encode_blocks(
     if term_dict is None:
         term_dict = postings.select("term").distinct()
     term_dict = term_dict.cache()
-    tid_seed = _choose_tid_seed(term_dict)
+    if tid_seed is None:
+        tid_seed = _choose_tid_seed(term_dict)
 
     with_positions = "positions" in postings.columns
     cols = [
@@ -736,16 +745,24 @@ def build_physical_index(
     )
     svals = obs_ts.get
     _lineage(out_path, "ts_write", wall_s=round(time.time() - t_ts, 2))
-    # the only remaining full postings pass: doc_count (count of
-    # distinct docs with ≥1 posting — not derivable from term_stats);
-    # runs over the cache the write job just materialized.  The hot
-    # Zipf-head list is a ms-scale filtered collect on the cached ts.
+    # doc_count (distinct docs with ≥1 posting — not derivable from
+    # term_stats): for explode-plan logical indexes built HERE, it
+    # arrives FREE via the tokenize-stage Observation that fired inside
+    # the cache-materializing ts write above (zero extra jobs — the old
+    # full-cache countDistinct pass was ~1.2 s of per-build serial
+    # weight at 16 cores).  Caller-provided logicals (whose cache may
+    # already be materialized — the observation would never fire) and
+    # fused-path indexes keep the explicit aggregation.
     t_st = time.time()
-    doc_count = int(
-        idx.postings.agg(
-            F.countDistinct("doc_id").alias("dc")
-        ).collect()[0]["dc"] or 0
-    )
+    dc_obs = idx.pop_doc_count_observation() if logical is None else None
+    if dc_obs is not None:
+        doc_count = int(dc_obs.get["dc"] or 0)
+    else:
+        doc_count = int(
+            idx.postings.agg(
+                F.countDistinct("doc_id").alias("dc")
+            ).collect()[0]["dc"] or 0
+        )
     _lineage(out_path, "stats_aggs", wall_s=round(time.time() - t_st, 2))
     sum_ttf = int(svals["sttf"] or 0)
     stats = idx._corpus_stats = {
@@ -771,13 +788,17 @@ def build_physical_index(
     avgdl = stats["avgdl"] or 1.0
     doc_count = stats["doc_count"]
     term_dict = ts.select("term")
+    # seed chosen ONCE here: the incremental path calls encode_blocks
+    # per bucket and would otherwise re-run the vocabulary injectivity
+    # job n_buckets times
+    tid_seed = _choose_tid_seed(term_dict)
     enc_kw = dict(avgdl=avgdl, doc_count=doc_count, block_size=block_size,
                   n_salts=n_salts, salt_threshold=salt_threshold,
                   hot_terms=hot_terms,
                   # the cached stats table IS the vocabulary — without
                   # it encode_blocks re-derives the dict via a full
                   # distinct-shuffle over the postings exchange
-                  term_dict=term_dict)
+                  term_dict=term_dict, tid_seed=tid_seed)
 
     if not incremental and fail_after_bucket is None:
 

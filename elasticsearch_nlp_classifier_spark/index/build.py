@@ -39,6 +39,18 @@ class LogicalIndex:
     term_stats: DataFrame    # (term, df, ttf)
     doc_lengths: DataFrame   # (doc_id, dl)
     _corpus_stats: dict | None = field(default=None, repr=False)
+    #: Observation riding the tokenize stage (explode plans only):
+    #: metric ``dc`` = docs with ≥1 token == exact doc_count.  It fires
+    #: with the FIRST action that executes the postings plan (e.g. the
+    #: cache-materializing term_stats write in the physical build) —
+    #: doc_count then costs ZERO extra jobs.  One-shot: consume via
+    #: ``pop_doc_count_observation`` and only when you are the one
+    #: materializing the plan.
+    _doc_count_obs: object | None = field(default=None, repr=False)
+
+    def pop_doc_count_observation(self):
+        obs, self._doc_count_obs = self._doc_count_obs, None
+        return obs
 
     @property
     def corpus_stats(self) -> dict:
@@ -236,6 +248,7 @@ def build_logical_index(
     doc_lengths = tokenize_docs(docs, text_col, analyzer, doc_id_col).select(
         "doc_id", "dl"
     )
+    dc_obs = None
 
     if with_offsets:
         # occurrence rows carry (pos, start, end); aggregate per
@@ -277,7 +290,13 @@ def build_logical_index(
     elif fused and analyzer not in JVM_TOKEN_EXPRS:
         postings = tokenize_postings(docs, text_col, analyzer, doc_id_col)
     else:
+        from pyspark.sql import Observation
+
         tok = tokenize_docs(docs, text_col, analyzer, doc_id_col)
+        dc_obs = Observation("tok_doc_count")
+        tok = tok.observe(
+            dc_obs, F.count(F.when(F.col("dl") > 0, 1)).alias("dc")
+        )
         postings = (
             tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
             .groupBy("doc_id", "term")
@@ -289,7 +308,9 @@ def build_logical_index(
         F.sum("tf").alias("ttf"),
     )
 
-    return LogicalIndex(postings, term_stats, doc_lengths)
+    out = LogicalIndex(postings, term_stats, doc_lengths)
+    out._doc_count_obs = dc_obs
+    return out
 
 
 def term_vectors(
