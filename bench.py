@@ -879,7 +879,7 @@ def scaling_run(
             "heavy usage starts starved, so order must not be fixed);\n"
             "memory-bandwidth probes bracket each level and a round only\n"
             "counts when all probes agree (stable window); headline =\n"
-            "best valid round.\n\n"
+            "the MEDIAN valid round of this run.\n\n"
             + (
                 "**NO ROUND PASSED THE STABILITY GATE** — every window "
                 "was throttled; the headline below is the best INVALID "
