@@ -63,12 +63,23 @@ BLOCK_SCHEMA = (
 #: no extra offsets are stored (Lucene's .prx-style layout).
 BLOCK_SCHEMA_POS = BLOCK_SCHEMA + ", pos_vb binary"
 
+#: offsets layout (``with_offsets=True``, round 3): two more payloads
+#: in the same .prx-style stream shape — ``off_vb`` =
+#: varbyte(gaps(start_offsets)) (starts ascend within a posting because
+#: positions do; first value absolute per posting) and ``len_vb`` =
+#: varbyte(end−start per occurrence).  Term-vector char spans
+#: (`TermVectorQuery.java:60-76` ``offsets`` flag) decode straight from
+#: the blocks, no re-tokenization.
+BLOCK_SCHEMA_POS_OFF = BLOCK_SCHEMA_POS + ", off_vb binary, len_vb binary"
+
 #: shuffle-side schema: ``tid`` (collision-checked xxhash64 of the
 #: term) instead of the term string — the encode exchange carries a
 #: fixed 8-byte key per posting, not a variable string; strings are
 #: re-attached to the 128×-smaller blocks table by a dictionary join.
 BLOCK_SCHEMA_TID = "tid bigint, " + BLOCK_SCHEMA.split(", ", 1)[1]
 BLOCK_SCHEMA_TID_POS = BLOCK_SCHEMA_TID + ", pos_vb binary"
+BLOCK_SCHEMA_TID_POS_OFF = BLOCK_SCHEMA_TID_POS + \
+    ", off_vb binary, len_vb binary"
 
 
 def _tid_expr(col, seed: int):
@@ -199,13 +210,16 @@ def encode_blocks(
         tid_seed = _choose_tid_seed(term_dict)
 
     with_positions = "positions" in postings.columns
+    with_offsets = "start_offsets" in postings.columns
     cols = [
         _tid_expr("term", tid_seed).alias("tid"),
         F.col("salt"),
         F.col("doc_id"),
         F.col("tf").cast("int").alias("tf"),
         F.col("dl").cast("int").alias("dl"),
-    ] + ([F.col("positions")] if with_positions else [])
+    ] + ([F.col("positions")] if with_positions else []) \
+      + ([F.col("start_offsets"), F.col("end_offsets")]
+         if with_offsets else [])
     # 2 waves per core: the (tid, salt) hash distribution is even in
     # expectation but not per-partition; twice as many partitions halves
     # the straggler tail at a negligible task-overhead cost.
@@ -218,7 +232,11 @@ def encode_blocks(
         .sortWithinPartitions("tid", "salt", "doc_id")
     )
 
-    out_schema = BLOCK_SCHEMA_TID_POS if with_positions else BLOCK_SCHEMA_TID
+    out_schema = (
+        BLOCK_SCHEMA_TID_POS_OFF if with_offsets
+        else BLOCK_SCHEMA_TID_POS if with_positions
+        else BLOCK_SCHEMA_TID
+    )
 
     def encode_partition(batches):
         """mapInArrow: the hot path never materializes Python objects —
@@ -269,6 +287,8 @@ def encode_blocks(
                 "last_doc", "max_tfhat", "docs_vb", "tfs_vb", "dls_vb"]
     if with_positions:
         out_cols.append("pos_vb")
+    if with_offsets:
+        out_cols += ["off_vb", "len_vb"]
     return encoded.join(dict_df, "tid").select(*out_cols)
 
 
@@ -365,21 +385,43 @@ def _encode_arrow(t, block_size: int, avgdl: float):
         # flat position stream in posting order (zero-copy list
         # flatten); gap-encode with reset at each posting start, then
         # ONE segmented varbyte pass with block boundaries at cum_tf
-        flat_pos = t.column("positions").chunk(0).flatten().to_numpy() \
-            .astype(np.int64)
         cum_tf = np.concatenate(([0], np.cumsum(tfs)))
         pstarts = cum_tf[:-1]
-        pdeltas = np.empty(len(flat_pos), dtype=np.int64)
-        if len(flat_pos):
-            pdeltas[0] = flat_pos[0]
-            np.subtract(flat_pos[1:], flat_pos[:-1], out=pdeltas[1:])
-            nonempty = pstarts[pstarts < len(flat_pos)]
-            pdeltas[nonempty] = flat_pos[nonempty]
+
+        def _gap_stream(col_name: str):
+            flat = t.column(col_name).chunk(0).flatten().to_numpy() \
+                .astype(np.int64)
+            deltas_ = np.empty(len(flat), dtype=np.int64)
+            if len(flat):
+                deltas_[0] = flat[0]
+                np.subtract(flat[1:], flat[:-1], out=deltas_[1:])
+                nonempty = pstarts[pstarts < len(flat)]
+                deltas_[nonempty] = flat[nonempty]
+            return flat, deltas_
+
+        _, pdeltas = _gap_stream("positions")
         pos_buf, pos_off = vb_encode_segmented(
             pdeltas.astype(np.uint64), cum_tf[bstarts]
         )
         arrays.append(_binary_from_segments(pos_buf, pos_off))
         names.append("pos_vb")
+        if "start_offsets" in t.column_names:
+            # same .prx-shaped streams for char spans: start-offset
+            # gaps (ascending within a posting because positions are)
+            # and per-occurrence span lengths (end − start, raw)
+            flat_s, sdeltas = _gap_stream("start_offsets")
+            flat_e = t.column("end_offsets").chunk(0).flatten() \
+                .to_numpy().astype(np.int64)
+            off_buf, off_off = vb_encode_segmented(
+                sdeltas.astype(np.uint64), cum_tf[bstarts]
+            )
+            len_buf, len_off = vb_encode_segmented(
+                (flat_e - flat_s).astype(np.uint64), cum_tf[bstarts]
+            )
+            arrays.append(_binary_from_segments(off_buf, off_off))
+            names.append("off_vb")
+            arrays.append(_binary_from_segments(len_buf, len_off))
+            names.append("len_vb")
     return pa.RecordBatch.from_arrays(arrays, names)
 
 
@@ -501,6 +543,10 @@ class PhysicalIndex:
     def has_positions(self) -> bool:
         return bool(self.corpus_stats.get("has_positions"))
 
+    @property
+    def has_offsets(self) -> bool:
+        return bool(self.corpus_stats.get("has_offsets"))
+
     def term_stats_for(
         self, terms: list[str], n_buckets: int = N_TERM_BUCKETS,
     ) -> dict:
@@ -545,6 +591,7 @@ class PhysicalIndex:
         from .codec import segmented_delta_decode, vb_decode
 
         with_pos = self.has_positions
+        with_off = self.has_offsets
 
         def decode(batches):
             for pdf in batches:
@@ -562,19 +609,29 @@ class PhysicalIndex:
                         "tf": tfs,
                         "dl": vb_decode(r.dls_vb).astype(np.int64),
                     }
+                    cuts = np.cumsum(tfs)[:-1]
                     if with_pos:
                         flat = segmented_delta_decode(
                             vb_decode(r.pos_vb).astype(np.int64), tfs
                         )
-                        cols["positions"] = np.split(
-                            flat, np.cumsum(tfs)[:-1]
+                        cols["positions"] = np.split(flat, cuts)
+                    if with_off:
+                        starts = segmented_delta_decode(
+                            vb_decode(r.off_vb).astype(np.int64), tfs
                         )
+                        lens = vb_decode(r.len_vb).astype(np.int64)
+                        cols["start_offsets"] = np.split(starts, cuts)
+                        cols["end_offsets"] = np.split(starts + lens,
+                                                       cuts)
                     outs.append(pd.DataFrame(cols))
                 yield pd.concat(outs, ignore_index=True)
 
         schema = "doc_id bigint, term string, tf bigint, dl bigint"
         if with_pos:
             schema += ", positions array<bigint>"
+        if with_off:
+            schema += (", start_offsets array<bigint>"
+                       ", end_offsets array<bigint>")
         src = self.blocks
         if blocks_where is not None:
             src = src.where(blocks_where)
@@ -588,8 +645,10 @@ def _lineage(path: str, stage: str, **metrics) -> None:
 
 
 def _payload_cols(columns) -> list[str]:
-    return ["docs_vb", "tfs_vb", "dls_vb"] + (
-        ["pos_vb"] if "pos_vb" in columns else []
+    return (
+        ["docs_vb", "tfs_vb", "dls_vb"]
+        + (["pos_vb"] if "pos_vb" in columns else [])
+        + (["off_vb", "len_vb"] if "off_vb" in columns else [])
     )
 
 
@@ -678,6 +737,7 @@ def build_physical_index(
     fail_after_bucket: int | None = None,
     logical: LogicalIndex | None = None,
     with_positions: bool = False,
+    with_offsets: bool = False,
 ) -> PhysicalIndex:
     """Checkpointed build: logical index -> block encode + per-bucket
     manifests.
@@ -708,7 +768,8 @@ def build_physical_index(
         incremental = True  # partial build present -> only fill the gaps
 
     idx = logical or build_logical_index(
-        docs, text_col, analyzer, with_positions=with_positions
+        docs, text_col, analyzer, with_positions=with_positions,
+        with_offsets=with_offsets,
     )
     idx.postings = idx.postings.cache()
     postings = idx.postings.withColumn(
@@ -774,7 +835,9 @@ def build_physical_index(
     n_postings = stats["sum_doc_freq"]
     _lineage(out_path, "postings", rows=n_postings,
              wall_s=round(time.time() - t0, 2))
-    stats = dict(stats, has_positions="positions" in idx.postings.columns)
+    stats = dict(stats,
+                 has_positions="positions" in idx.postings.columns,
+                 has_offsets="start_offsets" in idx.postings.columns)
     with open(f"{out_path}/corpus_stats.json", "w") as f:
         json.dump(stats, f)
     hot_terms = [

@@ -290,10 +290,15 @@ def build_logical_index(
     elif fused and analyzer not in JVM_TOKEN_EXPRS:
         postings = tokenize_postings(docs, text_col, analyzer, doc_id_col)
     else:
+        import uuid
+
         from pyspark.sql import Observation
 
         tok = tokenize_docs(docs, text_col, analyzer, doc_id_col)
-        dc_obs = Observation("tok_doc_count")
+        # unique name: plans of two logical indexes may legally meet in
+        # one query (union_indexes / cross_fields), and Spark rejects
+        # duplicate CollectMetrics names within a plan
+        dc_obs = Observation(f"tok_doc_count_{uuid.uuid4().hex[:8]}")
         tok = tok.observe(
             dc_obs, F.count(F.when(F.col("dl") > 0, 1)).alias("dc")
         )
@@ -314,24 +319,60 @@ def build_logical_index(
 
 
 def term_vectors(
-    index: LogicalIndex, doc_ids: list[int] | None = None
+    index: LogicalIndex,
+    doc_ids: list[int] | None = None,
+    term_statistics: bool = True,
+    positions: bool | None = None,
+    offsets: bool | None = None,
+    payloads: bool = False,
 ) -> DataFrame:
     """Per-doc term vectors — the `_mtermvectors` surface (S4): for each
-    doc a term-sorted list of (term, tf, df, ttf).  The id-set probe is a
-    broadcast semi-join, mirroring the reference's 100-ids-per-batch fetch
-    (`TermVectorIterator.java:31-130`) without the client-side batching."""
+    doc a term-sorted list of (term, tf[, df, ttf][, positions]
+    [, start_offsets, end_offsets]).  The id-set probe is a broadcast
+    semi-join, mirroring the reference's 100-ids-per-batch fetch
+    (`TermVectorIterator.java:31-130`) without the client-side batching.
+
+    The four flags mirror the reference's request exactly
+    (`TermVectorQuery.java:60-76`; all 2⁴ combinations are exercised in
+    `TermVectorQueryTest.java:70-95`):
+
+    - ``term_statistics``: include global ``df``/``ttf`` columns.
+    - ``positions`` / ``offsets``: ``None`` = include whatever the
+      index stores (the pre-flag behavior); ``True`` raises if the
+      index wasn't built with that payload; ``False`` drops it.
+    - ``payloads``: accepted for request parity.  This engine indexes
+      no per-position payloads, and ES omits the ``payload`` field
+      entirely when none are indexed — so ``payloads=True`` is
+      observably identical to ``False``, which is exactly the
+      reference cluster's behavior on its own index (the golden
+      fixture `TermVectorTokensTest.java:16-55` carries none).
+    """
     p = index.postings
     if doc_ids is not None:
         spark = p.sparkSession
         ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
         p = p.join(F.broadcast(ids_df), "doc_id")
-    enriched = p.join(index.term_stats, "term")
-    fields = ["term", "tf", "df", "ttf"]
-    if "positions" in p.columns:
+    fields = ["term", "tf"]
+    if term_statistics:
+        enriched = p.join(index.term_stats, "term")
+        fields += ["df", "ttf"]
+    else:
+        enriched = p
+    has_pos = "positions" in p.columns
+    has_off = "start_offsets" in p.columns
+    if positions is True and not has_pos:
+        raise ValueError(
+            "positions=True needs an index built with "
+            "with_positions/with_offsets"
+        )
+    if offsets is True and not has_off:
+        raise ValueError(
+            "offsets=True needs an index built with with_offsets"
+        )
+    if has_pos and positions is not False:
         # positions-per-token payload of the `_mtermvectors` response
-        # (`TermVectorQuery.java:60-76`)
         fields.append("positions")
-    if "start_offsets" in p.columns:
+    if has_off and offsets is not False:
         # char-span payload of the ``offsets`` flag — golden shape
         # ``start_offset``/``end_offset`` in `TermVectorTokensTest.java:16-55`
         fields += ["start_offsets", "end_offsets"]

@@ -134,6 +134,106 @@ def test_term_vectors_offsets_roundtrip(spark):
             list(beta2["end_offsets"])) == ([0], [4])
 
 
+@pytest.mark.parametrize("ts", [False, True])
+@pytest.mark.parametrize("pos", [False, True])
+@pytest.mark.parametrize("off", [False, True])
+@pytest.mark.parametrize("pay", [False, True])
+def test_term_vector_flag_combinations(spark, ts, pos, off, pay):
+    """All 2⁴ flag combinations of the term-vector request — the
+    reference's own test matrix (`TermVectorQueryTest.java:70-95`).
+    ``payloads`` is observably inert (no payloads indexed — ES omits
+    the field then too)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha")], "doc_id bigint, text string"
+    )
+    idx = build_logical_index(docs, text_col="text",
+                              analyzer="simple_code", with_offsets=True)
+    tv = term_vectors(idx, term_statistics=ts, positions=pos,
+                      offsets=off, payloads=pay)
+    row = tv.collect()[0]["terms"]
+    got_fields = set(row[0].asDict())
+    want = {"term", "tf"}
+    if ts:
+        want |= {"df", "ttf"}
+    if pos:
+        want |= {"positions"}
+    if off:
+        want |= {"start_offsets", "end_offsets"}
+    assert got_fields == want
+    alpha = next(t for t in row if t["term"] == "alpha")
+    assert alpha["tf"] == 2
+    if ts:
+        assert alpha["df"] == 1 and alpha["ttf"] == 2
+    if pos:
+        assert list(alpha["positions"]) == [0, 2]
+    if off:
+        assert list(alpha["start_offsets"]) == [0, 11]
+
+
+def test_term_vector_flags_raise_without_payload(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id bigint, text string"
+    )
+    idx = build_logical_index(docs, text_col="text",
+                              analyzer="simple_code")  # no payloads
+    with pytest.raises(ValueError, match="positions=True"):
+        term_vectors(idx, positions=True)
+    with pytest.raises(ValueError, match="offsets=True"):
+        term_vectors(idx, offsets=True)
+
+
+def test_physical_offsets_payload_roundtrip(spark, tmp_path):
+    """off_vb/len_vb in the compressed block layout: full decode of a
+    with_offsets physical index reproduces the logical postings'
+    per-occurrence (position, start, end) exactly (the integrity bar
+    every other payload meets)."""
+    import pandas as pd
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta alpha gamma{i % 3} beta alpha") for i in
+         range(40)],
+        "doc_id bigint, text string",
+    )
+    idx = build_physical_index(
+        docs, str(tmp_path / "offidx"), text_col="text",
+        analyzer="simple_code", block_size=4, with_offsets=True,
+    )
+    assert idx.has_offsets and idx.has_positions
+    dec = idx.logical_postings().toPandas()
+    logical = build_logical_index(
+        docs, text_col="text", analyzer="simple_code",
+        with_offsets=True,
+    ).postings.toPandas()
+
+    def canon(pdf):
+        pdf = pdf.copy()
+        for c in ("positions", "start_offsets", "end_offsets"):
+            pdf[c] = pdf[c].map(lambda a: tuple(int(x) for x in a))
+        return pdf.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+    d, w = canon(dec), canon(logical)
+    pd.testing.assert_frame_equal(
+        d[["doc_id", "term", "tf", "positions", "start_offsets",
+           "end_offsets"]],
+        w[["doc_id", "term", "tf", "positions", "start_offsets",
+           "end_offsets"]],
+        check_dtype=False,
+    )
+    # manifests account for the two extra payload columns
+    import json as _json
+    import os as _os
+
+    total = 0
+    for mf in _os.listdir(f"{idx.path}/manifests"):
+        with open(f"{idx.path}/manifests/{mf}") as f:
+            total += _json.load(f)["payload_bytes"]
+    assert total > 0
+
+
 def test_highlight_from_offsets(spark):
     docs = spark.createDataFrame(
         [(1, "Alpha beta ALPHA end"), (2, "nothing to see")],
