@@ -26,7 +26,7 @@ import re
 from dataclasses import dataclass
 
 from .porter2 import stem_cached
-from .stopwords import remove_stopwords
+from .stopwords import STOPWORDS, remove_stopwords
 from .twokenizer import twokenize
 
 # OpenNLP SimpleTokenizer: tokens are maximal same-class runs where class
@@ -42,11 +42,6 @@ _HANDLE = re.compile(r"^@")
 _URL = re.compile(r"^\w+://", re.UNICODE)
 
 
-#: simple_code over the ORIGINAL text (case-insensitive) — used by the
-#: offset path so spans index the raw string; for ASCII input the
-#: lowered tokens equal ``simple_code_split`` exactly (``lower()`` is
-#: length-preserving on ASCII; parity is pinned in tests)
-_SIMPLE_CODE_CI = re.compile(r"[a-zA-Z0-9]+")
 
 
 def simple_split(text: str) -> list[str]:
@@ -83,7 +78,27 @@ def code_split_pos(text):
 
 
 def simple_code_split_pos(text):
-    return _finditer_pos(_SIMPLE_CODE_CI, text, lower=True)
+    """Offsets twin of :func:`simple_code_split`: token sequence
+    IDENTICAL by construction (both match ``[a-z0-9]+`` on the LOWERED
+    text — including non-ASCII uppercase that lowers into ASCII, e.g.
+    U+212A KELVIN SIGN → 'k'), spans index the ORIGINAL text.  In the
+    common case ``lower()`` preserves length, so lowered match spans are
+    original-text spans directly; when it expands characters ('İ' →
+    'i̇') a lowered→original char-index map keeps spans pointing at the
+    originating characters."""
+    low = text.lower()
+    if len(low) == len(text):
+        return [(m.group(0), m.start(), m.end())
+                for m in _SIMPLE_CODE.finditer(low)]
+    back: list[int] = []
+    parts: list[str] = []
+    for i, ch in enumerate(text):
+        cl = ch.lower()
+        parts.append(cl)
+        back.extend([i] * len(cl))
+    low = "".join(parts)
+    return [(m.group(0), back[m.start()], back[m.end() - 1] + 1)
+            for m in _SIMPLE_CODE.finditer(low)]
 
 
 def tab_split_pos(text):
@@ -338,3 +353,91 @@ ANALYZERS: dict[str, Analyzer] = {
 
 def get_analyzer(name: str) -> Analyzer:
     return ANALYZERS[name]
+
+
+#: the char class of `stopwords._PUNCT_RUN` — a token is a punct run
+#: iff its first char is one of these AND the token is that char
+#: repeated; ``t.count(t[0]) == len(t)`` tests the repetition at C
+#: speed ('_' needs the full test: '_foo'/'___' are both single CODE
+#: tokens via the identifier branch, and only the latter is a run)
+_PUNCT_CHARS = frozenset("!\"#$%&'()*+,./:;<=>?@[]^_`{|}~-")
+
+
+def batch_tokenize_with_offsets(an: Analyzer, texts):
+    """Vectorized batch twin of :meth:`Analyzer.tokenize_with_offsets`
+    — identical (token, start, end) output, pinned by parity tests —
+    for the regex-split chains the index build uses (``code``,
+    ``simple_code``; no cleanTwitter/stemming/token_filter).  Returns
+    ``(doc_idx, terms, starts, ends, n_per_doc)`` numpy arrays, or
+    ``None`` when this chain needs the per-doc path.
+
+    Why: the per-doc chain pays ~5 Python passes per document (split
+    comprehension, tuple builds, lowercase rebuild, stopword filter);
+    at an offsets build over millions of docs that Python time is the
+    whole stage.  Here the batch does ONE ``finditer`` over a
+    ``"\\n"``-joined superstring (no token can span the separator —
+    every split alternative excludes whitespace), slices tokens from a
+    once-lowered copy, and maps spans back to per-doc offsets with
+    ``searchsorted`` — per-token Python work drops to two C-level
+    slicing comprehensions."""
+    import numpy as np
+
+    if (an.use_clean_twitter or an.use_stemming or an.token_filter
+            or an.split not in ("code", "simple", "simple_code")):
+        return None
+    texts = ["" if t is None else t for t in texts]
+    n_docs = len(texts)
+    lens = np.fromiter((len(t) for t in texts), np.int64, n_docs)
+    bounds = np.concatenate(([0], np.cumsum(lens + 1)))  # doc i at bounds[i]
+    big = "\n".join(texts)
+
+    if an.split == "simple_code":
+        # tokens are defined on the LOWERED text (`simple_code_split`);
+        # spans are only original-text-valid when lower() preserves
+        # length (ASCII and almost all of Unicode) — else the per-doc
+        # path's char-index back-map handles it
+        low = big.lower()
+        if len(low) != len(big):
+            return None
+        spans = [m.span() for m in _SIMPLE_CODE.finditer(low)]
+        src = low
+    else:
+        pattern = _CODE if an.split == "code" else _SIMPLE
+        spans = [m.span() for m in pattern.finditer(big)]
+        if an.use_lowercase:
+            low = big.lower()
+            # token-wise lower() (the chain's own semantics) never
+            # changes offsets; whole-string lower is just the fast way
+            # to get every lowered token in one call
+            src = low if len(low) == len(big) else None
+        else:
+            src = big
+    if not spans:
+        z = np.empty(0, dtype=np.int64)
+        return z, [], z, z, np.zeros(n_docs, dtype=np.int64)
+    se = np.asarray(spans, dtype=np.int64)
+    if src is None:
+        terms = [big[a:b].lower() for a, b in spans]
+    else:
+        terms = [src[a:b] for a, b in spans]
+
+    if an.use_stopwords:
+        lowered = an.use_lowercase or an.split == "simple_code"
+        keep = np.fromiter(
+            ((t if lowered else t.lower()) not in STOPWORDS
+             and not (t[0] in _PUNCT_CHARS and t.count(t[0]) == len(t))
+             for t in terms),
+            dtype=bool, count=len(terms),
+        )
+        if not keep.all():
+            se = se[keep]
+            terms = [t for t, k in zip(terms, keep) if k]
+    if not len(terms):
+        z = np.empty(0, dtype=np.int64)
+        return z, [], z, z, np.zeros(n_docs, dtype=np.int64)
+
+    doc_idx = np.searchsorted(bounds, se[:, 0], side="right") - 1
+    starts = se[:, 0] - bounds[doc_idx]
+    ends = se[:, 1] - bounds[doc_idx]
+    n_per_doc = np.bincount(doc_idx, minlength=n_docs)
+    return doc_idx, terms, starts, ends, n_per_doc

@@ -211,6 +211,16 @@ def encode_blocks(
 
     with_positions = "positions" in postings.columns
     with_offsets = "start_offsets" in postings.columns
+    if with_offsets and not with_positions:
+        # the .prx-shaped offset streams are segmented by cum_tf, which
+        # _encode_arrow derives from the positions column — without it
+        # the declared BLOCK_SCHEMA_TID_POS_OFF and the emitted batch
+        # would mismatch at runtime deep inside Arrow; fail fast instead
+        raise ValueError(
+            "postings carry start_offsets without positions; the block "
+            "layout stores offsets as position-segmented streams — build "
+            "with positions (build_logical_index(with_offsets=True) does)"
+        )
     cols = [
         _tid_expr("term", tid_seed).alias("tid"),
         F.col("salt"),

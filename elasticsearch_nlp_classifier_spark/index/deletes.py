@@ -57,24 +57,26 @@ def _deletes_dir(index: PhysicalIndex) -> str:
 
 def deleted_count_upper_bound(index: PhysicalIndex) -> int:
     """Cheap (no Spark job) upper bound on the tombstone count: the sum
-    of appended batch sizes from the lineage log.  An over-estimate
-    when ids repeat across batches — safe direction for a driver-memory
-    guard."""
-    import json
+    of parquet-footer row counts over the CURRENT ``deletes/`` files —
+    metadata-only, no scan (same mechanism as ``pit.pit_deleted_array``).
+    An over-estimate when ids repeat across batches — safe direction for
+    a driver-memory guard — but, unlike the old monotone lineage-log
+    sum, it reconciles with the live file set: files removed by
+    compaction/cleanup stop counting, so a long-lived index is not
+    permanently demoted off the fast driver-array tombstone path."""
+    import pyarrow.parquet as pq
 
-    path = f"{index.path}/lineage.jsonl"
-    total = 0
+    d = _deletes_dir(index)
     try:
-        with open(path) as f:
-            for line in f:
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if rec.get("stage") == "delete_docs":
-                    total += int(rec.get("rows", 0))
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
     except OSError:
-        pass
+        return 0
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f"{d}/{f}").metadata.num_rows
+        except OSError:
+            continue  # file racing with cleanup — it no longer counts
     return total
 
 

@@ -72,6 +72,31 @@ FRAMES_SCHEMA = (
 FEATURE_DIM = 16
 
 
+def media_session_conf(max_batch_bytes: int = 64 * 1024 * 1024,
+                       max_batch_records: int = 256) -> dict[str, str]:
+    """Arrow batch-sizing conf for MB-scale payload rows (see module
+    docstring): restores a byte cap the engine's narrow-row default
+    removes.  Use ``get_spark(fat_rows=True)`` for a fresh session, or
+    ``apply_media_conf(spark)`` to flip a live one — both SQLConfs are
+    runtime-settable, so an existing session can be adjusted around a
+    media job without a restart."""
+    return {
+        "spark.sql.execution.arrow.maxBytesPerBatch": str(max_batch_bytes),
+        "spark.sql.execution.arrow.maxRecordsPerBatch":
+            str(max_batch_records),
+    }
+
+
+def apply_media_conf(spark) -> dict[str, str]:
+    """Set the fat-row Arrow caps on a LIVE session; returns the prior
+    values so callers can restore them after the media job."""
+    prior = {}
+    for k, v in media_session_conf().items():
+        prior[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    return prior
+
+
 def fake_decode(payload: bytes, kind: str, meta) -> np.ndarray:
     """DETERMINISTIC FAKE decode (content-hash-derived features) — kept
     for plumbing tests and as the stand-in for compressed codecs."""

@@ -72,6 +72,37 @@ def highlight(
     )
 
 
+def _merge_spans(spans):
+    """Collapse a SORTED ``array<struct<s,e>>`` to disjoint intervals.
+
+    Multi-term queries against shingle/edge_ngram analyzers surface
+    several grams ('b', 'be', 'bet', 'beta') that carry the SAME or
+    nested source-token span; folding those raw re-wraps the token once
+    per gram ('<em>beta</em><em>beta</em>…').  Overlapping / nested
+    intervals merge (strict ``s < prev.e`` — spans merely ADJACENT at a
+    token boundary stay separate, matching ES tagging each matched
+    token individually); exact duplicates are removed upstream by
+    ``array_distinct``.  Pure JVM fold, O(spans) per hit."""
+    empty = F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
+
+    def step(acc, sp):
+        last = F.get(acc, F.size(acc) - F.lit(1))  # null when acc empty
+        return F.when(
+            last.isNotNull() & (sp["s"] < last["e"]),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                F.array(F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], sp["e"]).alias("e"),
+                )),
+            ),
+        ).otherwise(F.concat(acc, F.array(F.struct(
+            sp["s"].alias("s"), sp["e"].alias("e"),
+        ))))
+
+    return F.aggregate(spans, empty, step)
+
+
 def highlight_from_offsets(
     index,
     hits: DataFrame,
@@ -122,14 +153,18 @@ def highlight_from_offsets(
             ).alias("se"),
         )
         .groupBy("doc_id")
-        .agg(F.sort_array(F.flatten(F.collect_list("se"))).alias("spans"))
+        .agg(F.sort_array(
+            F.array_distinct(F.flatten(F.collect_list("se")))
+        ).alias("spans_raw"))
+        .select("doc_id", _merge_spans(F.col("spans_raw")).alias("spans"))
     )
     joined = hits.join(F.broadcast(spans), "doc_id", "left")
     text = F.coalesce(F.col(text_col), F.lit(""))
     # fold sorted (start, end) spans into the marked string: acc.out
     # carries text[0:acc.cur) already emitted; offsets are 0-based
     # end-exclusive, substring() is 1-based
-    acc0 = F.struct(F.lit("").alias("out"), F.lit(0).alias("cur"))
+    acc0 = F.struct(F.lit("").alias("out"),
+                    F.lit(0).cast("bigint").alias("cur"))
     step = lambda acc, sp: F.struct(  # noqa: E731
         F.concat(
             acc["out"],

@@ -43,7 +43,14 @@ def get_spark(
     app_name: str = "elasticsearch-nlp-classifier-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    fat_rows: bool = False,
 ) -> SparkSession:
+    """``fat_rows=True`` restores the 64 MB Arrow per-batch byte cap
+    (and a smaller records cap) for jobs whose rows are MB-scale —
+    multimodal media payloads — where the narrow-row ``maxBytesPerBatch``
+    sentinel below would otherwise allow multi-GB Arrow batches to reach
+    a Python worker.  The multimodal operators pass it for you
+    (``operators/multimodal.media_session_conf``)."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     )
@@ -136,6 +143,10 @@ def get_spark(
             # local mode: python workers fork from the driver-side
             # daemon, which inherits the driver process env
             os.environ.setdefault(k, v)
+    if fat_rows:
+        b = b.config("spark.sql.execution.arrow.maxBytesPerBatch",
+                     str(64 * 1024 * 1024))
+        b = b.config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -326,3 +326,26 @@ def test_fuzzy_rejects_bad_spec(spark, index):
         fuzzy_topk(index, pd.DataFrame(
             {"query_id": [1], "query_text": ["x"]}),
             max_edits="2ish", analyzer="simple_code")
+
+
+def test_deleted_upper_bound_reconciles_with_live_files(spark, index):
+    """ADVICE r3: the no-job upper bound must track the CURRENT deletes
+    file set (parquet footers), not a monotone lineage sum — duplicate
+    batches inflate it only while their files exist, and clearing the
+    side table restores the fast driver-array path."""
+    import os
+    import shutil
+
+    from elasticsearch_nlp_classifier_spark.index.deletes import (
+        deleted_count_upper_bound,
+    )
+
+    assert deleted_count_upper_bound(index) == 0
+    delete_docs(index, [1, 2, 3])
+    delete_docs(index, [1, 2, 3])  # duplicate batch
+    ub = deleted_count_upper_bound(index)
+    assert ub == 6  # footer sum over-counts dupes (safe direction)
+    # compaction/cleanup removes the side table -> the bound follows
+    shutil.rmtree(f"{index.path}/deletes")
+    assert deleted_count_upper_bound(index) == 0
+    assert os.path.exists(f"{index.path}/lineage.jsonl")  # lineage kept

@@ -249,3 +249,170 @@ def test_highlight_from_offsets(spark):
     # stored offsets mark the ORIGINAL surface forms, any case
     assert out[1] == "<em>Alpha</em> beta <em>ALPHA</em> end"
     assert out[2] is None
+
+# --- round 4: batch-vectorized offsets path + ADVICE regressions -----
+
+NASTY = [
+    "def _foo(___, x): return x---y!!! ...",
+    "err != None or A_B_c9 __init__ --- ### @@@",
+    "the and of IS a THE  don should\tnow",
+    "multi\nline\ndoc with\n\nnewlines and CRLF\r\n tokens",
+    "0 00 123abc abc123 _ _9 9_",
+    None,
+    "",
+    "   ",
+    "ALL UPPER and MiXeD with Stopwords LIKE the AND was",
+]
+
+
+@pytest.mark.parametrize("name", ["code", "simple_code"])
+def test_batch_offsets_parity_with_per_doc_chain(name):
+    """`chain.batch_tokenize_with_offsets` (the one-finditer fast path
+    the offsets index build uses) must reproduce the per-doc
+    `tokenize_with_offsets` chain EXACTLY — terms, spans, per-doc
+    counts."""
+    import numpy as np
+
+    from elasticsearch_nlp_classifier_spark.analyzer.chain import (
+        batch_tokenize_with_offsets,
+    )
+
+    an = get_analyzer(name)
+    texts = NASTY + TEXTS
+    out = batch_tokenize_with_offsets(an, texts)
+    assert out is not None
+    doc_idx, terms, starts, ends, n_per_doc = out
+    want = [an.tokenize_with_offsets(t) for t in texts]
+    assert list(n_per_doc) == [len(w) for w in want]
+    got_by_doc = {i: [] for i in range(len(texts))}
+    for d, t, s, e in zip(doc_idx, terms, starts, ends):
+        got_by_doc[int(d)].append((t, int(s), int(e)))
+    for i, w in enumerate(want):
+        assert got_by_doc[i] == w, (name, texts[i])
+    assert np.all(doc_idx[:-1] <= doc_idx[1:])
+
+
+def test_batch_offsets_simple_split_parity():
+    an = Analyzer(split="simple", use_stemming=False)
+    from elasticsearch_nlp_classifier_spark.analyzer.chain import (
+        batch_tokenize_with_offsets,
+    )
+
+    texts = NASTY + TEXTS
+    out = batch_tokenize_with_offsets(an, texts)
+    assert out is not None
+    doc_idx, terms, starts, ends, _n = out
+    flat = [(int(d), t, int(s), int(e))
+            for d, t, s, e in zip(doc_idx, terms, starts, ends)]
+    want = [(i, t, s, e) for i, txt in enumerate(texts)
+            for t, s, e in an.tokenize_with_offsets(txt)]
+    assert flat == want
+
+
+def test_batch_offsets_declines_unvectorizable_chains():
+    from elasticsearch_nlp_classifier_spark.analyzer.chain import (
+        batch_tokenize_with_offsets,
+    )
+
+    for an in (
+        get_analyzer("default"),            # twitter split
+        get_analyzer("tab"),                # tab split
+        Analyzer(split="code", use_stemming=True),
+        get_analyzer("simple_code_edge"),   # token_filter
+        Analyzer(split="code", use_clean_twitter=True,
+                 use_stemming=False),
+    ):
+        assert batch_tokenize_with_offsets(an, ["a b"]) is None
+
+
+def test_occurrences_df_fast_path_matches_slow(spark):
+    """The mapInPandas surface: occurrence rows via the batch path
+    (code analyzer) equal a hand-run of the per-doc chain."""
+    from elasticsearch_nlp_classifier_spark.index.build import (
+        tokenize_occurrences,
+    )
+
+    rows = [(i, t) for i, t in enumerate(NASTY + TEXTS) if t is not None]
+    docs = spark.createDataFrame(rows, "doc_id bigint, content string")
+    got = (
+        tokenize_occurrences(docs, analyzer="code")
+        .orderBy("doc_id", "pos").collect()
+    )
+    an = get_analyzer("code")
+    want = []
+    for i, t in rows:
+        triples = an.tokenize_with_offsets(t)
+        for p, (tok, s, e) in enumerate(triples):
+            want.append((i, tok, p, s, e, len(triples)))
+    assert [(r["doc_id"], r["term"], r["pos"], r["start_offset"],
+             r["end_offset"], r["dl"]) for r in got] == want
+
+
+def test_simple_code_pos_nonascii_lower_parity():
+    """ADVICE r3: U+212A KELVIN SIGN lowers to ASCII 'k'; 'İ' lowers to
+    two chars.  The offsets path must still emit the SAME token
+    sequence as `simple_code_split` (the documented invariant) with
+    spans indexing the original text."""
+    from elasticsearch_nlp_classifier_spark.analyzer.chain import (
+        simple_code_split,
+        simple_code_split_pos,
+    )
+
+    for text in (
+        "tem 30K reading",       # KELVIN SIGN: lowers to ascii 'k'
+        "İstanbul code",          # 'İ' -> 'i' + combining dot
+        "mixed Kİ 2x",
+        "plain ascii Control",
+    ):
+        triples = simple_code_split_pos(text)
+        assert [t for t, _, _ in triples] == simple_code_split(text), text
+        for t, s, e in triples:
+            assert 0 <= s < e <= len(text), (text, t, s, e)
+
+
+def test_encode_blocks_offsets_require_positions(spark):
+    """ADVICE r3: postings with offsets but no positions used to die
+    with an Arrow schema mismatch deep in the encoder — now a clear
+    up-front error."""
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        encode_blocks,
+    )
+
+    postings = spark.createDataFrame(
+        [(1, "alpha", 1, 1, [0], [5])],
+        "doc_id bigint, term string, tf bigint, dl bigint, "
+        "start_offsets array<bigint>, end_offsets array<bigint>",
+    )
+    with pytest.raises(ValueError, match="offsets"):
+        encode_blocks(postings, avgdl=1.0, doc_count=1)
+
+
+def test_highlight_merges_overlapping_and_duplicate_spans(spark):
+    """ADVICE r3 (medium): edge_ngram grams carry the SAME source span
+    and shingles carry OVERLAPPING spans — each matched region must be
+    wrapped exactly once."""
+    docs = spark.createDataFrame(
+        [(1, "beta gamma delta end"), (2, "beta solo")],
+        "doc_id bigint, text string",
+    )
+    # duplicate spans: every edge-gram of 'beta' spans (0, 4)
+    idx = build_logical_index(docs, text_col="text",
+                              analyzer="simple_code_edge",
+                              with_offsets=True)
+    out = {r["doc_id"]: r["highlight"]
+           for r in highlight_from_offsets(
+               idx, docs, "beta", text_col="text",
+               analyzer="simple_code_edge").collect()}
+    assert out[1] == "<em>beta</em> gamma delta end"
+    assert out[2] == "<em>beta</em> solo"
+
+    # overlapping spans: shingle2 query terms 'beta gamma'(0,10) and
+    # 'gamma delta'(5,15) merge into one wrapped region
+    idx2 = build_logical_index(docs, text_col="text",
+                               analyzer="simple_code_shingle2",
+                               with_offsets=True)
+    out2 = {r["doc_id"]: r["highlight"]
+            for r in highlight_from_offsets(
+                idx2, docs, "beta gamma delta", text_col="text",
+                analyzer="simple_code_shingle2").collect()}
+    assert out2[1] == "<em>beta gamma delta</em> end"

@@ -625,3 +625,33 @@ def test_remove_repeated_spans_rebuilds(spark):
     assert out[2] == "untouched document text"       # no-span passthrough
     assert out[3] == ""                              # fully duplicated
     assert set(out) == {0, 1, 2, 3}
+
+
+def test_media_session_conf_restores_byte_cap(spark):
+    """ADVICE r3: the fat-row Arrow caps are programmatic (not just a
+    docstring) — a conf dict for new sessions, an applier for live
+    ones, and `get_spark(fat_rows=True)` wiring."""
+    import inspect
+
+    from elasticsearch_nlp_classifier_spark.operators.multimodal import (
+        apply_media_conf,
+        media_session_conf,
+    )
+    from elasticsearch_nlp_classifier_spark.session import get_spark
+
+    conf = media_session_conf()
+    assert conf["spark.sql.execution.arrow.maxBytesPerBatch"] == \
+        str(64 * 1024 * 1024)
+    assert "fat_rows" in inspect.signature(get_spark).parameters
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    prior = apply_media_conf(spark)
+    try:
+        assert spark.conf.get(key) == "256"
+        assert prior[key] == before
+    finally:
+        for k, v in prior.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    assert spark.conf.get(key) == before
