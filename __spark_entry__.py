@@ -3957,6 +3957,37 @@ def q_es_dsl_search(spark, sf_dir):
                       F.round("score", 6).alias("score_r6"))
 
 
+def q_es_dsl_nested_bool(spark, sf_dir):
+    """Nested bool-inside-bool (r3 verdict #3 — the commonest pasted
+    body shape): a filter wrapping a should group, a nested-bool
+    should adding score, a nested-bool must_not excluding.  Semantics
+    (dsl._bool_frame): match set = 'data' AND ('value' OR 'table') AND
+    NOT ('error' AND 'retry'); score = bm25(data) + (bm25(batch) +
+    bm25(slow) when both present); the filter group adds 0."""
+    from elasticsearch_nlp_classifier_spark.query import (
+        RetrieverContext, es_search,
+    )
+
+    ctx = RetrieverContext(index=_logical_index(spark, sf_dir),
+                           docs=_docs(spark, sf_dir),
+                           analyzer="simple_code")
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "filter": [{"bool": {"should": [
+            {"match": {"text": "value"}},
+            {"match": {"text": "table"}}]}}],
+        "should": [{"bool": {"must": [
+            {"match": {"text": "batch"}},
+            {"match": {"text": "slow"}}]}}],
+        "must_not": [{"bool": {"must": [
+            {"match": {"text": "error"}},
+            {"match": {"text": "retry"}}]}}],
+    }}, "size": 10}
+    out = es_search(body, ctx)
+    return out.select("rank", "doc_id",
+                      F.round("score", 6).alias("score_r6"))
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): select raw docs
     whose hashed-unigram distribution matches the en-language target
@@ -4487,6 +4518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_order_metric": q_agg_terms_order_metric,
         "dsir_select": q_dsir_select,
         "es_dsl_search": q_es_dsl_search,
+        "es_dsl_nested_bool": q_es_dsl_nested_bool,
         "ltr_rescore": q_ltr_rescore,
         "percolate_scored": q_percolate_scored,
         "agg_histogram_dense": q_agg_histogram_dense,
@@ -8530,6 +8562,50 @@ def oracle_sql() -> dict[str, str]:
                                   doc_id ASC)::BIGINT AS rank,
                doc_id, round(score, 6) AS score_r6
         FROM ok ORDER BY rank LIMIT 10"""
+    # nested bool-inside-bool: its own derivation of the composed
+    # semantics (leaf frame + filter semi-join + should left-join +
+    # must_not anti-join), independent of the engine's join algebra;
+    # the grammar tail is fuzz-gated by
+    # tests/test_fuzz_compilers.py::test_fuzz_nested_bool_vs_reference
+    sqls["es_dsl_nested_bool"] = f"""
+        WITH {_BM25_BASE},
+        contrib AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1 + ((SELECT n FROM corpus) - s.df + 0.5)
+                        / (s.df + 0.5))
+                 * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                    / (SELECT avgdl FROM corpus))) AS c
+          FROM tf JOIN stats s USING (term) JOIN dl USING (doc_id)
+          WHERE tf.term IN ('data', 'value', 'table', 'batch', 'slow',
+                            'error', 'retry')
+        ),
+        base AS (
+          SELECT doc_id, c AS score FROM contrib WHERE term = 'data'
+        ),
+        filt AS (
+          SELECT DISTINCT doc_id FROM tf
+          WHERE term IN ('value', 'table')
+        ),
+        subshould AS (
+          SELECT doc_id, sum(c) AS s FROM contrib
+          WHERE term IN ('batch', 'slow')
+          GROUP BY 1 HAVING count(DISTINCT term) = 2
+        ),
+        mustnot AS (
+          SELECT doc_id FROM tf WHERE term IN ('error', 'retry')
+          GROUP BY 1 HAVING count(DISTINCT term) = 2
+        ),
+        scored AS (
+          SELECT b.doc_id, b.score + coalesce(ss.s, 0) AS score
+          FROM base b
+          JOIN filt f USING (doc_id)
+          LEFT JOIN subshould ss USING (doc_id)
+          WHERE b.doc_id NOT IN (SELECT doc_id FROM mustnot)
+        )
+        SELECT row_number() OVER (ORDER BY round(score, 9) DESC,
+                                  doc_id ASC)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score_r6
+        FROM scored ORDER BY rank LIMIT 10"""
     sqls["ltr_rescore"] = """
         WITH f AS (SELECT * FROM
                    read_parquet('{SCRATCH}/ltr_feats.parquet/*.parquet')),

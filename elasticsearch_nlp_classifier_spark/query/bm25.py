@@ -118,27 +118,21 @@ def bm25_topk(
     )
 
 
-def bool_query_topk(
+def bool_query_frame(
     index: LogicalIndex,
     must: list[str] | None = None,
     should: list[tuple[str, float]] | None = None,
     must_not: list[str] | None = None,
     filter_terms: list[str] | None = None,
-    minimum_should_match: int | None = None,
-    k: int = 10,
     analyzer: str = "code",
 ) -> DataFrame:
-    """ES ``bool`` query, ranked: ``(rank, doc_id, score)``.
-
-    ES scoring semantics:
-
-    - ``must`` terms are all required and contribute BM25 score;
-    - ``should`` terms are optional, each contributing
-      ``boost × BM25`` when present; with no must/filter clause at
-      least ``minimum_should_match`` (default 1) of them must match
-      (default 0 when a must/filter clause exists);
-    - ``filter_terms`` are required but score 0 (ES filter context);
-    - ``must_not`` terms exclude a doc outright.
+    """One ``bool`` level's LEAF clauses → UNCUT ``(doc_id, score,
+    n_should)``: every doc satisfying the must/filter/must_not term
+    constraints, with the boosted BM25 score and the count of matched
+    should terms.  ``minimum_should_match`` and the rank cut stay with
+    the caller — `bool_query_topk` applies them directly; the
+    nested-``bool`` compiler (`dsl._bool_frame`) first combines should
+    counts and scores across sub-frames.
 
     One plan: every clause term goes into one broadcast join against
     the postings, per-doc clause counts and the boosted score come out
@@ -160,8 +154,6 @@ def bool_query_topk(
     must_not = sorted({t for s in (must_not or []) for t in tok(s)})
     filter_terms = sorted({t for s in (filter_terms or [])
                            for t in tok(s)})
-    if minimum_should_match is None:
-        minimum_should_match = 0 if (must or filter_terms) else 1
     spark = index.postings.sparkSession
     chain_terms: list[tuple[str, str, float]] = (
         [(t, "must", 1.0) for t in must]
@@ -170,7 +162,7 @@ def bool_query_topk(
     )
     if not chain_terms:
         return spark.createDataFrame(
-            [], "rank bigint, doc_id bigint, score double"
+            [], "doc_id bigint, score double, n_should bigint"
         )
     clause_df = spark.createDataFrame(
         chain_terms, "term string, clause string, boost double"
@@ -203,7 +195,6 @@ def bool_query_topk(
     ok = agg.where(
         (F.col("n_must") == F.lit(len(must)))
         & (F.col("n_filter") == F.lit(len(filter_terms)))
-        & (F.col("n_should") >= F.lit(minimum_should_match))
     )
     if must_not:
         mn = spark.createDataFrame(
@@ -214,6 +205,46 @@ def bool_query_topk(
             .select("doc_id").distinct()
         )
         ok = ok.join(excluded, "doc_id", "left_anti")
+    return ok.select("doc_id", "score", "n_should")
+
+
+def bool_query_topk(
+    index: LogicalIndex,
+    must: list[str] | None = None,
+    should: list[tuple[str, float]] | None = None,
+    must_not: list[str] | None = None,
+    filter_terms: list[str] | None = None,
+    minimum_should_match: int | None = None,
+    k: int = 10,
+    analyzer: str = "code",
+) -> DataFrame:
+    """ES ``bool`` query, ranked: ``(rank, doc_id, score)``.
+
+    ES scoring semantics:
+
+    - ``must`` terms are all required and contribute BM25 score;
+    - ``should`` terms are optional, each contributing
+      ``boost × BM25`` when present; with no must/filter clause at
+      least ``minimum_should_match`` (default 1) of them must match
+      (default 0 when a must/filter clause exists);
+    - ``filter_terms`` are required but score 0 (ES filter context);
+    - ``must_not`` terms exclude a doc outright.
+
+    Physical shape: `bool_query_frame` (one scan, one hash agg) plus
+    the msm filter and the rank window."""
+    from ..analyzer.chain import get_analyzer
+
+    tok = get_analyzer(analyzer).tokenize
+    if minimum_should_match is None:
+        has_req = any(tok(s) for s in (must or [])) or any(
+            tok(s) for s in (filter_terms or [])
+        )
+        minimum_should_match = 0 if has_req else 1
+    frame = bool_query_frame(
+        index, must=must, should=should, must_not=must_not,
+        filter_terms=filter_terms, analyzer=analyzer,
+    )
+    ok = frame.where(F.col("n_should") >= F.lit(minimum_should_match))
     w = Window.orderBy(F.desc(F.round("score", 9)), F.asc("doc_id"))
     return (
         ok.withColumn("rank", F.row_number().over(w))

@@ -16,8 +16,10 @@ Supported query-context nodes → operator:
 - ``match`` / ``match_all``                → `bm25.bm25_topk` (WAND
   path when ctx carries a physical index) / all-docs constant score
 - ``bool`` (must/should/filter/must_not/minimum_should_match, clauses
-  restricted to match/term over the indexed text field)
-                                           → `bm25.bool_query_topk`
+  match/term over the indexed text field OR nested ``bool`` sub-bodies
+  to any depth)                            → `bm25.bool_query_topk`
+  (flat bodies: single-scan plan) / `_bool_frame` (nested bodies:
+  recursive frame algebra — see its docstring)
 - ``dis_max``                              → `compound.dis_max_topk`
 - ``constant_score``                       → `compound.constant_score_topk`
 - ``boosting``                             → `compound.boosting_topk`
@@ -32,10 +34,10 @@ physical work on top of the operator it dispatches to, so the 100 TB
 story is whatever the dispatched operator's is (each is plan-audited
 in its own module).
 
-Deliberately absent (raise, never silently approximate): nested
-``bool`` inside ``bool`` (flatten client-side), ``span``/``intervals``
-bodies (call `query/spans.py` directly), scripted scoring other than
-``field_value_factor`` (use `features.script_score_topk`).
+Deliberately absent (raise, never silently approximate):
+``span``/``intervals`` bodies (call `query/spans.py` directly),
+scripted scoring other than ``field_value_factor`` (use
+`features.script_score_topk`).
 """
 
 from __future__ import annotations
@@ -102,6 +104,134 @@ def _finish(out: DataFrame, k: int) -> DataFrame:
     )
 
 
+_BOOL_SECTIONS = ("must", "should", "must_not", "filter")
+
+
+def _has_nested_bool(body: dict) -> bool:
+    return any(
+        next(iter(c)) == "bool"
+        for sec in _BOOL_SECTIONS
+        for c in body.get(sec, [])
+    )
+
+
+def _bool_frame(body: dict, ctx: RetrieverContext,
+                depth: int = 0) -> DataFrame:
+    """Nested ``bool`` → UNCUT match frame ``(doc_id, score)``.
+
+    ES semantics, composed recursively: a nested bool in ``must`` /
+    ``should`` is a sub-query scored by ITS bool-sum (its own
+    ``minimum_should_match`` applied inside); in ``filter`` it is a
+    pure predicate (score 0); in ``must_not`` an exclusion set.
+    Leaf clauses of each level keep the flat compiler's exact
+    single-scan semantics (`bm25.bool_query_frame` — every analyzed
+    must/filter token required, per-term boosted should scores,
+    should counts per TERM); a matched nested should counts 1 toward
+    the level's ``minimum_should_match``.  The default msm is ES's: 1
+    when the level has no must/filter member (leaf or nested), else 0.
+
+    Scale shape: composition is hash joins on ``doc_id`` between
+    sub-frames (inner for must/filter, left for should, anti for
+    must_not) — sub-frames can be corpus-sized, so unlike the flat
+    single-scan plan this costs one doc_id shuffle per nested member;
+    the compiler only takes this path when the body actually nests,
+    and the top-k cut stays OUTSIDE (`_finish`) so every join is on
+    full match sets (cutting sub-queries first would be wrong, not
+    just slow)."""
+    if depth > 8:
+        raise ValueError("bool nesting deeper than 8 levels")
+    from ..analyzer.chain import get_analyzer
+    from .bm25 import bool_query_frame, match_filter
+
+    leaf: dict[str, list] = {s: [] for s in _BOOL_SECTIONS}
+    nested: dict[str, list] = {s: [] for s in _BOOL_SECTIONS}
+    for sec in _BOOL_SECTIONS:
+        for c in body.get(sec, []):
+            if next(iter(c)) == "bool":
+                nested[sec].append(_bool_frame(c["bool"], ctx, depth + 1))
+            elif sec == "should":
+                _, text, boost = _match_text(c, ctx, honor_boost=True)
+                leaf["should"].append((text, boost))
+            else:
+                leaf[sec].append(
+                    _match_text(c, ctx, honor_boost=(sec != "must"))[1]
+                )
+
+    tok = get_analyzer(ctx.analyzer).tokenize
+    leaf_req = any(tok(s) for s in leaf["must"]) \
+        or any(tok(s) for s in leaf["filter"])
+    has_leaf_scoring = leaf_req or any(tok(s) for s, _ in leaf["should"])
+
+    zero = F.lit(0).cast("bigint")
+    required, optional = [], []
+    if has_leaf_scoring:
+        base = bool_query_frame(
+            ctx.index, must=leaf["must"], should=leaf["should"],
+            must_not=leaf["must_not"], filter_terms=leaf["filter"],
+            analyzer=ctx.analyzer,
+        ).select("doc_id", "score", F.col("n_should").alias("cnt"))
+        (required if leaf_req else optional).append(base)
+    for f in nested["must"]:
+        required.append(f.select("doc_id", "score", zero.alias("cnt")))
+    for f in nested["filter"]:
+        required.append(f.select(
+            "doc_id", F.lit(0.0).alias("score"), zero.alias("cnt")))
+    for f in nested["should"]:
+        optional.append(f.select(
+            "doc_id", "score", F.lit(1).cast("bigint").alias("cnt")))
+
+    msm = body.get("minimum_should_match")
+    if msm is None:
+        msm = 0 if (leaf_req or nested["must"] or nested["filter"]) else 1
+    msm = int(msm)
+
+    spark = ctx.index.postings.sparkSession
+    if not required and not optional:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+
+    if required:
+        cand = required[0]
+        for i, f in enumerate(required[1:]):
+            r = f.select("doc_id", F.col("score").alias(f"_s{i}"),
+                         F.col("cnt").alias(f"_c{i}"))
+            cand = cand.join(r, "doc_id").select(
+                "doc_id",
+                (F.col("score") + F.col(f"_s{i}")).alias("score"),
+                (F.col("cnt") + F.col(f"_c{i}")).alias("cnt"),
+            )
+        for i, f in enumerate(optional):
+            r = f.select("doc_id", F.col("score").alias(f"_os{i}"),
+                         F.col("cnt").alias(f"_oc{i}"))
+            cand = cand.join(r, "doc_id", "left").select(
+                "doc_id",
+                (F.col("score")
+                 + F.coalesce(F.col(f"_os{i}"), F.lit(0.0))).alias("score"),
+                (F.col("cnt")
+                 + F.coalesce(F.col(f"_oc{i}"), zero)).alias("cnt"),
+            )
+    else:
+        cand = optional[0]
+        for f in optional[1:]:
+            cand = cand.unionByName(f)
+        cand = cand.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.sum("cnt").alias("cnt"))
+
+    for f in nested["must_not"]:
+        cand = cand.join(f.select("doc_id"), "doc_id", "left_anti")
+    if leaf["must_not"] and not has_leaf_scoring:
+        # leaf must_nots normally ride bool_query_frame's anti-join;
+        # with no leaf scoring clause there is no base frame to carry
+        # them, so exclude their match sets here
+        for s in leaf["must_not"]:
+            cand = cand.join(match_filter(ctx.index, s, ctx.analyzer),
+                             "doc_id", "left_anti")
+
+    if msm > 0:
+        cand = cand.where(F.col("cnt") >= F.lit(msm))
+    return cand.select(
+        "doc_id", F.col("score").cast("double").alias("score"))
+
+
 def compile_query_node(q: dict, ctx: RetrieverContext, k: int) -> DataFrame:
     """One query-context node → ``(rank, doc_id, score)``."""
     if len(q) != 1:
@@ -120,6 +250,8 @@ def compile_query_node(q: dict, ctx: RetrieverContext, k: int) -> DataFrame:
         )
 
     if kind == "bool":
+        if _has_nested_bool(body):
+            return _finish(_bool_frame(body, ctx), k)
         from .bm25 import bool_query_topk
 
         must, should, must_not, filt = [], [], [], []

@@ -136,9 +136,83 @@ def test_unsupported_nodes_raise(spark, ctx):
         es_search({"query": {"fuzzy": {"title": "spark"}}}, ctx)
     with pytest.raises(ValueError, match="sub-clause"):
         es_search({"query": {"bool": {"must": [
-            {"bool": {"must": []}}]}}}, ctx)
+            {"range": {"stars": {"gte": 2}}}]}}}, ctx)
     with pytest.raises(ValueError, match="query"):
         es_search({}, ctx)
+
+
+def test_nested_bool_must_equals_flat(spark, ctx):
+    """A bool wrapped in a must is score-identical to the flat bool
+    (r3 verdict #3: nested bodies used to raise)."""
+    flat = _rows(es_search({"query": {"bool": {"must": [
+        {"match": {"title": "spark"}}]}}}, ctx, k=5))
+    nested = _rows(es_search({"query": {"bool": {"must": [
+        {"bool": {"must": [{"match": {"title": "spark"}}]}}]}}},
+        ctx, k=5))
+    assert nested == flat
+
+
+def test_nested_bool_filter_wrapping_should_group(spark, ctx):
+    """The commonest pasted shape: a filter wrapping a should group —
+    predicate-only (score comes from the must alone)."""
+    body = {"query": {"bool": {
+        "must": [{"match": {"title": "data"}}],
+        "filter": [{"bool": {"should": [
+            {"match": {"title": "spark"}},
+            {"match": {"title": "query"}}]}}]}}}
+    got = _rows(es_search(body, ctx, k=5))
+    # docs with 'data' AND ('spark' OR 'query') in title: 1, 4
+    assert sorted(d for _, d, _ in got) == [1, 4]
+    flat_data = _rows(es_search({"query": {"bool": {"must": [
+        {"match": {"title": "data"}}]}}}, ctx, k=5))
+    scores = {d: s for _, d, s in flat_data}
+    for _, d, s in got:
+        assert s == scores[d]  # filter context adds zero score
+
+
+def test_nested_bool_should_adds_score_and_counts_one(spark, ctx):
+    body = {"query": {"bool": {
+        "must": [{"match": {"title": "data"}}],
+        "should": [{"bool": {"must": [
+            {"match": {"title": "spark"}},
+            {"match": {"title": "engine"}}]}}]}}}
+    got = {d: s for _, d, s in _rows(es_search(body, ctx, k=5))}
+    assert set(got) == {1, 2, 4}     # all 'data' docs match
+    data_s = {d: s for _, d, s in _rows(es_search(
+        {"query": {"bool": {"must": [{"match": {"title": "data"}}]}}},
+        ctx, k=5))}
+    sub_s = {d: s for _, d, s in _rows(es_search(
+        {"query": {"bool": {"must": [{"match": {"title": "spark"}},
+                                     {"match": {"title": "engine"}}]}}},
+        ctx, k=5))}
+    # only doc 1 has spark AND engine: its score is the sum of frames
+    assert got[1] == round(data_s[1] + sub_s[1], 9)
+    assert got[2] == data_s[2] and got[4] == data_s[4]
+
+    # a matched nested should counts 1 toward minimum_should_match
+    msm2 = {"query": {"bool": {
+        "should": [{"match": {"title": "data"}},
+                   {"bool": {"must": [{"match": {"title": "query"}}]}}],
+        "minimum_should_match": 2}}}
+    assert _rows(es_search(msm2, ctx, k=5)) == []
+
+
+def test_nested_bool_must_not_excludes(spark, ctx):
+    body = {"query": {"bool": {
+        "must": [{"match": {"title": "data"}}],
+        "must_not": [{"bool": {"must": [
+            {"match": {"title": "spark"}},
+            {"match": {"title": "streaming"}}]}}]}}}
+    got = _rows(es_search(body, ctx, k=5))
+    # doc 4 ('spark streaming data') matches the nested must_not
+    assert sorted(d for _, d, _ in got) == [1, 2]
+
+
+def test_nested_bool_depth_three(spark, ctx):
+    body = {"query": {"bool": {"must": [{"bool": {"must": [
+        {"bool": {"should": [{"match": {"title": "planner"}}]}}]}}]}}}
+    got = _rows(es_search(body, ctx, k=5))
+    assert [d for _, d, _ in got] == [3]
 
 
 def test_wrong_field_raises_not_silently_rescored(spark, ctx):

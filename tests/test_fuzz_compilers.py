@@ -459,3 +459,226 @@ def test_fuzz_esql_vs_duckdb(spark, esql_env):
         f"{mismatches[0]}"
     )
     assert nonempty >= N_ESQL_CASES // 2, nonempty
+
+# ------------------------------------------------- nested bool (r3 #3)
+
+N_NESTED_CASES = 70
+
+
+def _ref_env(rows):
+    """Independent pure-Python BM25 environment over the fuzz corpus —
+    no engine modules; implements the documented scoring spec from
+    scratch (module docstring)."""
+    import math
+
+    tf = {}
+    dl = {}
+    for doc_id, text in rows:
+        toks = _tok(text)
+        if not toks:
+            continue
+        dl[doc_id] = len(toks)
+        m = tf.setdefault(doc_id, {})
+        for t in toks:
+            m[t] = m.get(t, 0) + 1
+    df = {}
+    for m in tf.values():
+        for t in m:
+            df[t] = df.get(t, 0) + 1
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+
+    def contrib(doc, t, boost=1.0):
+        f = tf[doc].get(t, 0)
+        if not f:
+            return None
+        idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+        return boost * idf * f / (f + 1.2 * (0.25 + 0.75
+                                             * dl[doc] / avgdl))
+
+    return {"tf": tf, "contrib": contrib}
+
+
+def _ref_bool(spec, env):
+    """Reference evaluator for (possibly nested) bool specs →
+    {doc_id: score} of the FULL match set.  Spec clauses: plain str
+    (leaf must/filter/must_not), (str, boost) (leaf should), or
+    ("bool", subspec) anywhere."""
+    leaf = {"must": [], "should": [], "must_not": [], "filter": []}
+    nest = {"must": [], "should": [], "must_not": [], "filter": []}
+    for sec in ("must", "should", "must_not", "filter"):
+        for c in spec.get(sec, []):
+            if isinstance(c, tuple) and c[0] == "bool":
+                nest[sec].append(_ref_bool(c[1], env))
+            else:
+                leaf[sec].append(c)
+
+    must_t = sorted({t for s in leaf["must"] for t in _tok(s)})
+    filt_t = sorted({t for s in leaf["filter"] for t in _tok(s)})
+    mn_t = sorted({t for s in leaf["must_not"] for t in _tok(s)})
+    should_b: dict[str, float] = {}
+    for s, b in leaf["should"]:
+        for t in _tok(s):
+            should_b[t] = max(should_b.get(t, 0.0), float(b))
+
+    leaf_req = bool(must_t or filt_t)
+    has_leaf = leaf_req or bool(should_b)
+    tf, contrib = env["tf"], env["contrib"]
+
+    base = {}  # doc -> (score, n_should)
+    if has_leaf:
+        for doc in tf:
+            if any(t not in tf[doc] for t in must_t):
+                continue
+            if any(t not in tf[doc] for t in filt_t):
+                continue
+            score, ns, any_hit = 0.0, 0, False
+            for t in must_t:
+                score += contrib(doc, t)
+                any_hit = True
+            for t, b in should_b.items():
+                c = contrib(doc, t, b)
+                if c is not None:
+                    score += c
+                    ns += 1
+                    any_hit = True
+            if filt_t:
+                any_hit = True
+            if any_hit:  # agg frame only holds docs matching a term
+                base[doc] = (score, ns)
+        if mn_t:
+            base = {d: v for d, v in base.items()
+                    if not any(t in tf[d] for t in mn_t)}
+
+    required = ([base] if (has_leaf and leaf_req) else []) \
+        + [{d: (s, 0) for d, s in f.items()} for f in nest["must"]] \
+        + [{d: (0.0, 0) for d in f} for f in nest["filter"]]
+    optional = ([base] if (has_leaf and not leaf_req) else []) \
+        + [{d: (s, 1) for d, s in f.items()} for f in nest["should"]]
+
+    msm = spec.get("minimum_should_match")
+    if msm is None:
+        msm = 0 if (leaf_req or nest["must"] or nest["filter"]) else 1
+
+    if required:
+        docs = set(required[0])
+        for f in required[1:]:
+            docs &= set(f)
+        out = {}
+        for d in docs:
+            score = sum(f[d][0] for f in required)
+            cnt = sum(f[d][1] for f in required)
+            for f in optional:
+                if d in f:
+                    score += f[d][0]
+                    cnt += f[d][1]
+            out[d] = (score, cnt)
+    elif optional:
+        out = {}
+        for f in optional:
+            for d, (s, c) in f.items():
+                ps, pc = out.get(d, (0.0, 0))
+                out[d] = (ps + s, pc + c)
+    else:
+        out = {}
+
+    for f in nest["must_not"]:
+        out = {d: v for d, v in out.items() if d not in f}
+    if mn_t and not has_leaf:
+        out = {d: v for d, v in out.items()
+               if not any(t in tf[d] for t in mn_t)}
+    return {d: s for d, (s, c) in out.items() if c >= msm}
+
+
+def _spec_to_body(spec) -> dict:
+    body: dict = {}
+    for sec in ("must", "should", "must_not", "filter"):
+        out = []
+        for c in spec.get(sec, []):
+            if isinstance(c, tuple) and c[0] == "bool":
+                out.append({"bool": _spec_to_body(c[1])})
+            elif sec == "should":
+                t, b = c
+                out.append({"match": {"text": {"query": t, "boost": b}}}
+                           if b != 1.0 else {"match": {"text": t}})
+            else:
+                out.append({"match": {"text": c}})
+        if out:
+            body[sec] = out
+    if "minimum_should_match" in spec:
+        body["minimum_should_match"] = spec["minimum_should_match"]
+    return body
+
+
+def _gen_flat_spec(rng: random.Random) -> dict:
+    spec: dict = {}
+    if rng.random() < 0.7:
+        spec["must"] = [_rand_text(rng)]
+    if rng.random() < 0.7:
+        spec["should"] = [(_rand_text(rng), rng.choice([1.0, 2.0]))
+                          for _ in range(rng.randint(1, 2))]
+    if not spec:
+        spec["must"] = [_rand_text(rng)]
+    if rng.random() < 0.3:
+        spec["must_not"] = [_rand_text(rng)]
+    if rng.random() < 0.3:
+        spec["filter"] = [_rand_text(rng)]
+    if spec.get("should") and rng.random() < 0.3:
+        spec["minimum_should_match"] = rng.randint(0, 2)
+    return spec
+
+
+def _gen_nested_spec(rng: random.Random, depth=0) -> dict:
+    spec = _gen_flat_spec(rng)
+    if depth >= 2:
+        return spec
+    # plant 1-2 nested bools in random sections
+    for _ in range(rng.randint(1, 2)):
+        sec = rng.choice(["must", "should", "must_not", "filter"])
+        sub = (
+            _gen_nested_spec(rng, depth + 1) if rng.random() < 0.25
+            else _gen_flat_spec(rng)
+        )
+        spec.setdefault(sec, []).append(("bool", sub))
+    return spec
+
+
+def test_fuzz_nested_bool_vs_reference(spark, dsl_env):
+    """≥60 generated depth-≤3 nested bool bodies vs an independent
+    pure-Python evaluator of the documented semantics."""
+    ctx, _con = dsl_env
+    rng = random.Random(31337)
+    rows = _mk_docs(random.Random(20260821))  # same corpus as dsl_env
+    env = _ref_env(rows)
+    group = 35
+    specs = [_gen_nested_spec(rng) for _ in range(N_NESTED_CASES)]
+    mismatches = []
+    nonempty = 0
+    for g0 in range(0, len(specs), group):
+        chunk = specs[g0:g0 + group]
+        union = None
+        for ci, spec in enumerate(chunk):
+            body = {"query": {"bool": _spec_to_body(spec)}, "size": K}
+            out = es_search(body, ctx).select(
+                F.lit(g0 + ci).alias("case_id"), "rank", "doc_id",
+                F.round("score", 6).alias("score_r6"))
+            union = out if union is None else union.unionByName(out)
+        got_all = union.toPandas()
+        for ci, spec in enumerate(chunk):
+            scores = _ref_bool(spec, env)
+            ranked = sorted(scores.items(),
+                            key=lambda kv: (-round(kv[1], 9), kv[0]))[:K]
+            want = [(d, round(s, 6)) for d, s in ranked]
+            g = got_all[got_all.case_id == g0 + ci].sort_values("rank")
+            got = list(zip(g.doc_id.astype(int), g.score_r6))
+            nonempty += bool(want)
+            if len(got) != len(want) or any(
+                gd != wd or abs(gs - ws) > 1e-9
+                for (gd, gs), (wd, ws) in zip(got, want)
+            ):
+                mismatches.append((g0 + ci, spec, got, want))
+    assert not mismatches, (
+        f"{len(mismatches)} nested-bool mismatches; first: "
+        f"{mismatches[0]}"
+    )
+    assert nonempty >= N_NESTED_CASES // 2, nonempty
