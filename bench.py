@@ -478,6 +478,91 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
         bindex.blocks.unpersist()
         bindex.term_stats.unpersist()
         shutil.rmtree(bidx_path, ignore_errors=True)
+
+        # offsets build (VERDICT r3 #4): the with_offsets=True twin of
+        # the q1-shape build — positions + char spans through the
+        # batch-vectorized occurrence tokenizer into the compressed
+        # block layout.  The target is <=1.5x the non-offsets build.
+        boff_path = os.path.join(work_dir, "big_index_off")
+        boff = []
+        for _rep in range(2):
+            shutil.rmtree(boff_path, ignore_errors=True)
+            t, _ = _timed(lambda: build_physical_index(
+                bdocs, boff_path, text_col="content", analyzer="code",
+                with_offsets=True))
+            boff.append(round(t, 3))
+        shutil.rmtree(boff_path, ignore_errors=True)
+
+        # q3-q6 at the big tier (VERDICT r3 #5): the 5k-doc sf0.1 tier
+        # is fixed-overhead-dominated; these runs measure the actual
+        # distributed work of each operator at 240k docs.
+        from elasticsearch_nlp_classifier_spark.classifier import (
+            predict_nb, train_nb,
+        )
+
+        def bnb():
+            train = bdocs.where(F.pmod("doc_id", F.lit(3)) != 0)
+            test = bdocs.where(F.pmod("doc_id", F.lit(3)) == 0)
+            model = train_nb(train, text_cols=["content"],
+                             label_col="lang", analyzer="code",
+                             id_col="doc_id")
+            return predict_nb(model, test, text_cols=["content"],
+                              analyzer="code", id_col="doc_id").count()
+
+        bq3 = []
+        for _rep in range(3):
+            t, _n = _timed(bnb)
+            bq3.append(round(t, 3))
+
+        bq4 = []
+        for _rep in range(3):
+            t, _n = _timed(lambda: minhash_lsh_pairs(
+                bdocs, text_col="content", id_col="doc_id").count())
+            bq4.append(round(t, 3))
+
+        # synthetic deterministic embeddings (pure codegen — xxhash64
+        # per (doc_id, dim)); written once beside the corpus
+        bemb_path = f"{corpus_dir}/embeddings_64.parquet"
+        if not os.path.exists(bemb_path):
+            dims = F.array(*[
+                ((F.xxhash64(F.col("doc_id"), F.lit(j))
+                  % F.lit(2000)) / F.lit(1000.0) - F.lit(1.0))
+                .cast("float")
+                for j in range(64)
+            ])
+            bdocs.select(F.col("doc_id").alias("vec_id"),
+                         dims.alias("embedding")) \
+                .write.mode("overwrite").parquet(bemb_path)
+        bemb = spark.read.parquet(bemb_path)
+        bprobes = bemb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        bq5 = []
+        for _rep in range(3):
+            t, _n = _timed(lambda: cosine_topk(bemb, bprobes,
+                                               k=10).count())
+            bq5.append(round(t, 3))
+
+        def _bbuild():
+            cents, books, codes = ivfpq_build(
+                bemb, dim=64, n_cells=64, m=16, n_codes=32, iters=5,
+            )
+            codes = codes.cache()
+            codes.count()
+            return cents, books, codes
+
+        t_bbuild, (bcents, bbooks, bcodes) = _timed(_bbuild)
+        bqvecs = [(r["query_id"], np.asarray(r["query_vec"]))
+                  for r in bprobes.collect()]
+        bq6 = []
+        for _rep in range(3):
+            t, _n = _timed(lambda: ivfpq_topk(
+                bcodes, bqvecs, bcents, bbooks, k=10, n_probe=8,
+                rerank=bemb, rerank_depth=50).count())
+            bq6.append(round(t, 3))
+        bcodes.unpersist()
+
         extras["big_tier"] = {
             "n_docs": big_n,
             "build_s_min": min(bq1),
@@ -489,6 +574,18 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
                 sorted(bq2)[min(len(bq2) - 1,
                                 int(round(0.95 * len(bq2))))]
                 * 1000 / 120, 2),
+            "offsets_build_s_min": min(boff),
+            "offsets_build_reps": boff,
+            "offsets_vs_plain_build": round(min(boff) / min(bq1), 3),
+            "q3_nb_train_predict_min": min(bq3),
+            "q3_reps": bq3,
+            "q4_dedup_minhash_lsh_min": min(bq4),
+            "q4_reps": bq4,
+            "q5_ann_cosine_topk_min": min(bq5),
+            "q5_reps": bq5,
+            "q6_ann_ivfpq_topk_min": min(bq6),
+            "q6_reps": bq6,
+            "q6_ivfpq_build_s": round(t_bbuild, 3),
         }
 
     return {"timings": timings, "reps": reps_raw, "extras": extras,
@@ -531,6 +628,49 @@ def _bw_probe() -> float:
         dt = time.perf_counter() - t0
         best = min(best, dt)
     return round((2 * 64 / 1024) / best, 2)
+
+
+def _bw_envelope(worker_counts: list[int]) -> dict:
+    """Memory-bandwidth envelope (VERDICT r3 #2): wall time of an
+    embarrassingly-parallel pure memory-STREAMING job (in-place 64 MB
+    pre-touched buffer copies, fixed total bytes across levels) with
+    the workers taskset-bound to exactly N cores — the second side of
+    the two-sided envelope.  On one box every core shares one memory
+    bus, so a bandwidth-bound job stops scaling once the bus
+    saturates; the pure-CPU envelope is blind to that ceiling by
+    design.  Engine speedup is additionally reported against
+    ``min(cpu_envelope, bw_envelope)``: if the bw envelope itself
+    fails to scale N→4N, a shortfall of the engine's bandwidth-bound
+    phases is a measured hardware ceiling, not engine inefficiency."""
+    import subprocess
+
+    total_copies = 768  # × 128 MB moved per copy ≈ 96 GB total work
+    out = {}
+    for w in worker_counts:
+        src = (
+            "import numpy as np\n"
+            "a = np.ones(8 * 1024 * 1024, dtype=np.float64)\n"
+            "b = a.copy()\n"  # both buffers touched -> pages backed
+            f"for _ in range({total_copies // w}):\n"
+            "    np.copyto(b, a)\n"
+        )
+        best = None
+        for _rep in range(2):
+            t0 = time.time()
+            procs = [
+                subprocess.Popen(
+                    ["taskset", "-c", f"0-{w - 1}", sys.executable,
+                     "-c", src],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL)
+                for _ in range(w)
+            ]
+            for p in procs:
+                p.wait(timeout=300)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[w] = best
+    return out
 
 
 def _cpu_envelope(worker_counts: list[int]) -> dict:
@@ -747,6 +887,7 @@ def scaling_run(
     # round), a cooldown before each level, and ALTERNATING level order
     # per round so any residual credit asymmetry cancels across rounds.
     env = _cpu_envelope([c_small, c_big])
+    env_bw = _bw_envelope([c_small, c_big])
     cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN_S", "20"))
     fp = _engine_fingerprint()
     run_ts = int(time.time())
@@ -767,6 +908,8 @@ def scaling_run(
         stability = round(min(probes) / max(probes), 3)
         speedup = t_small / t_big
         env_speedup = env[c_small] / env[c_big]
+        bw_speedup = env_bw[c_small] / env_bw[c_big]
+        two_sided = min(env_speedup, bw_speedup)
         rec = {
             "round": r,
             "build_s": {c_small: round(t_small, 2), c_big: round(t_big, 2)},
@@ -779,6 +922,8 @@ def scaling_run(
             "speedup": round(speedup, 3),
             "hw_envelope_speedup": round(env_speedup, 3),
             "engine_vs_envelope": round(speedup / env_speedup, 3),
+            "bw_envelope_speedup": round(bw_speedup, 3),
+            "engine_vs_min_envelope": round(speedup / two_sided, 3),
             "order": list(order),
             "bw_probes_gbps": probes,
             "stability": stability,
@@ -827,6 +972,10 @@ def scaling_run(
         "hw_envelope_efficiency": round(
             best["hw_envelope_speedup"] / factor, 3),
         "engine_vs_envelope": best["engine_vs_envelope"],
+        "bw_envelope_speedup": best.get("bw_envelope_speedup"),
+        "engine_vs_min_envelope": best.get("engine_vs_min_envelope"),
+        "bw_envelope_s": {c: round(env_bw[c], 2)
+                          for c in (c_small, c_big)},
     }
     if this_valid:
         report["n_valid_rounds"] = len(this_valid)
@@ -837,6 +986,9 @@ def scaling_run(
             statistics.median(d["speedup"] for d in this_valid), 3)
         report["best_valid_engine_vs_envelope"] = round(
             max(d["engine_vs_envelope"] for d in this_valid), 3)
+        report["median_valid_engine_vs_min_envelope"] = round(
+            statistics.median(d["engine_vs_min_envelope"]
+                              for d in this_valid), 3)
     results = {
         c: {
             "build_s": best["build_s"][c],
@@ -917,15 +1069,18 @@ def scaling_run(
             "that pure-CPU probes cannot see, so a round only counts "
             "when its probes agree within 30%):\n\n"
             "| run | round | build s @"
-            f"{c_small} | build s @{c_big} | speedup | envelope | "
-            "engine/envelope | bw probes GB/s | stability | valid |\n"
-            "|---|---|---|---|---|---|---|---|---|---|\n"
+            f"{c_small} | build s @{c_big} | speedup | cpu env | "
+            "engine/cpu-env | bw env | engine/min-env | "
+            "bw probes GB/s | stability | valid |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
             + "".join(
                 f"| {d.get('run_ts', 'this')} | "
                 f"{d['round']} | {d['build_s'][c_small]} | "
                 f"{d['build_s'][c_big]} | {d['speedup']} | "
                 f"{d['hw_envelope_speedup']} | "
                 f"{d['engine_vs_envelope']} | "
+                f"{d.get('bw_envelope_speedup', '—')} | "
+                f"{d.get('engine_vs_min_envelope', '—')} | "
                 f"{'/'.join(str(p) for p in d['bw_probes_gbps'])} | "
                 f"{d['stability']} | {'✓' if d['valid'] else '✗'} |\n"
                 for d in pool
@@ -939,17 +1094,27 @@ def scaling_run(
             f"{report['hw_envelope_efficiency']} — SMT sharing + turbo "
             f"frequency drop + hypervisor steal; no wall-clock job can "
             f"exceed this on one box)\n"
+            + f"- memory-bandwidth envelope (pinned parallel 64 MB "
+            f"buffer copies, fixed total bytes): "
+            f"{report['bw_envelope_s'][c_small]} s @{c_small} → "
+            f"{report['bw_envelope_s'][c_big]} s @{c_big} = "
+            f"**{report['bw_envelope_speedup']}×** — the bus-sharing "
+            "ceiling a pure-CPU envelope cannot see; two-sided "
+            "envelope = min(cpu, bw)\n"
             + (
                 "- **median valid engine/envelope this run: "
                 f"{report['median_valid_engine_vs_envelope']}** "
                 f"(target ≥ 0.8), speedup "
                 f"{report['median_valid_speedup']}× across "
                 f"{report['n_valid_rounds']} valid rounds; best valid "
-                f"round {report['best_valid_engine_vs_envelope']}.  "
-                "The criterion is claimed on the MEDIAN of one run — "
+                f"round {report['best_valid_engine_vs_envelope']}; "
+                "median valid engine vs the TWO-SIDED envelope "
+                f"min(cpu, bw): "
+                f"**{report['median_valid_engine_vs_min_envelope']}**."
+                "  The criterion is claimed on the MEDIAN of one run — "
                 "no cross-run best-of selection.  On a real multi-"
                 "executor cluster each executor owns its cores/memory/"
-                "disk, so the envelope there is ~1.0 and wall-clock "
+                "disk, so both envelopes there are ~1.0 and wall-clock "
                 "efficiency converges to engine/envelope.\n"
                 if report.get("n_valid_rounds") else ""
             )

@@ -245,6 +245,104 @@ def tokenize_occurrences(
     return docs.select(doc_id_col, text_col).mapInPandas(run, schema)
 
 
+def tokenize_occurrence_postings(
+    docs: DataFrame,
+    text_col: str = "content",
+    analyzer: str = "code",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused offsets postings: one ``mapInPandas`` pass straight to
+    ``(doc_id, term, tf, dl, positions, start_offsets, end_offsets)``
+    — one row per POSTING with the per-occurrence payloads nested, in
+    position order.
+
+    Every document's text is a single input row, so all its
+    occurrences live in one Arrow batch; grouping to postings is a
+    numpy ``lexsort`` INSIDE the task, which removes the (doc_id,
+    term) exchange + ``sort_array(collect_list(...))`` aggregation the
+    explode-shape plan pays — the offsets build's only extra shuffle
+    vs the plain build disappears (its remaining extra cost is the
+    wider encode exchange, which is the data itself).  ``mapInArrow``,
+    not ``mapInPandas``: the nested payload columns are built as
+    Arrow ``ListArray.from_arrays(offsets, flat_values)`` directly
+    from the grouped numpy streams — measured 56× cheaper than
+    materializing millions of per-posting ``np.split`` views through
+    a pandas object column.  Parity with the explode+groupBy
+    construction over `tokenize_occurrences` is pinned in tests."""
+    import numpy as np
+    import pandas as pd
+
+    from ..analyzer.chain import batch_tokenize_with_offsets, get_analyzer
+
+    an = get_analyzer(analyzer)
+    schema = ("doc_id bigint, term string, tf bigint, dl bigint, "
+              "positions array<int>, start_offsets array<int>, "
+              "end_offsets array<int>")
+
+    def run(batches):
+        import pyarrow as pa
+
+        two = an.tokenize_with_offsets
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            texts = rb.column(names.index(text_col)).to_pylist()
+            doc_ids = rb.column(names.index(doc_id_col)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            fast = batch_tokenize_with_offsets(an, texts)
+            if fast is not None:
+                doc_idx, terms, starts, ends, n_per_doc = fast
+            else:
+                triples = [two(s) if s is not None else []
+                           for s in texts]
+                n_per_doc = np.array([len(t) for t in triples],
+                                     dtype=np.int64)
+                doc_idx = np.repeat(
+                    np.arange(len(triples), dtype=np.int64), n_per_doc)
+                terms = [t for tr in triples for t, _, _ in tr]
+                total = int(n_per_doc.sum())
+                starts = np.fromiter(
+                    (s for tr in triples for _, s, _ in tr),
+                    dtype=np.int64, count=total)
+                ends = np.fromiter(
+                    (e for tr in triples for _, _, e in tr),
+                    dtype=np.int64, count=total)
+            if not len(terms):
+                continue
+            first_of = np.searchsorted(doc_idx, doc_idx, side="left")
+            pos = np.arange(len(doc_idx), dtype=np.int64) - first_of
+            codes, uniq = pd.factorize(np.asarray(terms, dtype=object))
+            order = np.lexsort((pos, codes, doc_idx))
+            d2, c2 = doc_idx[order], codes[order]
+            p2 = pos[order].astype(np.int32)
+            s2 = starts[order].astype(np.int32)
+            e2 = ends[order].astype(np.int32)
+            gs = np.flatnonzero(np.concatenate(
+                ([True], (d2[1:] != d2[:-1]) | (c2[1:] != c2[:-1]))))
+            tf = np.diff(np.concatenate((gs, [len(d2)])))
+            off = pa.array(
+                np.concatenate((gs, [len(d2)])).astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[d2[gs]], type=pa.int64()),
+                    pa.array(np.asarray(uniq, dtype=object)[c2[gs]],
+                             type=pa.string()),
+                    pa.array(tf.astype(np.int64), type=pa.int64()),
+                    pa.array(
+                        np.asarray(n_per_doc)[d2[gs]].astype(np.int64),
+                        type=pa.int64()),
+                    pa.ListArray.from_arrays(off, pa.array(p2)),
+                    pa.ListArray.from_arrays(off, pa.array(s2)),
+                    pa.ListArray.from_arrays(off, pa.array(e2)),
+                ],
+                names=["doc_id", "term", "tf", "dl", "positions",
+                       "start_offsets", "end_offsets"],
+            )
+
+    return docs.select(doc_id_col, text_col).mapInArrow(run, schema)
+
+
 def build_logical_index(
     docs: DataFrame,
     text_col: str = "content",
@@ -279,10 +377,17 @@ def build_logical_index(
     )
     dc_obs = None
 
-    if with_offsets:
-        # occurrence rows carry (pos, start, end); aggregate per
-        # posting with ALL per-occurrence payloads position-sorted in
-        # lockstep (sort_array on struct sorts by pos, the first field)
+    if with_offsets and fused:
+        # fused path (default): postings with nested per-occurrence
+        # payloads assembled inside the tokenize task — no (doc_id,
+        # term) exchange at all (`tokenize_occurrence_postings`)
+        postings = tokenize_occurrence_postings(
+            docs, text_col, analyzer, doc_id_col)
+    elif with_offsets:
+        # plan-level cross-check twin (fused=False): occurrence rows
+        # carry (pos, start, end); aggregate per posting with ALL
+        # per-occurrence payloads position-sorted in lockstep
+        # (sort_array on struct sorts by pos, the first field)
         occ = tokenize_occurrences(docs, text_col, analyzer, doc_id_col)
         triples = F.sort_array(F.collect_list(
             F.struct("pos", "start_offset", "end_offset")

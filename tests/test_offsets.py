@@ -416,3 +416,32 @@ def test_highlight_merges_overlapping_and_duplicate_spans(spark):
                 idx2, docs, "beta gamma delta", text_col="text",
                 analyzer="simple_code_shingle2").collect()}
     assert out2[1] == "<em>beta gamma delta</em> end"
+
+
+def test_fused_occurrence_postings_match_groupby_plan(spark):
+    """The fused no-shuffle offsets postings
+    (`tokenize_occurrence_postings`, build default) must equal the
+    explode+groupBy construction (`fused=False`) row for row — both
+    analyzers, batch and per-doc tokenizer paths."""
+    import pandas as pd
+
+    rows = [(i, t) for i, t in enumerate(NASTY + TEXTS) if t is not None]
+    docs = spark.createDataFrame(rows, "doc_id bigint, content string")
+    for analyzer in ("code", "simple_code", "simple_code_edge"):
+        fused = build_logical_index(
+            docs, analyzer=analyzer, with_offsets=True,
+        ).postings.toPandas()
+        slow = build_logical_index(
+            docs, analyzer=analyzer, with_offsets=True, fused=False,
+        ).postings.toPandas()
+
+        def canon(pdf):
+            pdf = pdf.copy()
+            for c in ("positions", "start_offsets", "end_offsets"):
+                pdf[c] = pdf[c].map(
+                    lambda a: tuple(int(x) for x in a))
+            return pdf.sort_values(["doc_id", "term"]) \
+                .reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(fused), canon(slow),
+                                      check_dtype=False)
