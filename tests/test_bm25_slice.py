@@ -174,3 +174,30 @@ def test_msearch_empty_rejected(index):
 
     with pytest.raises(ValueError, match="empty"):
         msearch(index, [])
+
+
+def test_tokenize_postings_arrow_parity(spark):
+    """Round 4: `tokenize_postings` (batch one-finditer tokenize +
+    mapInArrow transport) must equal the explode+groupBy plan for the
+    batchable JVM analyzers AND for a per-doc Python chain — called
+    directly, since `build_logical_index` routes JVM analyzers to the
+    explode plan."""
+    from elasticsearch_nlp_classifier_spark.corpus import gen_corpus_pdf
+    from elasticsearch_nlp_classifier_spark.corpus.doc_ids import (
+        assign_doc_ids,
+    )
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.index.build import (
+        tokenize_postings,
+    )
+
+    docs = assign_doc_ids(spark.createDataFrame(gen_corpus_pdf(80)))
+    for analyzer in ("code", "simple_code", "default"):
+        got = sorted(map(tuple, tokenize_postings(
+            docs, "content", analyzer).collect()))
+        want = sorted(map(tuple, build_logical_index(
+            docs, "content", analyzer, fused=False,
+        ).postings.select("doc_id", "term", "tf", "dl").collect()))
+        assert got == want, analyzer
