@@ -204,3 +204,47 @@ def test_reindex_filter_pushdown(spark, corpus_sf_tiny):
     ).where(F.col("lang") == "python")
     plan = docs._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo(lang,python)" in plan
+
+
+def test_checkpoint_resume_offsets_identical(spark, tmp_path_factory):
+    """Round 4: the resume path must also be byte-identical for
+    offsets indexes (off_vb/len_vb payloads ride the same per-bucket
+    manifests), and the resumed index must decode to the same
+    per-occurrence spans."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i % 7} gamma alpha word{i % 3}")
+         for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    kw = dict(text_col="text", analyzer="simple_code", block_size=8,
+              n_buckets=4, with_offsets=True)
+    out_a = str(tmp_path_factory.mktemp("resoff") / "a")
+    out_b = str(tmp_path_factory.mktemp("resoff") / "b")
+    build_physical_index(docs, out_a, **kw)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_physical_index(docs, out_b, fail_after_bucket=1, **kw)
+    build_physical_index(docs, out_b, resume=True, **kw)
+
+    sha = {}
+    for out in (out_a, out_b):
+        shas = []
+        for mf in sorted(os.listdir(f"{out}/manifests")):
+            with open(f"{out}/manifests/{mf}") as f:
+                shas.append(json.load(f)["checksum"])
+        sha[out] = shas
+    assert sha[out_a] == sha[out_b] and len(sha[out_a]) == 4
+
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        PhysicalIndex,
+    )
+
+    def decoded(out):
+        pdf = PhysicalIndex(out, spark).logical_postings().toPandas()
+        for c in ("positions", "start_offsets", "end_offsets"):
+            pdf[c] = pdf[c].map(lambda a: tuple(int(x) for x in a))
+        return pdf.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+    a, b = decoded(out_a), decoded(out_b)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
