@@ -367,20 +367,29 @@ def build_logical_index(
     text_col: str = "content",
     analyzer: str = "code",
     doc_id_col: str = "doc_id",
-    fused: bool = True,
+    fused: "bool | str" = True,
     with_positions: bool = False,
     with_offsets: bool = False,
 ) -> LogicalIndex:
-    """JVM-expressible analyzers (``code``, ``simple_code``) always use
+    """JVM-expressible analyzers (``code``, ``simple_code``) default to
     the explode→groupBy plan: tokenize + explode + partial hash agg all
     run inside whole-stage codegen, and the (doc_id, term) shuffle
     carries only ~postings-count compact rows (each doc lives in one
     scan partition, so the map side already holds the exact counts).
     Python-chain analyzers default to the fused ``tokenize_postings``
-    ``mapInPandas`` pass (``fused=True``) so token occurrences never
+    ``mapInArrow`` pass (``fused=True``) so token occurrences never
     cross an Arrow boundary unaggregated; ``fused=False`` keeps the
     explode→groupBy plan as a plan-level cross-check (token parity
     between the paths is pinned by tests).
+
+    ``fused="always"`` routes JVM-expressible analyzers through the
+    fused plan too — ZERO pre-encode exchange (the explode plan's
+    postings shuffle is ~44% of the build's total shuffle bytes,
+    measured in `BASELINE.md`).  On one shared-bus box the two plans
+    A/B within noise (fused ~14% faster at 8 cores, even at 32); on a
+    real cluster, where the removed 1.6 GB/240k-doc exchange crosses
+    the NETWORK, the fused plan is the better default — this flag is
+    the deployment knob.
 
     ``with_positions=True`` adds ``positions array<int>`` (0-based
     token indexes, ``size(positions) == tf``) — the per-token position
@@ -440,7 +449,7 @@ def build_logical_index(
                 F.sort_array(F.collect_list("pos")).alias("positions"),
             )
         )
-    elif fused and analyzer not in JVM_TOKEN_EXPRS:
+    elif fused == "always" or (fused and analyzer not in JVM_TOKEN_EXPRS):
         postings = tokenize_postings(docs, text_col, analyzer, doc_id_col)
     else:
         import uuid

@@ -201,3 +201,36 @@ def test_tokenize_postings_arrow_parity(spark):
             docs, "content", analyzer, fused=False,
         ).postings.select("doc_id", "term", "tf", "dl").collect()))
         assert got == want, analyzer
+
+
+def test_fused_always_plan_matches_and_builds(spark, tmp_path):
+    """`fused="always"` (the cluster deployment knob: zero pre-encode
+    exchange) must produce identical postings for a JVM analyzer and
+    feed a working physical build + WAND query."""
+    import pandas as pd
+
+    from elasticsearch_nlp_classifier_spark.corpus import gen_corpus_pdf
+    from elasticsearch_nlp_classifier_spark.corpus.doc_ids import (
+        assign_doc_ids,
+    )
+    from elasticsearch_nlp_classifier_spark.index import (
+        build_logical_index,
+    )
+    from elasticsearch_nlp_classifier_spark.index.blocks import (
+        build_physical_index, PhysicalIndex,
+    )
+    from elasticsearch_nlp_classifier_spark.query.wand import wand_topk
+
+    docs = assign_doc_ids(spark.createDataFrame(gen_corpus_pdf(120)))
+    a = build_logical_index(docs, "content", "code", fused="always")
+    b = build_logical_index(docs, "content", "code", fused=False)
+    assert sorted(map(tuple, a.postings.collect())) == \
+        sorted(map(tuple, b.postings.select(
+            "doc_id", "term", "tf", "dl").collect()))
+
+    idx = build_physical_index(
+        docs, str(tmp_path / "fidx"), logical=a, block_size=16,
+        n_buckets=4)
+    q = pd.DataFrame({"query_id": [0], "query_text": ["def import"]})
+    ranked = wand_topk(idx, q, k=5, analyzer="code").toPandas()
+    assert len(ranked) == 5 and ranked["rank"].tolist() == list(range(1, 6))
