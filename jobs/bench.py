@@ -7,7 +7,14 @@ import os
 import runpy
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+# propagate to forked Python UDF workers (they see PYTHONPATH, not the
+# driver's sys.path; --py-files plays this role on a real cluster)
+os.environ["PYTHONPATH"] = _ROOT + (
+    os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH") else ""
+)
 
 runpy.run_path(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -27,7 +27,16 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+# Python UDF workers fork from a daemon that sees PYTHONPATH, not the
+# driver's sys.path insert — without this a run from another cwd dies
+# with ModuleNotFoundError inside any mapInArrow/mapInPandas stage.
+# (On a real cluster ``--py-files engine.zip`` plays this role.)
+os.environ["PYTHONPATH"] = _ROOT + (
+    os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH") else ""
+)
 
 
 def main() -> None:
@@ -45,6 +54,17 @@ def main() -> None:
     ap.add_argument("--salt-threshold", type=int, default=50_000)
     ap.add_argument("--verify-manifest", default=None,
                     help="sha256 manifest parquet to verify ingest against")
+    ap.add_argument("--with-positions", action="store_true",
+                    help="store per-occurrence token positions (pos_vb)")
+    ap.add_argument("--with-offsets", action="store_true",
+                    help="store positions + char offsets (off_vb/len_vb)")
+    ap.add_argument("--fused", choices=["auto", "always", "explode"],
+                    default="auto",
+                    help="postings plan: auto (JVM analyzers use the "
+                         "codegen explode plan), always (zero "
+                         "pre-encode exchange — the cluster default, "
+                         "see BASELINE.md bytes-over-the-bus), explode "
+                         "(force the explode plan)")
     args = ap.parse_args()
 
     from elasticsearch_nlp_classifier_spark.corpus.doc_ids import (
@@ -69,6 +89,18 @@ def main() -> None:
             raise SystemExit(f"ingest verification failed: {bad} bad rows")
 
     t0 = time.time()
+    logical = None
+    if args.fused != "auto":
+        from elasticsearch_nlp_classifier_spark.index import (
+            build_logical_index,
+        )
+
+        logical = build_logical_index(
+            docs, text_col=args.text_col, analyzer=args.analyzer,
+            fused=("always" if args.fused == "always" else False),
+            with_positions=args.with_positions,
+            with_offsets=args.with_offsets,
+        )
     build_physical_index(
         docs,
         args.output,
@@ -77,6 +109,9 @@ def main() -> None:
         block_size=args.block_size,
         n_salts=args.n_salts,
         salt_threshold=args.salt_threshold,
+        logical=logical,
+        with_positions=args.with_positions,
+        with_offsets=args.with_offsets,
     )
     wall = time.time() - t0
     n = docs.count()

@@ -7,13 +7,21 @@ Usage: python jobs/check_oracle.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, ".")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+# propagate to forked Python UDF workers (they see PYTHONPATH, not the
+# driver's sys.path; --py-files plays this role on a real cluster)
+os.environ["PYTHONPATH"] = _ROOT + (
+    os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH") else ""
+)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

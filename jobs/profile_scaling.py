@@ -22,7 +22,14 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+# propagate to forked Python UDF workers (they see PYTHONPATH, not the
+# driver's sys.path; --py-files plays this role on a real cluster)
+os.environ["PYTHONPATH"] = _ROOT + (
+    os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH") else ""
+)
 os.environ.setdefault("SPARK_GRAFT_SANDBOX", "1")
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
 
