@@ -485,7 +485,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
         # block layout.  The target is <=1.5x the non-offsets build.
         boff_path = os.path.join(work_dir, "big_index_off")
         boff = []
-        for _rep in range(2):
+        for _rep in range(3):
             shutil.rmtree(boff_path, ignore_errors=True)
             t, _ = _timed(lambda: build_physical_index(
                 bdocs, boff_path, text_col="content", analyzer="code",
