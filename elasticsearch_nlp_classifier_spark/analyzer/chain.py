@@ -397,7 +397,11 @@ def batch_tokenize_with_offsets(an: Analyzer, texts):
         # length (ASCII and almost all of Unicode) — else the per-doc
         # path's char-index back-map handles it
         low = big.lower()
-        if len(low) != len(big):
+        # capital sigma is the one length-preserving char where Python's
+        # whole-string lower() is context-sensitive ('Σ'→'ς' word-final,
+        # 'σ' otherwise) while the per-doc chain lowers token-wise →
+        # 'σ' always; fall back so index- and query-time terms agree
+        if len(low) != len(big) or "Σ" in big:
             return None
         spans = [m.span() for m in _SIMPLE_CODE.finditer(low)]
         src = low
@@ -408,8 +412,12 @@ def batch_tokenize_with_offsets(an: Analyzer, texts):
             low = big.lower()
             # token-wise lower() (the chain's own semantics) never
             # changes offsets; whole-string lower is just the fast way
-            # to get every lowered token in one call
-            src = low if len(low) == len(big) else None
+            # to get every lowered token in one call — unless 'Σ' is
+            # present, whose whole-string lowering is context-sensitive
+            # ('ς' word-final vs token-wise 'σ'); then src=None routes
+            # every token through the per-token .lower() slice below
+            src = (low if len(low) == len(big) and "Σ" not in big
+                   else None)
         else:
             src = big
     if not spans:

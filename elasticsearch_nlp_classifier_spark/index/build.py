@@ -437,6 +437,16 @@ def build_logical_index(
                 .alias("end_offsets"),
             )
         )
+    elif with_positions and fused == "always":
+        # honor the explicit zero-exchange request for positions-only
+        # builds too (round-5 fix: this combination used to fall
+        # through to the explode→groupBy plan silently): reuse the
+        # fused occurrence plan and drop the offset payloads — the
+        # extra per-token offset arithmetic is task-local, and the
+        # point of "always" is removing the exchange, not the flops
+        postings = tokenize_occurrence_postings(
+            docs, text_col, analyzer, doc_id_col
+        ).drop("start_offsets", "end_offsets")
     elif with_positions:
         tok = tokenize_docs(docs, text_col, analyzer, doc_id_col)
         postings = (

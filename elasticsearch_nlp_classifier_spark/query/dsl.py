@@ -218,10 +218,13 @@ def _bool_frame(body: dict, ctx: RetrieverContext,
 
     for f in nested["must_not"]:
         cand = cand.join(f.select("doc_id"), "doc_id", "left_anti")
-    if leaf["must_not"] and not has_leaf_scoring:
-        # leaf must_nots normally ride bool_query_frame's anti-join;
-        # with no leaf scoring clause there is no base frame to carry
-        # them, so exclude their match sets here
+    if leaf["must_not"] and not leaf_req:
+        # ES must_not excludes at LEVEL scope. bool_query_frame's internal
+        # anti-join only reaches every candidate when the base frame is
+        # inner-joined (leaf_req: leaf must/filter present). With only leaf
+        # shoulds the base lands in `optional` (left-joined/unioned), so docs
+        # surviving via nested members would dodge the exclusion — anti-join
+        # the whole level here whenever the base is not required.
         for s in leaf["must_not"]:
             cand = cand.join(match_filter(ctx.index, s, ctx.analyzer),
                              "doc_id", "left_anti")

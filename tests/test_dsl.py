@@ -208,6 +208,21 @@ def test_nested_bool_must_not_excludes(spark, ctx):
     assert sorted(d for _, d, _ in got) == [1, 2]
 
 
+def test_leaf_must_not_excludes_with_optional_base(spark, ctx):
+    """Round-5 regression (ADVICE r4, dsl.py _bool_frame): leaf
+    must_not must exclude at LEVEL scope even when the leaf base frame
+    is optional (leaf shoulds only, no leaf must/filter) and the level
+    also has nested must members.  Before the fix, doc 4 ('spark
+    streaming data') survived via the nested must despite matching the
+    leaf must_not."""
+    body = {"query": {"bool": {
+        "must": [{"bool": {"must": [{"match": {"title": "data"}}]}}],
+        "should": [{"match": {"title": "engine"}}],
+        "must_not": [{"match": {"title": "streaming"}}]}}}
+    got = _rows(es_search(body, ctx, k=5))
+    assert sorted(d for _, d, _ in got) == [1, 2]
+
+
 def test_nested_bool_depth_three(spark, ctx):
     body = {"query": {"bool": {"must": [{"bool": {"must": [
         {"bool": {"should": [{"match": {"title": "planner"}}]}}]}}]}}}

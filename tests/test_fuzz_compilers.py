@@ -503,7 +503,16 @@ def _ref_bool(spec, env):
     """Reference evaluator for (possibly nested) bool specs →
     {doc_id: score} of the FULL match set.  Spec clauses: plain str
     (leaf must/filter/must_not), (str, boost) (leaf should), or
-    ("bool", subspec) anywhere."""
+    ("bool", subspec) anywhere.
+
+    Deliberately NOT a mirror of the engine's required/optional frame
+    algebra (the round-4 mirror replicated _bool_frame's join
+    decomposition and therefore shared its must_not blind spot): this
+    walks every doc in the corpus and applies the documented ES
+    semantics directly — all musts/filters match, must_not excludes at
+    level scope unconditionally, matching shoulds add score and count
+    toward minimum_should_match, and a doc must match at least one
+    positive clause to appear at all."""
     leaf = {"must": [], "should": [], "must_not": [], "filter": []}
     nest = {"must": [], "should": [], "must_not": [], "filter": []}
     for sec in ("must", "should", "must_not", "filter"):
@@ -521,73 +530,51 @@ def _ref_bool(spec, env):
         for t in _tok(s):
             should_b[t] = max(should_b.get(t, 0.0), float(b))
 
-    leaf_req = bool(must_t or filt_t)
-    has_leaf = leaf_req or bool(should_b)
     tf, contrib = env["tf"], env["contrib"]
-
-    base = {}  # doc -> (score, n_should)
-    if has_leaf:
-        for doc in tf:
-            if any(t not in tf[doc] for t in must_t):
-                continue
-            if any(t not in tf[doc] for t in filt_t):
-                continue
-            score, ns, any_hit = 0.0, 0, False
-            for t in must_t:
-                score += contrib(doc, t)
-                any_hit = True
-            for t, b in should_b.items():
-                c = contrib(doc, t, b)
-                if c is not None:
-                    score += c
-                    ns += 1
-                    any_hit = True
-            if filt_t:
-                any_hit = True
-            if any_hit:  # agg frame only holds docs matching a term
-                base[doc] = (score, ns)
-        if mn_t:
-            base = {d: v for d, v in base.items()
-                    if not any(t in tf[d] for t in mn_t)}
-
-    required = ([base] if (has_leaf and leaf_req) else []) \
-        + [{d: (s, 0) for d, s in f.items()} for f in nest["must"]] \
-        + [{d: (0.0, 0) for d in f} for f in nest["filter"]]
-    optional = ([base] if (has_leaf and not leaf_req) else []) \
-        + [{d: (s, 1) for d, s in f.items()} for f in nest["should"]]
+    has_required = bool(must_t or filt_t or nest["must"] or nest["filter"])
 
     msm = spec.get("minimum_should_match")
     if msm is None:
-        msm = 0 if (leaf_req or nest["must"] or nest["filter"]) else 1
+        msm = 0 if has_required else 1
+    msm = int(msm)
 
-    if required:
-        docs = set(required[0])
-        for f in required[1:]:
-            docs &= set(f)
-        out = {}
-        for d in docs:
-            score = sum(f[d][0] for f in required)
-            cnt = sum(f[d][1] for f in required)
-            for f in optional:
-                if d in f:
-                    score += f[d][0]
-                    cnt += f[d][1]
-            out[d] = (score, cnt)
-    elif optional:
-        out = {}
-        for f in optional:
-            for d, (s, c) in f.items():
-                ps, pc = out.get(d, (0.0, 0))
-                out[d] = (ps + s, pc + c)
-    else:
-        out = {}
-
-    for f in nest["must_not"]:
-        out = {d: v for d, v in out.items() if d not in f}
-    if mn_t and not has_leaf:
-        out = {d: v for d, v in out.items()
-               if not any(t in tf[d] for t in mn_t)}
-    return {d: s for d, (s, c) in out.items() if c >= msm}
+    out: dict = {}
+    for doc in tf:
+        # must_not: unconditional level-scope exclusion (ES semantics)
+        if any(t in tf[doc] for t in mn_t):
+            continue
+        if any(doc in f for f in nest["must_not"]):
+            continue
+        # required conjuncts
+        if any(t not in tf[doc] for t in must_t):
+            continue
+        if any(t not in tf[doc] for t in filt_t):
+            continue
+        if any(doc not in f for f in nest["must"]):
+            continue
+        if any(doc not in f for f in nest["filter"]):
+            continue
+        score = sum(contrib(doc, t) for t in must_t)
+        for f in nest["must"]:
+            score += f[doc]
+        cnt = 0
+        for t, b in should_b.items():
+            c = contrib(doc, t, b)
+            if c is not None:
+                score += c
+                cnt += 1
+        for f in nest["should"]:
+            if doc in f:
+                score += f[doc]
+                cnt += 1
+        if cnt < msm:
+            continue
+        # must appear via at least one positive clause (a level of only
+        # must_nots / only missed shoulds matches nothing)
+        if not has_required and cnt == 0:
+            continue
+        out[doc] = score
+    return out
 
 
 def _spec_to_body(spec) -> dict:

@@ -309,6 +309,33 @@ def test_batch_offsets_simple_split_parity():
     assert flat == want
 
 
+def test_batch_offsets_greek_sigma_parity():
+    """Round-5 regression (ADVICE r4): whole-string lower() is
+    context-sensitive for 'Σ' ('ς' word-final vs the per-doc chain's
+    token-wise 'σ').  simple_code must decline the batch (spans are
+    defined on the lowered text); code/simple must still batch but
+    lower token-wise — both ending term-identical to the per-doc
+    chain."""
+    from elasticsearch_nlp_classifier_spark.analyzer.chain import (
+        batch_tokenize_with_offsets,
+    )
+
+    texts = ["ΑΣ x", "ΟΔΥΣΣΕΥΣ", "plain ascii", "ΑΣ"]
+    an_sc = get_analyzer("simple_code")
+    assert batch_tokenize_with_offsets(an_sc, texts) is None
+
+    an_code = get_analyzer("code")
+    out = batch_tokenize_with_offsets(an_code, texts)
+    assert out is not None
+    doc_idx, terms, starts, ends, n_per_doc = out
+    want = [an_code.tokenize_with_offsets(t) for t in texts]
+    got_by_doc = {i: [] for i in range(len(texts))}
+    for d, t, s, e in zip(doc_idx, terms, starts, ends):
+        got_by_doc[int(d)].append((t, int(s), int(e)))
+    for i, w in enumerate(want):
+        assert got_by_doc[i] == w, texts[i]
+
+
 def test_batch_offsets_declines_unvectorizable_chains():
     from elasticsearch_nlp_classifier_spark.analyzer.chain import (
         batch_tokenize_with_offsets,
@@ -444,4 +471,37 @@ def test_fused_occurrence_postings_match_groupby_plan(spark):
                 .reset_index(drop=True)
 
         pd.testing.assert_frame_equal(canon(fused), canon(slow),
+                                      check_dtype=False)
+
+
+def test_fused_always_with_positions_only(spark):
+    """Round-5 fix (ADVICE r4): `fused="always"` + `with_positions`
+    (no offsets) must take the zero-exchange fused plan, not silently
+    fall through to explode→groupBy — and its postings must equal the
+    explode plan's, schema included (no offset columns)."""
+    import pandas as pd
+
+    rows = [(i, t) for i, t in enumerate(NASTY + TEXTS) if t is not None]
+    docs = spark.createDataFrame(rows, "doc_id bigint, content string")
+    for analyzer in ("code", "simple_code"):
+        fast = build_logical_index(
+            docs, analyzer=analyzer, with_positions=True, fused="always",
+        ).postings
+        assert "start_offsets" not in fast.columns
+        # the fused plan has no groupBy exchange pre-encode
+        plan = fast._jdf.queryExecution().optimizedPlan().toString()
+        assert "Aggregate" not in plan, plan
+        slow = build_logical_index(
+            docs, analyzer=analyzer, with_positions=True,
+        ).postings.toPandas()
+
+        def canon(pdf):
+            pdf = pdf.copy()
+            pdf["positions"] = pdf["positions"].map(
+                lambda a: tuple(int(x) for x in a))
+            return pdf.sort_values(["doc_id", "term"]) \
+                .reset_index(drop=True)[
+                    ["doc_id", "term", "tf", "dl", "positions"]]
+
+        pd.testing.assert_frame_equal(canon(fast.toPandas()), canon(slow),
                                       check_dtype=False)
