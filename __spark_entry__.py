@@ -323,6 +323,36 @@ def q_p_filters(spark, sf_dir):
     return docs.where(cond).select("doc_id", "lang", "source")
 
 
+def q_p12_json_path(spark, sf_dir):
+    """P12 — ESJsonPath dotted-key resolution (`ESJsonPath.java:28-52`,
+    `ESJsonPathTest.java:54-84`): literal top-level key preferred over
+    nested traversal, nested fallback when no literal key exists,
+    scalars coerced to strings, ``""`` default on miss.  The raw-JSON
+    column is synthesized from `documents` so both engines extract
+    from equivalent documents."""
+    from elasticsearch_nlp_classifier_spark.functions import es_json_path
+
+    docs = _docs(spark, sf_dir)
+    j = F.to_json(F.struct(
+        F.col("doc_id"),
+        F.col("lang").alias("meta.lang"),
+        F.struct(F.col("source").alias("lang")).alias("meta"),
+        F.struct(F.col("source").alias("lang")).alias("nested"),
+        F.col("n_chars").alias("n"),
+    )).alias("doc")
+    return (
+        docs.select("doc_id", j)
+        .select(
+            "doc_id",
+            es_json_path("doc", "meta.lang").alias("lit_first"),
+            es_json_path("doc", "nested.lang").alias("nested_fb"),
+            es_json_path("doc", "n").alias("n_str"),
+            es_json_path("doc", "missing.key").alias("miss"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_p7_query_string(spark, sf_dir):
     from elasticsearch_nlp_classifier_spark.functions import compile_query_string
 
@@ -4310,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_predict": q_perceptron_predict,
         "x1_kfold_counts": q_x1_kfold_counts,
         "p_filters": q_p_filters,
+        "p12_json_path": q_p12_json_path,
         "p7_query_string": q_p7_query_string,
         "p5_match_filter": q_p5_match_filter,
         "o1_topk": q_o1_topk,
@@ -5420,6 +5451,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE lang IS NOT NULL AND lang <> ''
               AND NOT source = 'src0' AND n_chars > 200""",
+        "p12_json_path": """
+            WITH j AS (
+              SELECT doc_id,
+                     json_object(
+                       'doc_id', doc_id,
+                       'meta.lang', lang,
+                       'meta', json_object('lang', source),
+                       'nested', json_object('lang', source),
+                       'n', n_chars) AS doc
+              FROM documents)
+            SELECT doc_id,
+                   COALESCE(json_extract_string(doc, '$."meta.lang"'),
+                            json_extract_string(doc, '$.meta.lang'),
+                            '') AS lit_first,
+                   COALESCE(json_extract_string(doc, '$."nested.lang"'),
+                            json_extract_string(doc, '$.nested.lang'),
+                            '') AS nested_fb,
+                   COALESCE(json_extract_string(doc, '$."n"'), '') AS n_str,
+                   COALESCE(json_extract_string(doc, '$."missing.key"'),
+                            json_extract_string(doc, '$.missing.key'),
+                            '') AS miss
+            FROM j ORDER BY doc_id""",
         "p7_query_string": """
             SELECT doc_id FROM documents
             WHERE (lang = 'en' OR lang = 'de')
