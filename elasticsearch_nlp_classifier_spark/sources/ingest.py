@@ -67,13 +67,29 @@ def _require(df_cols: set[str], field: str, proc: dict, ptype: str) -> bool:
                      "ignore_missing is false")
 
 
-def _guarded(df_cols: set[str], proc: dict, field: str, new: Column) -> Column:
+def _guarded(df: DataFrame, proc: dict, field: str, new: Column) -> Column:
     """Apply the processor's ``if`` condition: rows failing it keep the
-    old value (or null for new fields)."""
+    old value (or null for new fields).
+
+    When the processor RETYPES an existing column (e.g. an in-place
+    guarded ``convert``), ES's per-doc dynamic typing (skipped docs
+    keep the old string, converted docs hold the new type) has no
+    relational equivalent; the documented narrowing here is that
+    skipped rows carry their old value into the new column type via
+    ``try_cast`` — representable values survive, unrepresentable ones
+    become null.  Never an ANSI runtime error: a plain ``otherwise(
+    old)`` would let Spark insert a strict implicit cast on the old
+    branch and abort the whole job on the first malformed row."""
     cond = proc.get("if")
     if cond is None:
         return new
-    old = F.col(field) if field in df_cols else F.lit(None)
+    if field not in df.columns:
+        return F.when(F.expr(cond), new).otherwise(F.lit(None))
+    old = F.col(field)
+    old_t = df.schema[field].dataType
+    new_t = df.select(new.alias("_t")).schema[0].dataType  # analysis only
+    if new_t.simpleString() != old_t.simpleString():
+        old = old.try_cast(new_t)
     return F.when(F.expr(cond), new).otherwise(old)
 
 
@@ -98,9 +114,22 @@ def compile_ingest_pipeline(
     transformed DataFrame; the plan is a single projection chain.
 
     ``failure_marker``: when given, adds a boolean column of that name
-    marking rows where a ``convert``/``date`` lost a non-null value
-    (ES's on_failure routing key)."""
-    failed: Column | None = None
+    marking rows where a ``convert``/``date`` lost a non-null value or
+    a ``fail`` processor fired (ES's on_failure routing key).  The
+    marker is MATERIALIZED as a working column immediately after each
+    failure-contributing processor, not composed lazily: a lazy
+    expression would (a) break when a later ``remove`` drops a column
+    it references, and (b) read post-conversion values for in-place
+    converts, silently under-reporting failures."""
+    marker_col = "__ingest_failed__" if failure_marker else None
+
+    def _note_failure(d: DataFrame, lost: Column) -> DataFrame:
+        if marker_col is None:
+            return d
+        base = F.col(marker_col) if marker_col in d.columns \
+            else F.lit(False)
+        return d.withColumn(
+            marker_col, base | F.coalesce(lost, F.lit(False)))
 
     for proc in processors:
         if len(proc) != 1:
@@ -118,7 +147,7 @@ def compile_ingest_pipeline(
                 val = F.lit(p["value"])
             if p.get("override", True) is False and field in cols:
                 val = F.coalesce(F.col(field), val)
-            df = df.withColumn(field, _guarded(cols, p, field, val))
+            df = df.withColumn(field, _guarded(df, p, field, val))
 
         elif ptype == "remove":
             fields = p["field"] if isinstance(p["field"], list) else [p["field"]]
@@ -142,8 +171,12 @@ def compile_ingest_pipeline(
             src = F.col(field)
             new = src.try_cast(t)  # ANSI-safe: malformed -> null (the on_failure route)
             lost = src.isNotNull() & new.isNull()
-            failed = lost if failed is None else (failed | lost)
-            df = df.withColumn(target, _guarded(cols, p, target, new))
+            if p.get("if") is not None:
+                # a processor its `if` skipped never ran, so it cannot
+                # fail (ES conditional semantics)
+                lost = F.coalesce(F.expr(p["if"]), F.lit(False)) & lost
+            df = _note_failure(df, lost)  # before `field` is overwritten
+            df = df.withColumn(target, _guarded(df, p, target, new))
 
         elif ptype == "gsub":
             if not _require(cols, p["field"], p, "gsub"):
@@ -152,7 +185,7 @@ def compile_ingest_pipeline(
             new = F.regexp_replace(F.col(field), p["pattern"],
                                    p["replacement"])
             target = p.get("target_field", field)
-            df = df.withColumn(target, _guarded(cols, p, target, new))
+            df = df.withColumn(target, _guarded(df, p, target, new))
 
         elif ptype in ("lowercase", "uppercase", "trim"):
             if not _require(cols, p["field"], p, ptype):
@@ -162,7 +195,7 @@ def compile_ingest_pipeline(
                   "trim": F.trim}[ptype]
             target = p.get("target_field", field)
             df = df.withColumn(target,
-                               _guarded(cols, p, target, fn(F.col(field))))
+                               _guarded(df, p, target, fn(F.col(field))))
 
         elif ptype == "split":
             if not _require(cols, p["field"], p, "split"):
@@ -170,7 +203,7 @@ def compile_ingest_pipeline(
             field = p["field"]
             new = F.split(F.col(field), p["separator"])
             target = p.get("target_field", field)
-            df = df.withColumn(target, _guarded(cols, p, target, new))
+            df = df.withColumn(target, _guarded(df, p, target, new))
 
         elif ptype == "join":
             if not _require(cols, p["field"], p, "join"):
@@ -178,7 +211,7 @@ def compile_ingest_pipeline(
             field = p["field"]
             new = F.array_join(F.col(field), p["separator"])
             target = p.get("target_field", field)
-            df = df.withColumn(target, _guarded(cols, p, target, new))
+            df = df.withColumn(target, _guarded(df, p, target, new))
 
         elif ptype == "append":
             field = p["field"]
@@ -189,7 +222,7 @@ def compile_ingest_pipeline(
             new = F.concat(base, add)
             if p.get("allow_duplicates", True) is False:
                 new = F.array_distinct(new)
-            df = df.withColumn(field, _guarded(cols, p, field, new))
+            df = df.withColumn(field, _guarded(df, p, field, new))
 
         elif ptype == "date":
             if not _require(cols, p["field"], p, "date"):
@@ -200,38 +233,40 @@ def compile_ingest_pipeline(
             parsed = F.coalesce(
                 *[F.try_to_timestamp(F.col(field), F.lit(f)) for f in fmts])
             lost = F.col(field).isNotNull() & parsed.isNull()
-            failed = lost if failed is None else (failed | lost)
-            df = df.withColumn(target, _guarded(cols, p, target, parsed))
+            if p.get("if") is not None:
+                # skipped-by-`if` processors cannot fail (see convert)
+                lost = F.coalesce(F.expr(p["if"]), F.lit(False)) & lost
+            df = _note_failure(df, lost)  # before `field` is overwritten
+            df = df.withColumn(target, _guarded(df, p, target, parsed))
 
         elif ptype == "dissect":
             if not _require(cols, p["field"], p, "dissect"):
                 continue
             for f2, c in _dissect_pattern(p["pattern"],
                                           F.col(p["field"])).items():
-                df = df.withColumn(f2, _guarded(cols, p, f2, c))
+                df = df.withColumn(f2, _guarded(df, p, f2, c))
 
         elif ptype == "script":
             # Painless analog that stays JVM-side: any SQL expression
             # over the row, bound to target_field
             df = df.withColumn(
                 p["target_field"],
-                _guarded(cols, p, p["target_field"], F.expr(p["source"])))
+                _guarded(df, p, p["target_field"], F.expr(p["source"])))
 
         elif ptype == "fail":
             cond = p.get("if")
-            msg = p.get("message", "ingest fail processor")
             marker = F.when(F.expr(cond), F.lit(True)) if cond \
                 else F.lit(True)
-            failed = marker if failed is None else (failed | marker)
+            df = _note_failure(df, marker)
 
         else:
             raise ValueError(f"unsupported processor type: {ptype}")
 
     if failure_marker:
-        df = df.withColumn(
-            failure_marker,
-            F.coalesce(failed if failed is not None else F.lit(False),
-                       F.lit(False)))
+        if marker_col in df.columns:
+            df = df.withColumnRenamed(marker_col, failure_marker)
+        else:
+            df = df.withColumn(failure_marker, F.lit(False))
     return df
 
 

@@ -104,14 +104,22 @@ def main() -> None:
 
     rounds = []
     for rnd in range(args.rounds):
+        # alternate arm order across rounds (ABBA...): a monotone
+        # environment drift then hits each arm's first-position slot
+        # equally often instead of always taxing the same tree
+        order = ["head", "r3"] if rnd % 2 == 0 else ["r3", "head"]
         probes = [bw_probe()]
-        head = run_arm(REPO, args.cores, args.corpus, args.n_docs)
-        probes.append(bw_probe())
-        r3 = run_arm(args.r3_tree, args.cores, args.corpus, args.n_docs)
-        probes.append(bw_probe())
+        res = {}
+        for arm in order:
+            tree = REPO if arm == "head" else args.r3_tree
+            res[arm] = run_arm(tree, args.cores, args.corpus,
+                               args.n_docs)
+            probes.append(bw_probe())
+        head, r3 = res["head"], res["r3"]
         stability = round(min(probes) / max(probes), 3)
         rec = {
             "round": rnd,
+            "order": order,
             "bw_probes_gbps": probes,
             "stability": stability,
             "valid": stability >= args.stability,
