@@ -76,8 +76,15 @@ def iceberg_merge_sql(
     (tests/test_sources.py) even though no Iceberg runtime jar exists
     in this sandbox to run it.  Update-only (no WHEN NOT MATCHED),
     matching the parquet emulation's contract above."""
+    # coalesce: a null source value keeps the old target value — the
+    # partial-update contract of merge_updates and the reference's
+    # BulkUpdateQueue (an absent field never nulls the doc's field); a
+    # bare `t.x = s.x` MERGE would overwrite with NULL and fork the two
+    # paths' semantics (round-5 fix, pinned by the shared contract in
+    # merge_contract.py)
     sets = ", ".join(
-        f"t.{tgt} = s.{src}" for tgt, src in sorted(update_cols.items())
+        f"t.{tgt} = coalesce(s.{src}, t.{tgt})"
+        for tgt, src in sorted(update_cols.items())
     )
     return (
         f"MERGE INTO {table} t USING {updates_view} s "

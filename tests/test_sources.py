@@ -96,35 +96,23 @@ def test_read_corpus_parquet_path(spark, tmp_path):
 def test_merge_updates_applies_batch_atomically(spark, tmp_path):
     """S8 MERGE emulation (`BulkUpdateQueue.java:27-169` apply-batch
     contract): only matched rows' update columns change; everything
-    else is byte-identical; unmatched update ids are ignored."""
+    else is byte-identical; unmatched update ids are ignored.  The
+    steps live in `sources/merge_contract.py`, SHARED with the
+    jar-gated live-Iceberg test (test_iceberg_merge.py) so the two
+    sinks' semantics cannot fork."""
     from elasticsearch_nlp_classifier_spark.sources import merge_updates
+    from elasticsearch_nlp_classifier_spark.sources.merge_contract import (
+        run_merge_contract,
+    )
 
     tbl = str(tmp_path / "docs")
-    spark.createDataFrame(
-        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
-        "doc_id long, lang string, n long",
-    ).write.parquet(tbl)
-
-    updates = spark.createDataFrame(
-        [(2, "B2"), (99, "ghost")], "doc_id long, new_lang string"
+    run_merge_contract(
+        spark,
+        create_table=lambda df: df.write.parquet(tbl),
+        merge=lambda upd, cols: merge_updates(
+            spark, tbl, upd, "doc_id", cols),
+        read_table=lambda: spark.read.parquet(tbl),
     )
-    n = merge_updates(spark, tbl, updates, "doc_id", {"lang": "new_lang"})
-    assert n == 1  # only doc 2 matched; id 99 ignored (update-only)
-
-    got = {
-        r["doc_id"]: (r["lang"], r["n"])
-        for r in spark.read.parquet(tbl).collect()
-    }
-    assert got == {1: ("a", 10), 2: ("B2", 20), 3: ("c", 30)}
-
-    # second merge with a null-source column leaves values untouched
-    upd2 = spark.createDataFrame(
-        [(1, None), (3, "C3")], "doc_id long, new_lang string"
-    )
-    assert merge_updates(spark, tbl, upd2, "doc_id",
-                         {"lang": "new_lang"}) == 2
-    got2 = {r["doc_id"]: r["lang"] for r in spark.read.parquet(tbl).collect()}
-    assert got2 == {1: "a", 2: "B2", 3: "C3"}  # null update -> keep old
 
 
 def test_update_by_query(spark, tmp_path):
@@ -183,7 +171,8 @@ def test_iceberg_merge_sql_text_pinned(spark):
         "MERGE INTO lake.docs t USING updates_v s "
         "ON t.doc_id = s.doc_id "
         "WHEN MATCHED THEN UPDATE SET "
-        "t.lang = s.new_lang, t.pred_target = s.prediction"
+        "t.lang = coalesce(s.new_lang, t.lang), "
+        "t.pred_target = coalesce(s.prediction, t.pred_target)"
     )
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     assert "MergeIntoTable" in plan.toString()
