@@ -4321,7 +4321,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    q = {
         "a1_term_freq": q_a1_term_freq,
         "a2_a3_term_stats": q_a2_a3_term_stats,
         "a4_field_stats": q_a4_field_stats,
@@ -4556,6 +4556,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_datehist": q_composite_datehist,
         "knn_cutoff": q_knn_cutoff,
     }
+    # Round-5 grading rotation (VERDICT r4 #5): the driver grades the
+    # FIRST 50 entries; rounds 1-4 graded a stable head subset, leaving
+    # 182 entries repo-oracle-only.  Surface a disjoint, never-graded
+    # 50 first (ES|QL, retrievers, spans/intervals, EQL, transforms,
+    # the agg long tail, plus this round's p12) so the driver record
+    # covers them; everything else keeps its order and stays green via
+    # jobs/check_oracle.py over all entries.
+    rotation = ['p12_json_path', 'match_phrase', 'p7_query_string_analyzed', 's8_merge_updates', 'bool_query', 'highlight', 'collapse', 'search_after', 'composite_agg', 'function_score', 'dis_max', 'multi_match', 'constant_score', 'boosting', 'span_near', 'span_or', 'span_not', 'intervals_unordered', 'span_containing', 'span_multi', 'simple_query_string', 'sqs_phrase_slop', 'eql_sequence', 'eql_until', 'eql_sample', 'esql_stats', 'esql_docs', 'esql_enrich', 'esql_dissect', 'esql_lookup_join', 'esql_match', 'esql_inlinestats', 'transform_pivot', 'transform_latest', 'transform_continuous', 'retriever_rrf', 'agg_terms', 'agg_histogram', 'agg_date_histogram', 'agg_pipeline', 'agg_percentiles', 'agg_cardinality', 'agg_top_hits', 'agg_significant_terms', 'agg_rare_terms', 'agg_scripted_metric', 'semantic_dedup', 'web_clean', 'has_child', 'ingest_pipeline']
+    assert all(n in q for n in rotation), sorted(set(rotation) - set(q))
+    rest = {k: v for k, v in q.items() if k not in set(rotation)}
+    return {**{k: q[k] for k in rotation}, **rest}
+
 
 
 # --- DuckDB oracles ----------------------------------------------------------
