@@ -25,6 +25,7 @@ query/layout concern, handled by salting in `blocks.py`, not here.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -367,29 +368,32 @@ def build_logical_index(
     text_col: str = "content",
     analyzer: str = "code",
     doc_id_col: str = "doc_id",
-    fused: "bool | str" = True,
+    fused: "bool | str | None" = None,
     with_positions: bool = False,
     with_offsets: bool = False,
 ) -> LogicalIndex:
-    """JVM-expressible analyzers (``code``, ``simple_code``) default to
-    the explode→groupBy plan: tokenize + explode + partial hash agg all
-    run inside whole-stage codegen, and the (doc_id, term) shuffle
-    carries only ~postings-count compact rows (each doc lives in one
-    scan partition, so the map side already holds the exact counts).
-    Python-chain analyzers default to the fused ``tokenize_postings``
-    ``mapInArrow`` pass (``fused=True``) so token occurrences never
-    cross an Arrow boundary unaggregated; ``fused=False`` keeps the
-    explode→groupBy plan as a plan-level cross-check (token parity
+    """``fused=True`` (the default): JVM-expressible analyzers
+    (``code``, ``simple_code``) take the explode→groupBy plan —
+    tokenize + explode + partial hash agg inside whole-stage codegen,
+    with the (doc_id, term) exchange map-side combined — while
+    Python-chain analyzers fuse postings assembly into the tokenize
+    task (``tokenize_postings`` ``mapInArrow``) so occurrences never
+    cross an Arrow boundary unaggregated.  ``fused=False`` forces the
+    explode plan for everyone (plan-level cross-check; token parity
     between the paths is pinned by tests).
 
-    ``fused="always"`` routes JVM-expressible analyzers through the
-    fused plan too — ZERO pre-encode exchange (the explode plan's
-    postings shuffle is ~44% of the build's total shuffle bytes,
-    measured in `BASELINE.md`).  On one shared-bus box the two plans
-    A/B within noise (fused ~14% faster at 8 cores, even at 32); on a
-    real cluster, where the removed 1.6 GB/240k-doc exchange crosses
-    the NETWORK, the fused plan is the better default — this flag is
-    the deployment knob.
+    ``fused="always"`` routes JVM analyzers through the fused plan too
+    — ZERO pre-encode exchange (the explode plan's postings shuffle is
+    ~44% of the build's total shuffle bytes, `BASELINE.md`).  Round 5
+    MEASURED a default flip to "always" and rejected it for the
+    single-box default: the fused 8→32 scaling median collapses to
+    0.626 vs explode's 0.834 and the 32-core absolute build is slower
+    (`BENCH/SCALING_FUSED_8x32.md`) — the Python-side postings phase
+    stops scaling once the shared memory bus saturates while the JVM
+    explode plan keeps scaling.  On a real cluster, where the removed
+    1.6 GB/240k-doc exchange crosses the NETWORK, deploy with
+    ``fused="always"`` / env ``SPARK_GRAFT_FUSED=always`` — the knob
+    the unset default resolves through.
 
     ``with_positions=True`` adds ``positions array<int>`` (0-based
     token indexes, ``size(positions) == tf``) — the per-token position
@@ -399,6 +403,20 @@ def build_logical_index(
     still combines map-side (docs are scan-contiguous), so the shuffle
     carries one row per posting, positions nested."""
     from ..analyzer.spark_udfs import JVM_TOKEN_EXPRS
+
+    if fused is None:
+        # measured round 5 (BENCH/SCALING_FUSED_8x32.md): with
+        # fused="always" as default the 8→32 scaling median collapses
+        # to 0.626 vs the explode plan's 0.834 — the Python-side fused
+        # postings phase stops scaling once the shared memory bus
+        # saturates, while the JVM explode plan keeps scaling — and the
+        # 32-core ABSOLUTE build is slower (15.0–17.7 s vs ~13 s).  So
+        # the single-box default stays the explode plan for JVM
+        # analyzers (True); deploy clusters with SPARK_GRAFT_FUSED=
+        # always (or fused="always") where the removed 1.6 GB exchange
+        # crosses a real network.
+        fused = {"always": "always", "false": False}.get(
+            os.environ.get("SPARK_GRAFT_FUSED", "").lower(), True)
 
     doc_lengths = tokenize_docs(docs, text_col, analyzer, doc_id_col).select(
         "doc_id", "dl"
