@@ -81,6 +81,57 @@ def test_dataframe_helpers(spark):
     assert (sel["a.b"], sel["c"], sel["nope"]) == ("x", "7", "")
 
 
+def test_fuzz_jsonpath_vs_python_json(spark):
+    """60 generated documents × paths vs a direct Python evaluator of
+    the documented resolution order (literal top-level key first, then
+    nested traversal, else default)."""
+    import json as pyjson
+    import random
+
+    rng = random.Random(20260824)
+    scalar_keys = ["a", "b", "a.b", "b.c", "it's"]
+    docs, cases = [], []
+    for i in range(60):
+        doc = {}
+        for k in rng.sample(scalar_keys, rng.randint(1, 4)):
+            doc[k] = rng.choice(["v1", "hello world", "", "42",
+                                 rng.randint(0, 99)])
+        if rng.random() < 0.5:
+            # nested object only under "x"; bare "x" is never queried
+            # (querying an object-valued key renders engine-specific
+            # JSON text — out of the reference's scalar contract)
+            doc["x"] = {"y": rng.choice(["nested", rng.randint(0, 9)])}
+        docs.append(pyjson.dumps(doc))
+        cases.append(rng.choice(scalar_keys
+                                + ["x.y", "missing", "a.b.c", "b.c.d"]))
+
+    def ref(doc_s, path):
+        d = pyjson.loads(doc_s)
+        if path in d and not isinstance(d[path], (dict, list)):
+            return str(d[path])
+        if "." in path:
+            cur = d
+            for part in path.split("."):
+                if not isinstance(cur, dict) or part not in cur:
+                    return ""
+                cur = cur[part]
+            return str(cur) if not isinstance(cur, (dict, list)) else ""
+        return ""
+
+    df = spark.createDataFrame(
+        [(i, j, p) for i, (j, p) in enumerate(zip(docs, cases))],
+        "i bigint, j string, p string")
+    outs = {}
+    for path in set(cases):
+        sub = df.where(F.col("p") == path).select(
+            "i", es_json_path("j", path).alias("v")).collect()
+        for r in sub:
+            outs[r.i] = r.v
+    bad = [(i, docs[i], cases[i], outs[i], ref(docs[i], cases[i]))
+           for i in range(60) if outs[i] != ref(docs[i], cases[i])]
+    assert not bad, bad[:3]
+
+
 def test_pure_codegen_no_python_boundary(spark):
     """The extraction must stay JVM-side (GetJsonObject expressions) —
     no BatchEvalPython / ArrowEvalPython in the plan."""
