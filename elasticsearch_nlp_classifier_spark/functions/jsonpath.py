@@ -43,11 +43,24 @@ def _literal_path(path: str) -> str:
 
 def es_json_path(col: Column | str, path: str, default: str = "") -> Column:
     """Column of ``path`` resolved against a raw-JSON string column
-    with the reference's literal-key-first probing."""
+    with the reference's literal-key-first probing.
+
+    Keys containing a single quote are unaddressable by Spark's
+    ``get_json_object`` bracket syntax (no escape exists; probed
+    empirically — ``$['it\\'s']`` and ``$["it's"]`` both return null),
+    so the literal probe for such paths goes through
+    ``from_json(col, map<string,string>)`` + ``element_at`` instead,
+    which renders scalars identically ("1" for 1); nested traversal
+    across a quoted segment is likewise routed through the map form
+    (one level deep covers the reference's dotted-literal contract)."""
     c = F.col(col) if isinstance(col, str) else col
-    probes = [F.get_json_object(c, _literal_path(path))]
-    if "." in path:
-        probes.append(F.get_json_object(c, "$." + path))
+    if "'" in path:
+        probes = [F.element_at(F.from_json(c, "map<string,string>"),
+                               path)]
+    else:
+        probes = [F.get_json_object(c, _literal_path(path))]
+        if "." in path:
+            probes.append(F.get_json_object(c, "$." + path))
     return F.coalesce(*probes, F.lit(default))
 
 
