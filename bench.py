@@ -310,6 +310,16 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
     # rep 4-5 (e.g. 6.1/4.5/4.1/3.4/3.4 s at sf0.1).  The best rep is
     # the engine's actual cost.
     idx_path = os.path.join(work_dir, "index")
+    # one untimed FULL-SIZE build first (the 500-doc warm above pays
+    # codegen JIT but not full-corpus page backing): reps then measure
+    # steady state, so the recorded MEDIAN — not just the min — is the
+    # engine's number.  Same warm-before-timing protocol q2 has always
+    # used; extended to q1/q3-q6 in round 5 (the r3/r4 medians carried
+    # 1-2 warmup-decayed reps each, which is what the r3->r4 "median
+    # regressions" were made of).
+    shutil.rmtree(idx_path, ignore_errors=True)
+    build_physical_index(docs, idx_path, text_col="text",
+                         analyzer="simple_code")
     q1 = []
     for _rep in range(5):
         shutil.rmtree(idx_path, ignore_errors=True)
@@ -368,6 +378,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
             F.avg((F.col("prediction") == F.col("label")).cast("double"))
         ).collect()[0][0]
 
+    nb_job()  # untimed warm (see q1)
     q3 = []
     acc = None
     for _rep in range(5):
@@ -380,6 +391,8 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
     # --- q4: MinHash-LSH near-dup over documents (5 reps: the first
     # pays the UDF-import + page-rebacking warmup on this VM —
     # observed 14.8/2.6 s first-vs-second at sf0.1)
+    minhash_lsh_pairs(docs, text_col="text",
+                      id_col="doc_id").count()  # untimed warm (see q1)
     q4 = []
     for _rep in range(5):
         t, _n = _timed(lambda: minhash_lsh_pairs(
@@ -394,6 +407,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
+    cosine_topk(emb, probes, k=10).count()  # untimed warm (see q1)
     q5 = []
     for _rep in range(5):
         t, _n = _timed(lambda: cosine_topk(emb, probes, k=10).count())
@@ -429,6 +443,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
         return ivfpq_topk(codes, qvecs, cents, books, k=10, n_probe=4,
                           rerank=emb, rerank_depth=50).count()
 
+    q6()  # untimed warm (see q1)
     q6r = []
     for _rep in range(5):
         t, _n = _timed(q6)
