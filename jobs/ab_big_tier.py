@@ -91,6 +91,16 @@ def run_arm(tree: str, cores: int, corpus: str, n_docs: int) -> dict:
         f"{proc.stderr[-3000:]}")
 
 
+def ensure_worktree(path: str, commit: str = "02545af") -> None:
+    """Materialize the comparison tree as a git worktree if absent
+    (02545af = the round-3 shipped tree, parent of the r3 driver
+    commit f0423a3)."""
+    if os.path.isdir(os.path.join(path, "elasticsearch_nlp_classifier_spark")):
+        return
+    subprocess.run(["git", "-C", REPO, "worktree", "add", path, commit],
+                   check=True, capture_output=True, text=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=3)
@@ -101,6 +111,7 @@ def main() -> None:
     ap.add_argument("--stability", type=float, default=0.75,
                     help="min(probes)/max(probes) for a VALID round")
     args = ap.parse_args()
+    ensure_worktree(args.r3_tree)
 
     rounds = []
     for rnd in range(args.rounds):

@@ -24,7 +24,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ab_big_tier import bw_probe  # noqa: E402  (same probe, one impl)
+from ab_big_tier import (  # noqa: E402  (same probe/setup, one impl)
+    bw_probe,
+    ensure_worktree,
+)
 
 QUERIES = ["q1_index_build", "q2_bm25_wand_topk", "q3_nb_train_predict",
            "q4_dedup_minhash_lsh", "q5_ann_cosine_topk",
@@ -66,6 +69,7 @@ def main() -> None:
     ap.add_argument("--r3-tree", default="/tmp/ab_r3tree")
     ap.add_argument("--stability", type=float, default=0.75)
     args = ap.parse_args()
+    ensure_worktree(args.r3_tree)
 
     rounds = []
     for rnd in range(args.rounds):
