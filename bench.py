@@ -499,6 +499,10 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
         # batch-vectorized occurrence tokenizer into the compressed
         # block layout.  The target is <=1.5x the non-offsets build.
         boff_path = os.path.join(work_dir, "big_index_off")
+        shutil.rmtree(boff_path, ignore_errors=True)
+        build_physical_index(bdocs.limit(20000), boff_path,
+                             text_col="content", analyzer="code",
+                             with_offsets=True)  # untimed warm (JIT)
         boff = []
         for _rep in range(3):
             shutil.rmtree(boff_path, ignore_errors=True)
@@ -524,11 +528,17 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
             return predict_nb(model, test, text_cols=["content"],
                               analyzer="code", id_col="doc_id").count()
 
+        bnb()  # untimed warm (same protocol as the small tier)
         bq3 = []
         for _rep in range(3):
             t, _n = _timed(bnb)
             bq3.append(round(t, 3))
 
+        # untimed warm: the first 240k-doc MinHash pass pays page
+        # re-backing on this VM (observed 145 s vs 7 s steady) —
+        # min-of-3 without a warm still carries that tail
+        minhash_lsh_pairs(bdocs, text_col="content",
+                          id_col="doc_id").count()
         bq4 = []
         for _rep in range(3):
             t, _n = _timed(lambda: minhash_lsh_pairs(
@@ -553,6 +563,7 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),
         )
+        cosine_topk(bemb, bprobes, k=10).count()  # untimed warm
         bq5 = []
         for _rep in range(3):
             t, _n = _timed(lambda: cosine_topk(bemb, bprobes,
@@ -570,6 +581,8 @@ def run_headline(spark, sf_dir: str, work_dir: str) -> dict:
         t_bbuild, (bcents, bbooks, bcodes) = _timed(_bbuild)
         bqvecs = [(r["query_id"], np.asarray(r["query_vec"]))
                   for r in bprobes.collect()]
+        ivfpq_topk(bcodes, bqvecs, bcents, bbooks, k=10, n_probe=8,
+                   rerank=bemb, rerank_depth=50).count()  # untimed warm
         bq6 = []
         for _rep in range(3):
             t, _n = _timed(lambda: ivfpq_topk(
